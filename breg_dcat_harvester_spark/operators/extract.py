@@ -1,0 +1,319 @@
+"""Triple extraction: transcript turns -> (subj, pred, obj) edge rows.
+
+The reference's harvest stage streams each source document through
+``store_graph.parse(source.uri, format=...)`` (harvest.py:51-53), turning
+documents into triples.  Here each *turn* is a document fragment: mention
+blocks in ``text`` (grammar in datagen.py) are detected in batch and mapped
+to BRegDCAT-AP triples, with the turn's ``role``/``tool`` context folded into
+provenance predicates (``prov:wasAttributedTo`` / ``prov:wasGeneratedBy``)
+and ``(conv_id, turn_idx)`` kept as per-triple lineage columns (replacing the
+reference's per-source provenance dicts, harvest.py:59 / models.py:73-79).
+
+Two interchangeable implementations, equality-tested in tests/test_extract.py:
+
+* ``impl='sql'``    — pure Catalyst expressions (regexp_extract_all + explode
+  + map lookups).  100% JVM-side / whole-stage codegen; the fast path.
+* ``impl='pandas'`` — ``mapInPandas`` with vectorized pandas string ops over
+  Arrow batches (the north-star-mandated path — this is where a real NLP
+  mention detector would plug in; no per-row Python anywhere).
+
+Scale notes: extraction is embarrassingly parallel (no shuffle); output
+partitioning is inherited from the scan, so a 100 TB input runs as one
+map-only stage.  Dedup/merge happens downstream (merge.py) where partial
+aggregation keeps the shuffle small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from itertools import chain
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import (
+    BREG_NS,
+    CLASS_URIS,
+    EDGES,
+    PRED_URIS,
+    PROV_ROLE,
+    PROV_TOOL,
+    RDF_TYPE,
+    ROLE_NS,
+    SKOLEM_NS,
+    TOOL_NS,
+    XSD,
+)
+from ..functions.terms import skolem_uri
+
+BLOCK_RE = r"\[\[([^\[\]]+)\]\]"
+XSD_STRING = XSD + "string"
+# literal properties carrying an @en language tag (label-ish predicates the
+# reference resolves with lang="en", browser.py:126,140)
+EN_KEYS = ("title", "description", "name")
+
+_EDGE_COLS = ["subj", "pred", "obj", "obj_kind", "lang", "dtype", "conv_id", "turn_idx"]
+
+
+def _class_map_col():
+    return F.create_map(*[F.lit(x) for kv in CLASS_URIS.items() for x in kv])
+
+
+def _pred_map_col():
+    return F.create_map(*[F.lit(x) for kv in PRED_URIS.items() for x in kv])
+
+
+def _subj_col():
+    return F.when(
+        F.col("local").startswith("_:"),
+        skolem_uri(F.col("conv_id"), F.col("turn_idx"), F.col("local")),
+    ).otherwise(F.concat(F.lit(BREG_NS), F.col("local")))
+
+
+def _obj_kind(value):
+    return F.when(
+        value.startswith("#")
+        | value.startswith("http://")
+        | value.startswith("https://")
+        | value.startswith("urn:"),
+        F.lit("uri"),
+    ).otherwise(F.lit("literal"))
+
+
+def extract_edges_sql(transcripts: DataFrame, emit_provenance: bool = True) -> DataFrame:
+    """Catalyst-native extraction (whole-stage codegen, no Python)."""
+    blocks = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.explode(F.regexp_extract_all("text", F.lit(BLOCK_RE), F.lit(1))).alias("block"),
+    )
+    blocks = blocks.select(
+        "*",
+        F.split("block", r"\|").getItem(0).alias("tag"),
+        F.regexp_extract("block", r"id=([^|]*)", 1).alias("local"),
+    )
+    blocks = blocks.withColumn("class_uri", _class_map_col()[F.col("tag")]).filter(
+        F.col("class_uri").isNotNull() & (F.col("local") != "")
+    )
+    blocks = blocks.withColumn("subj", _subj_col())
+
+    type_triples = blocks.select(
+        "subj",
+        F.lit(RDF_TYPE).alias("pred"),
+        F.col("class_uri").alias("obj"),
+        F.lit("uri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("dtype"),
+        "conv_id",
+        "turn_idx",
+    )
+
+    kvs = blocks.select(
+        "subj",
+        "conv_id",
+        "turn_idx",
+        F.explode(F.slice(F.split("block", r"\|"), 2, 2147483647)).alias("kv"),
+    ).select(
+        "subj",
+        "conv_id",
+        "turn_idx",
+        F.regexp_extract("kv", r"^([^=]*)=", 1).alias("key"),
+        F.regexp_extract("kv", r"^[^=]*=(.*)$", 1).alias("value"),
+    )
+    kvs = (
+        kvs.withColumn("pred", _pred_map_col()[F.col("key")])
+        .filter(F.col("pred").isNotNull() & (F.col("value") != ""))
+        .withColumn("obj_kind", _obj_kind(F.col("value")))
+    )
+    prop_triples = kvs.select(
+        "subj",
+        "pred",
+        F.when(
+            F.col("value").startswith("#"),
+            F.concat(F.lit(BREG_NS), F.expr("substring(value, 2)")),
+        )
+        .otherwise(F.col("value"))
+        .alias("obj"),
+        "obj_kind",
+        F.when(
+            (F.col("obj_kind") == "literal") & F.col("key").isin(*EN_KEYS), F.lit("en")
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("lang"),
+        F.when(F.col("obj_kind") == "literal", F.lit(XSD_STRING))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("dtype"),
+        "conv_id",
+        "turn_idx",
+    )
+
+    out = type_triples.unionByName(prop_triples)
+
+    if emit_provenance:
+        role_triples = blocks.filter(F.col("role").isNotNull()).select(
+            "subj",
+            F.lit(PROV_ROLE).alias("pred"),
+            F.concat(F.lit(ROLE_NS), F.col("role")).alias("obj"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype"),
+            "conv_id",
+            "turn_idx",
+        )
+        tool_triples = blocks.filter(F.col("tool").isNotNull()).select(
+            "subj",
+            F.lit(PROV_TOOL).alias("pred"),
+            F.concat(F.lit(TOOL_NS), F.col("tool")).alias("obj"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype"),
+            "conv_id",
+            "turn_idx",
+        )
+        out = out.unionByName(role_triples).unionByName(tool_triples)
+
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pandas/Arrow implementation (mapInPandas) — identical semantics
+# ---------------------------------------------------------------------------
+
+def extract_triples_pandas_batch(
+    pdf: pd.DataFrame, emit_provenance: bool = True
+) -> pd.DataFrame:
+    """Vectorized pandas extraction of one Arrow batch.
+
+    Shared by the Spark ``mapInPandas`` path and (for tiny inputs) unit tests.
+    Only vectorized pandas string ops — no Python-level row loop; the one
+    ``apply`` is the sha256 skolem mint over the (rare) blank-node subset.
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=_EDGE_COLS)
+
+    base = pdf[["conv_id", "turn_idx", "role", "tool"]].reset_index(drop=True)
+    found = pdf["text"].reset_index(drop=True).str.extractall(BLOCK_RE)
+    if len(found) == 0:
+        return pd.DataFrame(columns=_EDGE_COLS)
+    blocks = found[0].reset_index()
+    blocks = blocks.merge(
+        base, left_on="level_0", right_index=True, how="left", copy=False
+    ).rename(columns={0: "block"})
+
+    blocks["tag"] = blocks["block"].str.split("|").str[0]
+    blocks["local"] = blocks["block"].str.extract(r"id=([^|]*)", expand=False)
+    blocks["class_uri"] = blocks["tag"].map(CLASS_URIS)
+    blocks = blocks[blocks["class_uri"].notna() & blocks["local"].fillna("").ne("")]
+    if len(blocks) == 0:
+        return pd.DataFrame(columns=_EDGE_COLS)
+    blocks = blocks.reset_index(drop=True)
+
+    is_bnode = blocks["local"].str.startswith("_:")
+    subj = BREG_NS + blocks["local"]
+    if is_bnode.any():
+        payload = (
+            blocks.loc[is_bnode, "conv_id"]
+            + "|"
+            + blocks.loc[is_bnode, "turn_idx"].astype(str)
+            + "|"
+            + blocks.loc[is_bnode, "local"]
+        )
+        subj.loc[is_bnode] = SKOLEM_NS + payload.apply(
+            lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest()
+        )
+    blocks["subj"] = subj
+
+    def _mk(df, pred, obj, obj_kind, lang, dtype):
+        return pd.DataFrame(
+            {
+                "subj": df["subj"].values,
+                "pred": pred,
+                "obj": obj,
+                "obj_kind": obj_kind,
+                "lang": lang,
+                "dtype": dtype,
+                "conv_id": df["conv_id"].values,
+                "turn_idx": df["turn_idx"].values,
+            }
+        )
+
+    parts = [
+        _mk(blocks, RDF_TYPE, blocks["class_uri"].values, "uri", None, None)
+    ]
+
+    kv = blocks[["subj", "conv_id", "turn_idx", "block"]].copy()
+    kv["kv"] = kv["block"].str.split("|").str[1:]
+    kv = kv.explode("kv", ignore_index=True)
+    kv = kv[kv["kv"].notna()]
+    kv["key"] = kv["kv"].str.extract(r"^([^=]*)=", expand=False)
+    kv["value"] = kv["kv"].str.extract(r"^[^=]*=(.*)$", expand=False)
+    kv["pred"] = kv["key"].map(PRED_URIS)
+    kv = kv[kv["pred"].notna() & kv["value"].fillna("").ne("")].reset_index(drop=True)
+    if len(kv):
+        is_frag = kv["value"].str.startswith("#")
+        is_uri = (
+            is_frag
+            | kv["value"].str.startswith("http://")
+            | kv["value"].str.startswith("https://")
+            | kv["value"].str.startswith("urn:")
+        )
+        obj = kv["value"].where(~is_frag, BREG_NS + kv["value"].str[1:])
+        obj_kind = pd.Series("literal", index=kv.index).where(~is_uri, "uri")
+        lang = pd.Series(None, index=kv.index, dtype=object)
+        lang[(obj_kind == "literal") & kv["key"].isin(EN_KEYS)] = "en"
+        dtype = pd.Series(None, index=kv.index, dtype=object)
+        dtype[obj_kind == "literal"] = XSD_STRING
+        parts.append(
+            pd.DataFrame(
+                {
+                    "subj": kv["subj"].values,
+                    "pred": kv["pred"].values,
+                    "obj": obj.values,
+                    "obj_kind": obj_kind.values,
+                    "lang": lang.values,
+                    "dtype": dtype.values,
+                    "conv_id": kv["conv_id"].values,
+                    "turn_idx": kv["turn_idx"].values,
+                }
+            )
+        )
+
+    if emit_provenance:
+        with_role = blocks[blocks["role"].notna()]
+        if len(with_role):
+            parts.append(
+                _mk(with_role, PROV_ROLE, (ROLE_NS + with_role["role"]).values, "uri", None, None)
+            )
+        with_tool = blocks[blocks["tool"].notna()]
+        if len(with_tool):
+            parts.append(
+                _mk(with_tool, PROV_TOOL, (TOOL_NS + with_tool["tool"]).values, "uri", None, None)
+            )
+
+    out = pd.concat(parts, ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out[_EDGE_COLS]
+
+
+def extract_edges_pandas(transcripts: DataFrame, emit_provenance: bool = True) -> DataFrame:
+    """mapInPandas extraction — Arrow-batched, zero per-row Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield extract_triples_pandas_batch(pdf, emit_provenance=emit_provenance)
+
+    return transcripts.mapInPandas(run, schema=EDGES)
+
+
+def extract_edges(
+    transcripts: DataFrame, emit_provenance: bool = True, impl: str = "sql"
+) -> DataFrame:
+    if impl == "sql":
+        return extract_edges_sql(transcripts, emit_provenance)
+    if impl == "pandas":
+        return extract_edges_pandas(transcripts, emit_provenance)
+    raise ValueError(f"unknown extract impl: {impl}")

@@ -1,0 +1,48 @@
+"""Graph merge — RDF set-semantics union (SURVEY.md §2.6 U1).
+
+The reference merges N parsed sources into one named graph by sequential
+``store_graph.parse`` calls (harvest.py:51-53); an RDF graph is a *set* of
+triples, so duplicates across sources collapse and ``num_triples``
+(harvest.py:58) counts distinct (subj,pred,obj).
+
+Scale notes: ``dropDuplicates`` on (subj,pred,obj) is a hash aggregation with
+map-side partial aggregation — within-partition duplicates (the common case:
+one hot entity re-mentioned through a conversation, co-located because the
+scan is conv-contiguous) collapse before the shuffle.  Lineage of the
+surviving row is the minimum (conv_id, turn_idx), keeping merge deterministic
+for re-runs and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_triples(edges: DataFrame) -> DataFrame:
+    """Distinct (subj,pred,obj) with deterministic min-lineage provenance."""
+    return edges.groupBy("subj", "pred", "obj").agg(
+        F.min("obj_kind").alias("obj_kind"),
+        F.min("lang").alias("lang"),
+        F.min("dtype").alias("dtype"),
+        F.min(F.struct("conv_id", "turn_idx")).alias("_lin"),
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        "obj_kind",
+        "lang",
+        "dtype",
+        F.col("_lin.conv_id").alias("conv_id"),
+        F.col("_lin.turn_idx").alias("turn_idx"),
+    )
+
+
+def num_triples(edges: DataFrame) -> int:
+    """The reference's one aggregate metric per job (harvest.py:57-60)."""
+    return edges.select("subj", "pred", "obj").distinct().count()
+
+
+def anti_join_failed(df: DataFrame, failed: DataFrame, key: str) -> DataFrame:
+    """Negative-cache semantics (browser.py:81-91): skip known-failed terms."""
+    return df.join(failed.select(key).distinct(), on=key, how="left_anti")

@@ -1,0 +1,141 @@
+"""SHACL-style validation as DataFrame aggregations (SURVEY.md §2.2/2.4).
+
+The reference outsources validation to the remote ITB SHACL API
+(validator.py:14-15,56-71) and checks the report for ``sh:conforms true``,
+falling back (non-strict) to "no sh:Violation results" (validator.py:34-53).
+In-engine we evaluate the same *class* of constraints — min/max cardinality
+per (targetClass, property), the core of the BRegDCAT-AP shapes
+(e.g. Catalog: >=1 dct:description, exactly 1 dct:identifier, >=1 dct:title,
+exactly 1 dct:publisher; Agent: >=1 foaf:name —
+BRegDCAT-AP_shacl_shapes_2.00.ttl:717-760 region) — directly on the edge
+table with groupBy().count() per entity.
+
+Semantics preserved:
+* P1  validate-then-gate: ``harvest.py:41-47`` aborts the whole job if any
+  source is invalid (all-or-nothing) — ``gate_all_or_nothing``.
+* P2/P3 strict vs lenient: strict requires full conformance; lenient accepts
+  entities with no *Violation*-severity result.  We tag each constraint with
+  a severity; lenient mode only fails on 'Violation'.
+* P4  disabled validator (DummyValidator, validator.py:134-141) -> lit(True).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import CLASS_URIS, DCT, FOAF, RDF_TYPE
+
+
+@dataclass(frozen=True)
+class Shape:
+    """One cardinality constraint: class + property + [min,max] + severity."""
+
+    target_class: str
+    path: str
+    min_count: int = 0
+    max_count: int | None = None
+    severity: str = "Violation"
+
+
+# The constraint subset exercised by the sample corpus (SHACL shapes cited in
+# the module docstring).
+DEFAULT_SHAPES = [
+    Shape(CLASS_URIS["Catalog"], DCT + "description", min_count=1),
+    Shape(CLASS_URIS["Catalog"], DCT + "identifier", min_count=1, max_count=1),
+    Shape(CLASS_URIS["Catalog"], DCT + "title", min_count=1),
+    Shape(CLASS_URIS["Catalog"], DCT + "publisher", min_count=1, max_count=1),
+    Shape(CLASS_URIS["Agent"], FOAF + "name", min_count=1),
+    Shape(CLASS_URIS["Dataset"], DCT + "identifier", min_count=1, max_count=1, severity="Warning"),
+]
+
+
+def validation_report(edges: DataFrame, shapes: list[Shape] | None = None) -> DataFrame:
+    """Violations table: one row per (entity, constraint) breach.
+
+    Columns: subj, entity_type, path, count, min_count, max_count, severity.
+    Mirrors the ITB report triples the reference scans for
+    ``sh:resultSeverity sh:Violation`` (validator.py:50-51).
+    """
+    shapes = shapes if shapes is not None else DEFAULT_SHAPES
+    spark = edges.sparkSession
+    shapes_df = spark.createDataFrame(
+        [(s.target_class, s.path, s.min_count, s.max_count, s.severity) for s in shapes],
+        "target_class string, path string, min_count int, max_count int, severity string",
+    )
+
+    typed = (
+        edges.filter(F.col("pred") == RDF_TYPE)
+        .select(F.col("subj"), F.col("obj").alias("entity_type"))
+        .distinct()
+    )
+    # per (entity, pred) distinct-object counts — one shuffle keyed by subj
+    prop_counts = (
+        edges.filter(F.col("pred") != RDF_TYPE)
+        .groupBy("subj", "pred")
+        .agg(F.count_distinct("obj").alias("cnt"))
+    )
+    # entities x applicable shapes (broadcast: shapes are tiny), left join to
+    # actual counts so missing properties count as 0 (min_count breaches).
+    checks = typed.join(
+        F.broadcast(shapes_df), typed["entity_type"] == shapes_df["target_class"]
+    ).join(
+        prop_counts,
+        (typed["subj"] == prop_counts["subj"]) & (shapes_df["path"] == prop_counts["pred"]),
+        "left",
+    ).select(
+        typed["subj"],
+        "entity_type",
+        "path",
+        F.coalesce("cnt", F.lit(0)).alias("count"),
+        "min_count",
+        "max_count",
+        "severity",
+    )
+    return checks.filter(
+        (F.col("count") < F.col("min_count"))
+        | (F.col("max_count").isNotNull() & (F.col("count") > F.col("max_count")))
+    )
+
+
+def conforms_column(
+    edges: DataFrame,
+    shapes: list[Shape] | None = None,
+    strict: bool = False,
+    disabled: bool = False,
+) -> DataFrame:
+    """Per-entity boolean verdict (P2/P3/P4): subj, conforms.
+
+    strict=False (the reference default, validator.py:46-48) tolerates
+    non-Violation severities; disabled=True reproduces DummyValidator.
+    """
+    typed = edges.filter(F.col("pred") == RDF_TYPE).select("subj").distinct()
+    if disabled:
+        return typed.withColumn("conforms", F.lit(True))
+    report = validation_report(edges, shapes)
+    if not strict:
+        report = report.filter(F.col("severity") == "Violation")
+    bad = report.select("subj").distinct().withColumn("_bad", F.lit(True))
+    return typed.join(bad, "subj", "left").select(
+        "subj", F.coalesce(~F.col("_bad"), F.lit(True)).alias("conforms")
+    )
+
+
+def partition_valid(edges: DataFrame, verdicts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """P1: split edges into (valid, quarantine) by their subject's verdict."""
+    v = verdicts.withColumnRenamed("subj", "_vsubj")
+    joined = edges.join(v, edges["subj"] == v["_vsubj"], "left").drop("_vsubj")
+    ok = F.coalesce(F.col("conforms"), F.lit(True))
+    return (
+        joined.filter(ok).drop("conforms"),
+        joined.filter(~ok).drop("conforms"),
+    )
+
+
+def gate_all_or_nothing(verdicts: DataFrame) -> None:
+    """harvest.py:41-47 semantics: any invalid entity aborts the run."""
+    n_bad = verdicts.filter(~F.col("conforms")).count()
+    if n_bad:
+        raise ValueError(f"Invalid entities found (n={n_bad}); aborting harvest")

@@ -1,0 +1,82 @@
+"""Extraction parity: Spark SQL impl == pandas impl == independent oracle,
+plus the reference's golden 33-triple harvest (README.md:105)."""
+
+import pandas as pd
+import pytest
+
+from breg_dcat_harvester_spark.operators.extract import extract_edges
+from breg_dcat_harvester_spark.operators.merge import merge_triples, num_triples
+
+from . import oracle
+
+
+def _triples(df):
+    return {(r.subj, r.pred, r.obj) for r in df.select("subj", "pred", "obj").collect()}
+
+
+def test_golden_33_triples(spark, golden_df):
+    """3 sample-doc turns -> 33 distinct triples after set-union merge,
+    mirroring /root/reference/README.md:105 (num_triples: 33)."""
+    edges = extract_edges(golden_df, emit_provenance=False, impl="sql")
+    assert num_triples(edges) == 33
+
+
+def test_sql_vs_pandas_impl_equality(spark, small_transcripts):
+    sql_t = _triples(extract_edges(small_transcripts, impl="sql"))
+    pd_t = _triples(extract_edges(small_transcripts, impl="pandas"))
+    assert sql_t == pd_t
+    assert len(sql_t) > 100
+
+
+@pytest.mark.parametrize("impl", ["sql", "pandas"])
+def test_parity_vs_oracle(spark, small_transcripts, impl):
+    """P/R >= 0.95 target (BASELINE.json); exact equality expected."""
+    got = _triples(extract_edges(small_transcripts, impl=impl))
+    expected = oracle.extract_table(small_transcripts.toPandas())
+    p, r = oracle.precision_recall(got, expected)
+    assert (p, r) == (1.0, 1.0), f"precision={p}, recall={r}"
+
+
+def test_skolem_deterministic(spark, golden_df):
+    """Blank-node mentions mint content-deterministic skolem URIs (S8)."""
+    pdf = pd.DataFrame(
+        [
+            {"conv_id": "c1", "turn_idx": 0, "role": "user",
+             "text": "x [[Distribution|id=_:d0|mediaType=text/csv]] y",
+             "tool": None, "ts": pd.Timestamp("2026-01-01")},
+            {"conv_id": "c1", "turn_idx": 1, "role": "user",
+             "text": "x [[Distribution|id=_:d0|mediaType=text/csv]] y",
+             "tool": None, "ts": pd.Timestamp("2026-01-01")},
+        ]
+    )
+    df = golden_df.sparkSession.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    t1 = _triples(extract_edges(df, impl="sql"))
+    t2 = _triples(extract_edges(df, impl="pandas"))
+    assert t1 == t2
+    subs = {s for (s, p, o) in t1 if s.startswith("urn:skolem:")}
+    # same local id in different turns -> different skolem URIs (content-keyed)
+    assert len(subs) == 2
+    # re-running is byte-identical
+    assert t1 == _triples(extract_edges(df, impl="sql"))
+
+
+def test_merge_set_semantics(spark, golden_df):
+    """U1: duplicate triples across sources collapse (harvest.py:51-53)."""
+    edges = extract_edges(golden_df, emit_provenance=False)
+    doubled = edges.unionByName(edges)
+    merged = merge_triples(doubled)
+    assert merged.count() == 33
+    assert merged.select("subj", "pred", "obj").distinct().count() == 33
+
+
+def test_per_turn_text_equality_invariant(spark, small_transcripts):
+    """input_hint invariant: reading back keyed by (conv_id, turn_idx)
+    reproduces text exactly under stable ordering."""
+    src = small_transcripts.orderBy("conv_id", "turn_idx").toPandas()
+    again = small_transcripts.orderBy("conv_id", "turn_idx").toPandas()
+    assert src["text"].equals(again["text"])
+    assert src.groupby("conv_id")["turn_idx"].apply(
+        lambda s: (s.values == range(len(s))).all()
+    ).all()
