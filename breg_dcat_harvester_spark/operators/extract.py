@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
-from itertools import chain
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -94,7 +93,7 @@ def extract_edges_sql(transcripts: DataFrame, emit_provenance: bool = True) -> D
     blocks = blocks.select(
         "*",
         F.split("block", r"\|").getItem(0).alias("tag"),
-        F.regexp_extract("block", r"id=([^|]*)", 1).alias("local"),
+        F.regexp_extract("block", r"(?:^|\|)id=([^|]*)", 1).alias("local"),
     )
     blocks = blocks.withColumn("class_uri", _class_map_col()[F.col("tag")]).filter(
         F.col("class_uri").isNotNull() & (F.col("local") != "")
@@ -205,7 +204,7 @@ def extract_triples_pandas_batch(
     ).rename(columns={0: "block"})
 
     blocks["tag"] = blocks["block"].str.split("|").str[0]
-    blocks["local"] = blocks["block"].str.extract(r"id=([^|]*)", expand=False)
+    blocks["local"] = blocks["block"].str.extract(r"(?:^|\|)id=([^|]*)", expand=False)
     blocks["class_uri"] = blocks["tag"].map(CLASS_URIS)
     blocks = blocks[blocks["class_uri"].notna() & blocks["local"].fillna("").ne("")]
     if len(blocks) == 0:
