@@ -20,6 +20,8 @@ from breg_dcat_harvester_spark.datagen import LANGUAGES, THEMES, ensure_transcri
 from breg_dcat_harvester_spark.functions import oracle_sql as osql
 from breg_dcat_harvester_spark.operators import facets as fac
 from breg_dcat_harvester_spark.operators import search as srch
+from breg_dcat_harvester_spark.operators import cc as ccm
+from breg_dcat_harvester_spark.operators import link as lnk
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import merge_triples
 from breg_dcat_harvester_spark.operators.validate import (
@@ -30,6 +32,7 @@ from breg_dcat_harvester_spark.schema import (
     CLASS_URIS,
     DCAT,
     DCT,
+    FOAF,
     PRED_URIS,
     RDF_TYPE,
 )
@@ -115,6 +118,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return srch.dataset_details_flat(merged, found)
 
     q["kg_dataset_detail"] = _detail
+
+    # J10/F12: MinHash-LSH blocking + exact jaccard verify (brute-force oracle)
+    q["kg_link_candidates"] = lambda spark, sf: lnk.link_pairs(
+        _merged(spark, sf), threshold=0.8, scorer="sql"
+    )
+
+    # J11: connected-components canonical mapping over the link graph
+    def _cc(spark, sf):
+        pairs = lnk.link_pairs(_merged(spark, sf), threshold=0.8)
+        return ccm.connected_components(pairs)
+
+    q["kg_connected_components"] = _cc
 
     return q
 
@@ -245,4 +260,63 @@ FROM rows_
 GROUP BY dataset, distribution
 ORDER BY dataset, distribution
 """
+
+    # brute-force exact-jaccard pairs (the LSH path must equal this w.h.p.:
+    # P(miss) = (1-j^2)^24 ~ 2e-11 at j=0.8)
+    link_core = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e),
+labeled AS (
+    SELECT t.subj AS node_id, t.entity_type, l.label
+    FROM (SELECT subj, min(obj) AS entity_type FROM edges
+          WHERE pred = '{RDF_TYPE}' GROUP BY subj) t
+    JOIN (SELECT subj, min(obj) AS label FROM edges
+          WHERE pred IN ('{FOAF}name', '{DCT}title') GROUP BY subj) l
+      ON l.subj = t.subj
+),
+grams AS (
+    SELECT DISTINCT node_id, entity_type,
+           unnest(list_transform(
+               generate_series(1, greatest(length(label) - 2, 1)),
+               i -> substr(lower(label), CAST(i AS INTEGER), 3))) AS gram
+    FROM labeled
+),
+pair_inter AS (
+    SELECT g1.entity_type, g1.node_id AS a, g2.node_id AS b,
+           count(*) AS g_inter
+    FROM grams g1
+    JOIN grams g2 ON g2.gram = g1.gram AND g2.entity_type = g1.entity_type
+                 AND g1.node_id < g2.node_id
+    GROUP BY 1, 2, 3
+),
+sizes AS (SELECT node_id, count(*) AS n FROM grams GROUP BY 1),
+linked AS (
+    SELECT p.entity_type, p.a, p.b,
+           CAST(p.g_inter AS BIGINT) AS g_inter,
+           CAST(sa.n + sb.n - p.g_inter AS BIGINT) AS g_union
+    FROM pair_inter p
+    JOIN sizes sa ON sa.node_id = p.a
+    JOIN sizes sb ON sb.node_id = p.b
+    WHERE p.g_inter * 1000 >= (sa.n + sb.n - p.g_inter) * 800
+)
+"""
+    sql["kg_link_candidates"] = (
+        link_core + "SELECT entity_type, a, b, g_inter, g_union FROM linked"
+    )
+
+    sql["kg_connected_components"] = link_core + """
+, sym AS (
+    SELECT a AS x, b AS y FROM linked
+    UNION
+    SELECT b AS x, a AS y FROM linked
+),
+walk(x, c) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM sym) AS n
+    UNION
+    SELECT s.y, w.c FROM walk w JOIN sym s ON s.x = w.x
+)
+SELECT x AS node_id, min(c) AS canonical_id FROM walk GROUP BY x
+"""
+    sql["kg_connected_components"] = (
+        sql["kg_connected_components"].replace("WITH edges AS", "WITH RECURSIVE edges AS")
+    )
     return sql

@@ -51,6 +51,11 @@ _NOUN = [
     "orchard", "plateau", "quarry", "ridge", "summit", "terrace", "upland",
     "vault", "wharf", "yard", "zenith",
 ]
+_W3 = [
+    "arc", "bay", "cove", "dell", "edge", "ford", "gate", "hill", "isle",
+    "keep", "loch", "mill", "nook", "oast", "pier", "quay", "reef", "shoal",
+    "tarn", "vale", "weir", "yurt", "zone",
+]
 _NOISE = [
     "please", "register", "the", "following", "record", "we", "found", "a",
     "new", "entry", "for", "review", "this", "was", "fetched", "from", "the",
@@ -77,10 +82,19 @@ PUBLISHER_TYPES = [
 CORPORATE_BODY = "http://publications.europa.eu/resource/authority/corporate-body"
 
 
-def _agent_name(rng_idx: int, i: int) -> str:
+def _entity_title(kind: str, i: int, width: int = 5) -> str:
+    """Distinctive 3-word titles: the word-triple period is
+    lcm(26,25,23)=14950 > any population size, so distinct entities keep
+    3-gram jaccard <= ~0.72 while near-duplicates (suffix edit) stay >= ~0.86
+    — clean margins around the 0.8 linking threshold (tested)."""
     adj = _ADJ[(i * 7 + 3) % len(_ADJ)]
     noun = _NOUN[(i * 11 + 5) % len(_NOUN)]
-    return f"{adj} {noun} data agency {i:04d}"
+    w3 = _W3[(i * 13 + 2) % len(_W3)]
+    return f"{adj} {noun} {w3} {kind} {i:0{width}d}"
+
+
+def _agent_name(rng_idx: int, i: int) -> str:
+    return _entity_title("data agency", i, width=4)
 
 
 def build_entities(n_turns: int) -> dict[str, pd.DataFrame]:
@@ -93,7 +107,7 @@ def build_entities(n_turns: int) -> dict[str, pd.DataFrame]:
 
     cat = pd.DataFrame({"i": np.arange(n_catalogs)})
     cat["local"] = "catalog-" + cat["i"].astype(str).str.zfill(5)
-    cat["title"] = "Catalog number " + cat["i"].astype(str)
+    cat["title"] = [_entity_title("catalog", i) for i in range(n_catalogs)]
     cat["identifier"] = "CAT-" + cat["i"].astype(str).str.zfill(5)
     cat["description"] = "Description of catalog " + cat["i"].astype(str)
     cat["publisher"] = "#agent-" + (cat["i"] % n_agents).astype(str).str.zfill(4)
@@ -125,7 +139,7 @@ def build_entities(n_turns: int) -> dict[str, pd.DataFrame]:
 
     ds = pd.DataFrame({"i": np.arange(n_datasets)})
     ds["local"] = "dataset-" + ds["i"].astype(str).str.zfill(5)
-    ds["title"] = "Dataset " + ds["i"].astype(str) + " of the registry"
+    ds["title"] = [_entity_title("dataset", i) for i in range(n_datasets)]
     ds["identifier"] = "DS-" + ds["i"].astype(str).str.zfill(5)
     ds["description"] = "Description of dataset " + ds["i"].astype(str)
     ds["spatial"] = np.array(LOCATIONS)[(ds["i"] * 3) % len(LOCATIONS)]
@@ -179,13 +193,13 @@ def build_entities(n_turns: int) -> dict[str, pd.DataFrame]:
     )
     ag["short"] = "[[Agent|id=" + ag["local"] + "|name=" + ag["name"] + "]]"
 
-    # near-duplicate agents: same name with a 1-char edit ("agency"->"agenci")
-    # -> 3-gram jaccard >= ~0.85 with their source, far below threshold with
-    # everything else; must merge under linking + connected components.
+    # near-duplicate agents: same name + " intl" suffix -> 3-gram jaccard
+    # ~0.86 with their source, <= ~0.72 with everything else; must merge
+    # under linking + connected components.
     alt = pd.DataFrame({"i": np.arange(n_alt)})
     src = (alt["i"] * 5) % n_agents
     alt["local"] = "agent-alt-" + alt["i"].astype(str).str.zfill(4)
-    alt["name"] = ag["name"].iloc[src].str.replace("agency", "agenci", regex=False).values
+    alt["name"] = (ag["name"].iloc[src] + " intl").values
     alt["ptype"] = ag["ptype"].iloc[src].values
     alt["block"] = (
         "[[Agent|id=" + alt["local"]
@@ -198,11 +212,8 @@ def build_entities(n_turns: int) -> dict[str, pd.DataFrame]:
 
     sch = pd.DataFrame({"i": np.arange(n_schemes)})
     sch["local"] = "scheme-" + sch["i"].astype(str).str.zfill(3)
-    sch["block"] = (
-        "[[ConceptScheme|id=" + sch["local"]
-        + "|title=Scheme " + sch["i"].astype(str) + " taxonomy"
-        + "]]"
-    )
+    sch["title"] = [_entity_title("scheme", i, width=3) for i in range(n_schemes)]
+    sch["block"] = "[[ConceptScheme|id=" + sch["local"] + "|title=" + sch["title"] + "]]"
     sch["short"] = sch["block"]
 
     return {"catalog": cat, "dataset": ds, "distribution": dist, "agent": ag,

@@ -1,0 +1,146 @@
+"""The harvest pipeline — the reference's core job (SURVEY.md §3.1).
+
+``run_harvest`` reproduces run_harvest(sources, ...) (harvest.py:22-66) as a
+staged DataFrame DAG with per-stage snapshot checkpoints:
+
+    scan -> validate (gate) -> extract -> merge -> link -> canonicalize
+         -> materialize(nodes, edges) -> num_triples + runs/metrics rows
+
+Stage outputs are snapshot-committed tables (storage.py); the runs table
+records each stage's snapshot id, so a re-run *resumes*: stages whose output
+snapshot already exists for this run_id are skipped and their output is read
+back (north_rule "resumable from Iceberg snapshot checkpoints").  The final
+result dict mirrors the reference job result {"num_triples": N, "sources":
+[...]} (harvest.py:57-60) with transcript lineage in place of source dicts.
+
+Materialize layout (scale-critical):
+* edges/nodes written ``repartition(num_buckets, salted conv_id)`` +
+  ``sortWithinPartitions(conv_id, turn_idx)`` (W5 stable-turn-order
+  invariant).  The salt spreads hot conversations (zipf tail) across
+  buckets; on a cluster this maps 1:1 onto Iceberg ``bucket(N, conv_id)``
+  partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cc as ccm
+from ..operators import link as lnk
+from ..operators.extract import extract_edges
+from ..operators.merge import merge_triples, num_triples
+from ..operators.validate import conforms_column, partition_valid
+from ..storage import table_for
+from .jobs import RunLog
+
+
+@dataclass
+class HarvestConfig:
+    out_dir: str
+    extract_impl: str = "pandas"  # north-star default path
+    emit_provenance: bool = True
+    link_threshold: float = 0.8
+    strict_validation: bool = False
+    validation_disabled: bool = False
+    all_or_nothing: bool = False  # harvest.py:41-47 semantics when True
+    num_buckets: int = 32
+    salt: int = 4  # sub-splits per bucket for hot conv_ids
+    extra: dict = field(default_factory=dict)
+
+
+def _bucketed(df: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    """Salted conv_id bucketing + stable within-partition turn order (W5)."""
+    bucket = F.pmod(F.hash("conv_id"), F.lit(cfg.num_buckets))
+    salt = F.pmod(F.hash("conv_id", "turn_idx"), F.lit(cfg.salt))
+    return df.repartition(
+        cfg.num_buckets * cfg.salt, bucket * cfg.salt + salt
+    ).sortWithinPartitions("conv_id", "turn_idx")
+
+
+def run_harvest(
+    spark: SparkSession,
+    transcripts_path: str,
+    cfg: HarvestConfig,
+    run_id: str | None = None,
+) -> dict:
+    """Execute (or resume) a harvest; returns the job-result dict."""
+    run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+    runlog = RunLog(spark, os.path.join(cfg.out_dir, "runs"))
+    metrics = []
+
+    def stage(name: str, builder, reader=None):
+        """Run one checkpointed stage (or read back its prior snapshot)."""
+        tbl = table_for(os.path.join(cfg.out_dir, name))
+        prior = runlog.snapshot_for(run_id, name)
+        if prior:
+            return tbl.read(spark, prior)
+        t0 = time.time()
+        runlog.record(run_id, name, "started")
+        try:
+            df = builder()
+            sid = tbl.write(df, mode="overwrite")
+            out = tbl.read(spark, sid)
+            n = out.count()
+            metrics.append((name, n, time.time() - t0))
+            runlog.record(run_id, name, "finished", snapshot_id=sid, num_triples=n)
+            return out
+        except Exception as ex:
+            runlog.record(run_id, name, "failed", exc_info=repr(ex))
+            raise
+
+    transcripts = spark.read.parquet(transcripts_path)
+
+    edges_raw = stage(
+        "edges_raw",
+        lambda: extract_edges(
+            transcripts, emit_provenance=cfg.emit_provenance, impl=cfg.extract_impl
+        ),
+    )
+    merged = stage("triples", lambda: merge_triples(edges_raw))
+
+    def _validated():
+        verdicts = conforms_column(
+            merged, strict=cfg.strict_validation, disabled=cfg.validation_disabled
+        )
+        if cfg.all_or_nothing:
+            from ..operators.validate import gate_all_or_nothing
+
+            gate_all_or_nothing(verdicts)
+        valid, quarantine = partition_valid(merged, verdicts)
+        table_for(os.path.join(cfg.out_dir, "quarantine")).write(quarantine)
+        return valid
+
+    valid = stage("valid_triples", _validated)
+
+    def _canonical():
+        pairs = lnk.link_pairs(valid, threshold=cfg.link_threshold)
+        labels = ccm.connected_components(pairs)
+        return ccm.canonicalize_edges(valid, labels).transform(
+            lambda d: _bucketed(d, cfg)
+        )
+
+    edges_final = stage("edges", _canonical)
+
+    def _nodes():
+        pairs = lnk.link_pairs(valid, threshold=cfg.link_threshold)
+        labels = ccm.connected_components(pairs)
+        return ccm.build_nodes(valid, labels)
+
+    nodes = stage("nodes", _nodes)
+
+    n_triples = num_triples(edges_final)
+    runlog.record(run_id, "job", "finished", num_triples=n_triples)
+    return {
+        "run_id": run_id,
+        "num_triples": n_triples,
+        "num_nodes": nodes.count(),
+        "stages": [
+            {"stage": s, "rows": n, "seconds": round(dt, 3)} for s, n, dt in metrics
+        ],
+    }

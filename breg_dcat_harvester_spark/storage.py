@@ -1,0 +1,154 @@
+"""Snapshot-versioned table storage (S6/S7; SURVEY.md §7 head).
+
+The reference's sink is a SPARQLUpdateStore (Virtuoso) with atomic-ish INSERT
+batches (store.py:43-54).  Ours targets Iceberg on a real cluster — atomic
+snapshot commits, time travel, rollback — and falls back locally to
+partitioned parquet plus a JSON *manifest* that reproduces the snapshot
+semantics we rely on:
+
+* every write (append/overwrite) creates a new immutable snapshot listing
+  its data files; readers pin a snapshot -> snapshot-isolated scans (the
+  reference's read-mode toggle S7 becomes unnecessary by construction);
+* ``rollback`` moves the current pointer (harvest all-or-nothing semantics:
+  a failed run's partial output is never current);
+* snapshot ids are the checkpoint/resume tokens recorded in the runs table
+  (north_rule "resumable from Iceberg snapshot checkpoints").
+
+The two backends expose one API; cluster deployments flip ``use_iceberg``
+(catalog configured via spark.sql.catalog.*) without touching pipeline code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LocalSnapshotTable:
+    """Parquet + JSON-manifest table with Iceberg-like snapshot semantics."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.manifest_path = os.path.join(path, "manifest.json")
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    def _load(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"snapshots": [], "current": None}
+        with open(self.manifest_path) as fh:
+            return json.load(fh)
+
+    def _store(self, manifest: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic commit
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    def current_snapshot(self) -> str | None:
+        return self._load()["current"]
+
+    def _snapshot(self, manifest: dict, snapshot_id: str | None) -> dict | None:
+        sid = snapshot_id or manifest["current"]
+        for s in manifest["snapshots"]:
+            if s["id"] == sid:
+                return s
+        return None
+
+    # -- write/read ----------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> str:
+        """Write df as a new snapshot; returns the snapshot id."""
+        assert mode in ("overwrite", "append")
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                dst = f"{uuid.uuid4().hex}-{name}"
+                shutil.move(os.path.join(staging, name), os.path.join(self.data_dir, dst))
+                new_files.append(dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        manifest = self._load()
+        parent = self._snapshot(manifest, None)
+        files = (parent["files"] if parent and mode == "append" else []) + new_files
+        digest = hashlib.sha256("|".join(files).encode()).hexdigest()[:12]
+        sid = f"s{len(manifest['snapshots']):06d}-{digest}"
+        manifest["snapshots"].append(
+            {"id": sid, "parent": parent["id"] if parent else None, "files": files,
+             "mode": mode}
+        )
+        manifest["current"] = sid
+        self._store(manifest)
+        return sid
+
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        manifest = self._load()
+        snap = self._snapshot(manifest, snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot {snapshot_id!r} in {self.path}")
+        paths = [os.path.join(self.data_dir, f) for f in snap["files"]]
+        return spark.read.parquet(*paths)
+
+    def rollback(self, snapshot_id: str) -> None:
+        manifest = self._load()
+        if self._snapshot(manifest, snapshot_id) is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        manifest["current"] = snapshot_id
+        self._store(manifest)
+
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
+
+class IcebergTable:
+    """Iceberg-native backend (cluster path; requires a configured catalog).
+
+    Same surface as LocalSnapshotTable; snapshot ids come from the catalog's
+    snapshot log.  Untestable in this sandbox (no Iceberg runtime jar) but
+    kept tiny so cluster runs only flip the constructor.
+    """
+
+    def __init__(self, identifier: str):
+        self.identifier = identifier
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> str:
+        writer = df.writeTo(self.identifier)
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return self.current_snapshot(df.sparkSession) or ""
+
+    def current_snapshot(self, spark: SparkSession) -> str | None:
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).head()
+        return str(row[0]) if row else None
+
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        if snapshot_id:
+            return spark.read.option("snapshot-id", snapshot_id).table(self.identifier)
+        return spark.read.table(self.identifier)
+
+    def rollback(self, snapshot_id: str) -> None:
+        raise NotImplementedError("use CALL catalog.system.rollback_to_snapshot")
+
+
+def table_for(uri: str):
+    """'iceberg:cat.db.tbl' -> IcebergTable; anything else -> local path."""
+    if uri.startswith("iceberg:"):
+        return IcebergTable(uri.split(":", 1)[1])
+    return LocalSnapshotTable(uri)

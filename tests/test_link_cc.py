@@ -1,0 +1,112 @@
+"""Entity linking + canonicalization: LSH == brute force, scorer parity,
+union-find convergence and idempotence (SURVEY.md §5.2-5.3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from breg_dcat_harvester_spark.operators import cc as ccm
+from breg_dcat_harvester_spark.operators import link as lnk
+from breg_dcat_harvester_spark.operators.extract import extract_edges
+from breg_dcat_harvester_spark.operators.merge import merge_triples
+
+
+@pytest.fixture(scope="module")
+def merged(small_transcripts):
+    return merge_triples(extract_edges(small_transcripts)).cache()
+
+
+def _pairs(df):
+    return {(r.a, r.b) for r in df.select("a", "b").collect()}
+
+
+def test_lsh_equals_bruteforce(spark, merged):
+    """LSH blocking with (b=24, r=2) must not lose any true pair."""
+    labeled = lnk.entity_labels(merged)
+    lsh = lnk.link_pairs(merged, threshold=0.8)
+    # brute force: all same-type pairs, exact jaccard
+    left = labeled.select(
+        F.col("node_id").alias("a"), F.col("entity_type"), F.col("label").alias("la")
+    )
+    right = labeled.select(
+        F.col("node_id").alias("b"), F.col("entity_type"), F.col("label").alias("lb")
+    )
+    allpairs = left.join(right, "entity_type").filter(F.col("a") < F.col("b"))
+    ga = lnk.with_grams(labeled.select("node_id", F.col("label"))).select(
+        F.col("node_id").alias("a"), F.col("grams").alias("grams_a")
+    )
+    gb = lnk.with_grams(labeled.select("node_id", F.col("label"))).select(
+        F.col("node_id").alias("b"), F.col("grams").alias("grams_b")
+    )
+    bf = (
+        allpairs.join(ga, "a").join(gb, "b")
+        .withColumn("gi", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn("gu", F.size(F.array_union("grams_a", "grams_b")))
+        .filter(F.col("gi") * 1000 >= F.col("gu") * 800)
+    )
+    assert _pairs(lsh) == _pairs(bf)
+    assert len(_pairs(lsh)) > 0, "fixture must contain near-duplicate agents"
+
+
+def test_scorer_parity_sql_vs_pandas(spark, merged):
+    """F12: the pandas/Arrow scorer == the JVM array scorer."""
+    sqlp = lnk.link_pairs(merged, threshold=0.8, scorer="sql")
+    pdp = lnk.link_pairs(merged, threshold=0.8, scorer="pandas")
+    assert _pairs(sqlp) == _pairs(pdp)
+
+
+def test_linked_pairs_are_alt_agents(spark, merged):
+    """Every linked pair must be an (agent, agent-alt) couple by fixture
+    construction — no false merges between distinct entities."""
+    for a, b in _pairs(lnk.link_pairs(merged, threshold=0.8)):
+        pair = sorted([a, b])
+        assert "agent" in pair[0] and "agent-alt" in pair[1], (a, b)
+
+
+def test_cc_basic_chain(spark):
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "a string, b string"
+    )
+    got = {
+        (r.node_id, r.canonical_id)
+        for r in ccm.connected_components(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }
+
+
+def test_canonicalize_idempotent(spark, merged):
+    """north_star invariant: running linking+canonicalization twice changes
+    nothing (union-find canonicalization idempotence)."""
+    pairs = lnk.link_pairs(merged, threshold=0.8)
+    labels = ccm.connected_components(pairs)
+    once = ccm.canonicalize_edges(merged, labels).cache()
+    pairs2 = lnk.link_pairs(once, threshold=0.8)
+    # after merging, the alt agents are gone -> linking finds nothing new
+    # with label sets now unified (pairs among identical canonical ids only)
+    remaining = {(r.a, r.b) for r in pairs2.select("a", "b").collect()}
+    assert remaining == set()
+    labels2 = ccm.connected_components(pairs2) if remaining else None
+    twice = once if labels2 is None else ccm.canonicalize_edges(once, labels2)
+    t1 = {(r.subj, r.pred, r.obj) for r in once.select("subj", "pred", "obj").collect()}
+    t2 = {(r.subj, r.pred, r.obj) for r in twice.select("subj", "pred", "obj").collect()}
+    assert t1 == t2
+
+
+def test_nodes_table(spark, merged):
+    pairs = lnk.link_pairs(merged, threshold=0.8)
+    labels = ccm.connected_components(pairs)
+    nodes = ccm.build_nodes(merged, labels).cache()
+    # alt agents map onto their source agent
+    remapped = nodes.filter(F.col("node_id") != F.col("canonical_id"))
+    assert remapped.count() > 0
+    for r in remapped.collect():
+        assert "agent-alt" in r.node_id and "agent-alt" not in r.canonical_id
+    # every edge term appears
+    n_terms = (
+        merged.select(F.col("subj").alias("t"))
+        .unionByName(merged.select(F.col("obj").alias("t")))
+        .distinct()
+        .count()
+    )
+    assert nodes.count() == n_terms
