@@ -20,8 +20,13 @@ from breg_dcat_harvester_spark.datagen import LANGUAGES, THEMES, ensure_transcri
 from breg_dcat_harvester_spark.functions import oracle_sql as osql
 from breg_dcat_harvester_spark.operators import facets as fac
 from breg_dcat_harvester_spark.operators import search as srch
+from breg_dcat_harvester_spark.functions import textfns as tf
+from breg_dcat_harvester_spark.operators import ann as annm
 from breg_dcat_harvester_spark.operators import cc as ccm
+from breg_dcat_harvester_spark.operators import dedup as ddp
+from breg_dcat_harvester_spark.operators import labels as lbl
 from breg_dcat_harvester_spark.operators import link as lnk
+from breg_dcat_harvester_spark.operators import multimodal as mm
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import merge_triples
 from breg_dcat_harvester_spark.operators.validate import (
@@ -51,8 +56,18 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(ensure_transcripts(_sf_name(sf_dir)))
 
 
+_MERGED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return merge_triples(extract_edges(_transcripts(spark, sf_dir), impl="sql"))
+    """Merged triple graph, cached per (session, sf): the facet/search/detail
+    queries branch into many self-joins — without caching, each branch would
+    recompute extraction from scratch."""
+    key = (spark.sparkContext.applicationId, _sf_name(sf_dir))
+    if key not in _MERGED_CACHE:
+        df = merge_triples(extract_edges(_transcripts(spark, sf_dir), impl="sql"))
+        _MERGED_CACHE[key] = df.cache()
+    return _MERGED_CACHE[key]
 
 
 def _oracle_glob() -> str:
@@ -106,6 +121,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _merged(spark, sf)
     )
 
+    # J9/S9-S11/W4: publisher facet enriched with labels from the
+    # materialized labels table (the Redis cache analog)
+    def _facet_enriched(spark, sf):
+        merged = _merged(spark, sf)
+        terms = fac.facet_terms(
+            merged, CLASS_URIS["Catalog"], DCT + "publisher", limit=50
+        )
+        labels_tbl = lbl.build_labels_table(merged)
+        return lbl.enrich_terms(terms, labels_tbl).select("term", "label", "label_prop")
+
+    q["kg_facet_publisher_enriched"] = _facet_enriched
+
     # J6/P6/A4: faceted search stage 1
     q["kg_search_datasets"] = lambda spark, sf: srch.search_datasets(
         _merged(spark, sf), SEARCH_FILTERS, limit=0
@@ -130,6 +157,200 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ccm.connected_components(pairs)
 
     q["kg_connected_components"] = _cc
+
+    # --- training-data pipeline ops (documents/embeddings tables) ---------
+
+    def _documents(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    def _embeddings(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    def _events(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "events.parquet"))
+
+    q["dedup_exact"] = lambda spark, sf: ddp.exact_dup_groups(_documents(spark, sf))
+
+    q["dedup_ngram_jaccard"] = lambda spark, sf: ddp.ngram_jaccard_pairs(
+        _documents(spark, sf), threshold=0.8
+    )
+
+    # LSH variant must equal the brute-force oracle (recall ~1 at t=0.8
+    # with b=32, r=2: P(miss) = (1-0.64)^32 ~ 6e-15)
+    q["dedup_minhash_lsh"] = lambda spark, sf: ddp.minhash_lsh_pairs(
+        _documents(spark, sf), threshold=0.8, bands=32, rows_per_band=2
+    )
+
+    # SimHash: engine-specific hash -> rows-only check (no oracle entry)
+    q["dedup_simhash"] = lambda spark, sf: ddp.simhash_pairs(
+        _documents(spark, sf), max_hamming=3
+    )
+
+    def _queries_df(spark, sf):
+        emb = _embeddings(spark, sf)
+        return emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+
+    q["ann_cosine_topk"] = lambda spark, sf: annm.cosine_topk(
+        _embeddings(spark, sf), _queries_df(spark, sf), k=10
+    )
+
+    # approximate variant: recall probed in tests, rows-only check here
+    q["ann_cosine_topk_lsh"] = lambda spark, sf: annm.cosine_topk_lsh(
+        _embeddings(spark, sf), _queries_df(spark, sf), k=10
+    )
+
+    q["dedup_embedding"] = lambda spark, sf: annm.embedding_dup_pairs(
+        _embeddings(spark, sf), threshold=0.45
+    )
+
+    def _text_features(spark, sf):
+        d = _documents(spark, sf)
+        qf = tf.quality_features(F.col("text"))
+        return d.select(
+            "doc_id",
+            *[expr.alias(name) for name, expr in qf.items()],
+            tf.language_id(F.col("text")).alias("lang_pred"),
+            tf.fingerprint(F.col("text")).alias("fp"),
+        )
+
+    q["text_features"] = _text_features
+
+    # multimodal plumbing (codec stubbed -> rows-only check): build a
+    # deterministic asset table from documents, extract fake features
+    def _multimodal(spark, sf):
+        assets = _documents(spark, sf).select(
+            F.concat(F.lit("asset-"), F.col("doc_id")).alias("asset_id"),
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        )
+        return mm.extract_features(assets, decode=mm.fake_decode).select(
+            "asset_id", "kind", "n_bytes", F.element_at("feature", 1).alias("f0")
+        )
+
+    q["multimodal_features"] = _multimodal
+
+    # --- generic relational operators on the TPC-H-ish tables --------------
+
+    def _pricing(spark, sf):
+        li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count(F.lit(1)).cast("long").alias("count_order"),
+            )
+        )
+
+    q["rel_pricing_summary"] = _pricing
+
+    def _top_customers(spark, sf):
+        li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+        c = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+        from pyspark.sql import Window
+
+        rev = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+        )
+        w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        return (
+            rev.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("rank", "c_custkey", "c_name", "revenue")
+        )
+
+    q["rel_top_customers"] = _top_customers
+
+    def _region_revenue(spark, sf):
+        li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+        c = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+        n = spark.read.parquet(os.path.join(sf, "nation.parquet"))
+        r = spark.read.parquet(os.path.join(sf, "region.parquet"))
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+        )
+
+    q["rel_region_revenue"] = _region_revenue
+
+    def _events_tail(spark, sf):
+        from pyspark.sql import Window
+
+        ev = _events(spark, sf)
+        w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select(
+                "event_type",
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+        )
+
+    q["rel_events_tail"] = _events_tail
+
+    def _sessionize(spark, sf):
+        from pyspark.sql import Window
+
+        ev = _events(spark, sf)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        marked = ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        return marked.groupBy("user_id").agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+
+    q["rel_events_sessionize"] = _sessionize
+
+    def _priority_semijoin(spark, sf):
+        o = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+        li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        big = li.filter(F.col("l_quantity") >= 45).select("l_orderkey").distinct()
+        return (
+            o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        )
+
+    q["rel_order_priority"] = _priority_semijoin
 
     return q
 
@@ -219,6 +440,40 @@ JOIN edges pub ON pub.subj = t.subj AND pub.pred = '{DCT}publisher'
 JOIN edges pt ON pt.subj = pub.obj AND pt.pred = '{DCT}type'
 WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Catalog"]}'
 ORDER BY term LIMIT 50
+"""
+
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    rdfs_label = "http://www.w3.org/2000/01/rdf-schema#label"
+    sql["kg_facet_publisher_enriched"] = f"""
+WITH edgesx AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang FROM {osql.edges_sql(glob)} AS _e
+),
+terms AS (
+    SELECT DISTINCT p.obj AS term
+    FROM edgesx t JOIN edgesx p ON t.subj = p.subj
+    WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Catalog"]}'
+      AND p.pred = '{DCT}publisher'
+    ORDER BY term LIMIT 50
+),
+lab AS (
+    SELECT term, label, label_prop FROM (
+        SELECT subj AS term, obj AS label, pred AS label_prop,
+               row_number() OVER (
+                   PARTITION BY subj
+                   ORDER BY CASE pred WHEN '{skos}prefLabel' THEN 1
+                                      WHEN '{rdfs_label}' THEN 2
+                                      WHEN '{FOAF}name' THEN 3
+                                      WHEN '{DCT}title' THEN 4 END,
+                            CASE WHEN lang = 'en' THEN 0 ELSE 1 END,
+                            obj
+               ) AS rn
+        FROM edgesx
+        WHERE pred IN ('{skos}prefLabel', '{rdfs_label}', '{FOAF}name', '{DCT}title')
+          AND obj_kind = 'literal'
+    ) WHERE rn = 1
+)
+SELECT t.term, l.label, l.label_prop
+FROM terms t LEFT JOIN lab l ON l.term = t.term
 """
 
     sql["kg_search_datasets"] = _search_core_sql(glob) + "SELECT dataset FROM found"
@@ -319,4 +574,163 @@ SELECT x AS node_id, min(c) AS canonical_id FROM walk GROUP BY x
     sql["kg_connected_components"] = (
         sql["kg_connected_components"].replace("WITH edges AS", "WITH RECURSIVE edges AS")
     )
+
+    # --- training-data ops ---------------------------------------------------
+
+    sql["dedup_exact"] = """
+SELECT sha256(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+"""
+
+    ngram_core = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+),
+shl AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                     i -> array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' '))
+                ELSE [array_to_string(t, ' ')] END AS sl
+    FROM toks
+),
+grams AS (SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shl),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+pi AS (
+    SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS gi
+    FROM grams g1 JOIN grams g2 ON g2.shingle = g1.shingle AND g1.doc_id < g2.doc_id
+    GROUP BY 1, 2
+)
+SELECT pi.a, pi.b, CAST(gi AS BIGINT) AS g_inter,
+       CAST(sa.n + sb.n - gi AS BIGINT) AS g_union
+FROM pi JOIN sizes sa ON sa.doc_id = pi.a JOIN sizes sb ON sb.doc_id = pi.b
+WHERE gi * 1000 >= (sa.n + sb.n - gi) * 800
+"""
+    sql["dedup_ngram_jaccard"] = ngram_core
+    sql["dedup_minhash_lsh"] = ngram_core  # LSH must equal brute force w.h.p.
+
+    sql["ann_cosine_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+    FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10
+"""
+
+    sql["dedup_embedding"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+"""
+
+    stop_en = "['the','a','of','and','to','in','is','that','for','it']"
+    stop_es = "['el','la','de','y','que','en','un','es','por','los']"
+    stop_fr = "['le','la','de','et','que','en','un','est','pour','les']"
+    sql["text_features"] = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, text, toks,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT) AS n_pieces,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(toks, t -> list_contains({stop_en}, t))) AS BIGINT) AS n_stopword_en,
+           CAST(len(list_filter(toks, t -> list_contains({stop_es}, t))) AS BIGINT) AS h_es,
+           CAST(len(list_filter(toks, t -> list_contains({stop_fr}, t))) AS BIGINT) AS h_fr
+    FROM base
+)
+SELECT doc_id, n_tokens, n_pieces, n_chars, n_alpha, n_digit, n_punct, n_stopword_en,
+       CASE WHEN greatest(n_stopword_en, h_es, h_fr) <= 0 THEN 'und'
+            WHEN n_stopword_en >= h_es AND n_stopword_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+       list_min(list_transform(
+           generate_series(1, greatest(length(lower(text)) - 7, 1)),
+           i -> substr(sha256(substr(lower(text), CAST(i AS INTEGER), 8)), 1, 16))) AS fp
+FROM feat
+"""
+
+    # --- generic relational ops ---------------------------------------------
+
+    sql["rel_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["rel_top_customers"] = """
+WITH rev AS (
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+)
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank,
+       c_custkey, c_name, revenue
+FROM rev QUALIFY rank <= 20
+"""
+
+    sql["rel_region_revenue"] = """
+SELECT r.r_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+    sql["rel_events_tail"] = """
+SELECT event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       CAST(rn AS BIGINT) AS rn FROM (
+    SELECT event_type, event_id, ts,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn <= 10
+"""
+
+    sql["rel_events_sessionize"] = """
+WITH marked AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+    sql["rel_order_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+GROUP BY o_orderpriority
+"""
     return sql

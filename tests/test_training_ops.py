@@ -1,0 +1,130 @@
+"""Training-data pipeline operators: dedup family, ANN, text functions,
+multimodal plumbing — on the driver-provided sf0.001 tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from breg_dcat_harvester_spark.functions import textfns as tf
+from breg_dcat_harvester_spark.operators import ann as annm
+from breg_dcat_harvester_spark.operators import dedup as ddp
+from breg_dcat_harvester_spark.operators import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dup_of_duplicated_docs(spark, docs):
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    groups = ddp.exact_dup_groups(doubled)
+    assert groups.count() == docs.count()
+    assert groups.agg(F.max("n_docs")).head()[0] == 2
+
+
+def test_minhash_lsh_equals_bruteforce(spark, docs):
+    bf = {(r.a, r.b) for r in ddp.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.a, r.b) for r in ddp.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert lsh == bf
+    assert len(bf) > 0, "testdata should contain planted near-dups"
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    """SimHash(hamming<=3) should overlap with high-jaccard pairs."""
+    sh = {(r.a, r.b) for r in ddp.simhash_pairs(docs, max_hamming=3).collect()}
+    bf = {(r.a, r.b) for r in ddp.ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert len(sh & bf) > 0
+    # identical docs must have hamming 0
+    doubled = docs.limit(3).unionByName(
+        docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    pairs = ddp.simhash_pairs(doubled, max_hamming=0).collect()
+    assert {(r.a, r.b) for r in pairs} == {(0, 100000), (1, 100001), (2, 100002)}
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ann_exact_self_similarity(spark, emb):
+    """A vector's nearest neighbor among (itself + corpus) is itself."""
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # inject an exact copy under a new id: must rank 1
+    copy = q.select(
+        (F.col("query_id") + 100000).alias("vec_id"), F.col("query_vec").alias("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copy)
+    top = annm.cosine_topk(corpus, q, k=1).head()
+    assert top.neighbor_id == top.query_id + 100000 and top.rank == 1
+
+
+def test_ann_lsh_recall_floor(spark, emb):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in annm.cosine_topk(emb, _queries(emb), k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in annm.cosine_topk_lsh(emb, _queries(emb), k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random near-uniform corpus is LSH's worst case; still demand a floor
+    assert recall >= 0.15, f"LSH recall collapsed: {recall}"
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the hat"), (2, "el gato es en la casa"), (3, "xyzzy 123!?")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        tf.language_id(F.col("text")).alias("lang"),
+        tf.token_stats(F.col("text"))["n_tokens"].alias("n_tokens"),
+        tf.quality_features(F.col("text"))["n_punct"].alias("n_punct"),
+        tf.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].lang == "en" and by_id[2].lang == "es" and by_id[3].lang == "und"
+    assert by_id[1].n_tokens == 6
+    assert by_id[3].n_punct == 2
+    assert len(by_id[1].fp) == 16
+    # fingerprint is stable under a trailing append ONLY if min-gram retained;
+    # identical text -> identical fingerprint
+    df2 = spark.createDataFrame([(9, "the cat is in the hat")], "doc_id long, text string")
+    fp2 = df2.select(tf.fingerprint(F.col("text")).alias("fp")).head().fp
+    assert fp2 == by_id[1].fp
+
+
+def test_multimodal_plumbing(spark, docs):
+    assets = docs.limit(20).select(
+        F.concat(F.lit("a-"), F.col("doc_id")).alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(3500).cast("long").alias("duration_ms"),
+    )
+    feats = mm.extract_features(assets, decode=mm.fake_decode)
+    rows = feats.collect()
+    assert len(rows) == 20 and all(len(r.feature) == 16 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r.asset_id: r.feature for r in mm.extract_features(assets, decode=mm.fake_decode).collect()}
+    assert all(again[r.asset_id] == r.feature for r in rows)
+    # real decoder is gated, not silently fake
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.extract_features(assets).collect()
+    frames = mm.sample_frames(assets, every_ms=1000)
+    assert frames.count() == 20 * 4  # 0,1000,2000,3000
