@@ -81,8 +81,31 @@ def _obj_kind(value):
     ).otherwise(F.lit("literal"))
 
 
+_TRIPLE_STRUCT_DDL = (
+    "struct<pred:string,obj:string,obj_kind:string,lang:string,dtype:string>"
+)
+
+
+def _triple_struct(pred, obj, obj_kind, lang, dtype):
+    return F.struct(
+        pred.alias("pred"),
+        obj.alias("obj"),
+        obj_kind.alias("obj_kind"),
+        lang.alias("lang"),
+        dtype.alias("dtype"),
+    )
+
+
 def extract_edges_sql(transcripts: DataFrame, emit_provenance: bool = True) -> DataFrame:
-    """Catalyst-native extraction (whole-stage codegen, no Python)."""
+    """Catalyst-native extraction (whole-stage codegen, no Python).
+
+    Single-pass: one scan, one explode per block, one explode per triple —
+    type/property/provenance triples are built as one array per block, so a
+    100 TB input is read exactly once (a unioned-branches formulation would
+    re-scan it per triple family).
+    """
+    null_s = F.lit(None).cast("string")
+
     blocks = transcripts.select(
         "conv_id",
         "turn_idx",
@@ -100,82 +123,85 @@ def extract_edges_sql(transcripts: DataFrame, emit_provenance: bool = True) -> D
     )
     blocks = blocks.withColumn("subj", _subj_col())
 
-    type_triples = blocks.select(
-        "subj",
-        F.lit(RDF_TYPE).alias("pred"),
-        F.col("class_uri").alias("obj"),
-        F.lit("uri").alias("obj_kind"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("string").alias("dtype"),
-        "conv_id",
-        "turn_idx",
+    type_t = F.array(
+        _triple_struct(F.lit(RDF_TYPE), F.col("class_uri"), F.lit("uri"), null_s, null_s)
     )
 
-    kvs = blocks.select(
-        "subj",
-        "conv_id",
-        "turn_idx",
-        F.explode(F.slice(F.split("block", r"\|"), 2, 2147483647)).alias("kv"),
+    pred_map = _pred_map_col()
+
+    def _prop(kv):
+        key = F.regexp_extract(kv, r"^([^=]*)=", 1)
+        value = F.regexp_extract(kv, r"^[^=]*=(.*)$", 1)
+        obj_kind = _obj_kind(value)
+        obj = F.when(
+            value.startswith("#"), F.concat(F.lit(BREG_NS), F.substr(value, F.lit(2)))
+        ).otherwise(value)
+        lang = F.when(
+            (obj_kind == F.lit("literal"))
+            & key.isin(*EN_KEYS)
+            & (value != F.lit("")),
+            F.lit("en"),
+        ).otherwise(null_s)
+        dtype = F.when(obj_kind == F.lit("literal"), F.lit(XSD_STRING)).otherwise(null_s)
+        return _triple_struct(
+            F.when((pred_map[key].isNotNull()) & (value != F.lit("")), pred_map[key]).otherwise(
+                null_s
+            ),
+            obj,
+            obj_kind,
+            lang,
+            dtype,
+        )
+
+    # NB: slice length must be size-bounded — a max-int literal length
+    # overflows inside transform() and silently folds to an empty array.
+    parts_arr = F.split("block", r"\|")
+    prop_t = F.filter(
+        F.transform(F.slice(parts_arr, 2, F.size(parts_arr)), _prop),
+        lambda t: t["pred"].isNotNull(),
+    )
+
+    empty_arr = F.array().cast(f"array<{_TRIPLE_STRUCT_DDL}>")
+    triples = F.concat(type_t, prop_t)
+    if emit_provenance:
+        role_t = F.when(
+            F.col("role").isNotNull(),
+            F.array(
+                _triple_struct(
+                    F.lit(PROV_ROLE),
+                    F.concat(F.lit(ROLE_NS), F.col("role")),
+                    F.lit("uri"),
+                    null_s,
+                    null_s,
+                )
+            ),
+        ).otherwise(empty_arr)
+        tool_t = F.when(
+            F.col("tool").isNotNull(),
+            F.array(
+                _triple_struct(
+                    F.lit(PROV_TOOL),
+                    F.concat(F.lit(TOOL_NS), F.col("tool")),
+                    F.lit("uri"),
+                    null_s,
+                    null_s,
+                )
+            ),
+        ).otherwise(empty_arr)
+        triples = F.concat(triples, role_t, tool_t)
+
+    return blocks.select(
+        "subj", "conv_id", "turn_idx", F.explode(triples).alias("t")
     ).select(
         "subj",
-        "conv_id",
-        "turn_idx",
-        F.regexp_extract("kv", r"^([^=]*)=", 1).alias("key"),
-        F.regexp_extract("kv", r"^[^=]*=(.*)$", 1).alias("value"),
-    )
-    kvs = (
-        kvs.withColumn("pred", _pred_map_col()[F.col("key")])
-        .filter(F.col("pred").isNotNull() & (F.col("value") != ""))
-        .withColumn("obj_kind", _obj_kind(F.col("value")))
-    )
-    prop_triples = kvs.select(
-        "subj",
-        "pred",
-        F.when(
-            F.col("value").startswith("#"),
-            F.concat(F.lit(BREG_NS), F.expr("substring(value, 2)")),
-        )
-        .otherwise(F.col("value"))
-        .alias("obj"),
-        "obj_kind",
-        F.when(
-            (F.col("obj_kind") == "literal") & F.col("key").isin(*EN_KEYS), F.lit("en")
-        )
-        .otherwise(F.lit(None).cast("string"))
-        .alias("lang"),
-        F.when(F.col("obj_kind") == "literal", F.lit(XSD_STRING))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("dtype"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.obj_kind").alias("obj_kind"),
+        F.col("t.lang").alias("lang"),
+        F.col("t.dtype").alias("dtype"),
         "conv_id",
         "turn_idx",
     )
-
-    out = type_triples.unionByName(prop_triples)
-
-    if emit_provenance:
-        role_triples = blocks.filter(F.col("role").isNotNull()).select(
-            "subj",
-            F.lit(PROV_ROLE).alias("pred"),
-            F.concat(F.lit(ROLE_NS), F.col("role")).alias("obj"),
-            F.lit("uri").alias("obj_kind"),
-            F.lit(None).cast("string").alias("lang"),
-            F.lit(None).cast("string").alias("dtype"),
-            "conv_id",
-            "turn_idx",
-        )
-        tool_triples = blocks.filter(F.col("tool").isNotNull()).select(
-            "subj",
-            F.lit(PROV_TOOL).alias("pred"),
-            F.concat(F.lit(TOOL_NS), F.col("tool")).alias("obj"),
-            F.lit("uri").alias("obj_kind"),
-            F.lit(None).cast("string").alias("lang"),
-            F.lit(None).cast("string").alias("dtype"),
-            "conv_id",
-            "turn_idx",
-        )
-        out = out.unionByName(role_triples).unionByName(tool_triples)
-
-    return out
 
 
 # ---------------------------------------------------------------------------
