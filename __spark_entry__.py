@@ -23,6 +23,7 @@ from breg_dcat_harvester_spark.operators import search as srch
 from breg_dcat_harvester_spark.functions import textfns as tf
 from breg_dcat_harvester_spark.operators import ann as annm
 from breg_dcat_harvester_spark.operators import cc as ccm
+from breg_dcat_harvester_spark.operators import conversation as conv
 from breg_dcat_harvester_spark.operators import dedup as ddp
 from breg_dcat_harvester_spark.operators import labels as lbl
 from breg_dcat_harvester_spark.operators import link as lnk
@@ -157,6 +158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ccm.connected_components(pairs)
 
     q["kg_connected_components"] = _cc
+
+    # §2.9 applyInPandas surface: order-dependent per-conversation features
+    q["kg_conversation_stats"] = lambda spark, sf: conv.conversation_stats(
+        _transcripts(spark, sf)
+    )
 
     # --- training-data pipeline ops (documents/embeddings tables) ---------
 
@@ -517,7 +523,7 @@ ORDER BY dataset, distribution
 """
 
     # brute-force exact-jaccard pairs (the LSH path must equal this w.h.p.:
-    # P(miss) = (1-j^2)^24 ~ 2e-11 at j=0.8)
+    # P(miss) = (1-j^5)^20 ~ 3e-6 at j=0.86, the fixture's true-pair floor)
     link_core = f"""
 WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e),
 labeled AS (
@@ -574,6 +580,24 @@ SELECT x AS node_id, min(c) AS canonical_id FROM walk GROUP BY x
     sql["kg_connected_components"] = (
         sql["kg_connected_components"].replace("WITH edges AS", "WITH RECURSIVE edges AS")
     )
+
+    sql["kg_conversation_stats"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{glob}')),
+w AS (
+    SELECT conv_id, turn_idx, role, tool, ts, text,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+    FROM t
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+       CAST(coalesce(sum(CASE WHEN prev_role IS NOT NULL AND role <> prev_role
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_role_changes,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+       CAST(sum(len(regexp_extract_all(text, '\\[\\['))) AS BIGINT) AS n_mentions,
+       CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_seconds
+FROM w GROUP BY conv_id
+"""
 
     # --- training-data ops ---------------------------------------------------
 

@@ -1,0 +1,97 @@
+"""spark-submit entry point (north_rule: "runs via spark-submit --py-files").
+
+Usage (cluster):
+    zip -r pipeline.zip breg_dcat_harvester_spark
+    spark-submit --py-files pipeline.zip -m breg_dcat_harvester_spark.cli \\
+        harvest --transcripts <path-or-iceberg-table> --out <dir> [--resume RUN_ID]
+
+Local:
+    python -m breg_dcat_harvester_spark.cli harvest --transcripts data/transcripts/sf0.01 --out /tmp/kg
+    python -m breg_dcat_harvester_spark.cli facets --out /tmp/kg
+    python -m breg_dcat_harvester_spark.cli search --out /tmp/kg --theme <uri> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .plans.harvest import HarvestConfig, run_harvest
+from .session import get_spark
+from .storage import LocalSnapshotTable
+
+
+def _cmd_harvest(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="harvest")
+    cfg = HarvestConfig(
+        out_dir=args.out,
+        extract_impl=args.impl,
+        strict_validation=args.strict,
+        all_or_nothing=args.all_or_nothing,
+        num_buckets=args.buckets,
+    )
+    res = run_harvest(spark, args.transcripts, cfg, run_id=args.resume)
+    print(json.dumps(res))
+    return 0
+
+
+def _cmd_facets(args: argparse.Namespace) -> int:
+    from .operators import facets as fac
+
+    spark = get_spark(app_name="facets")
+    edges = LocalSnapshotTable(f"{args.out}/edges").read(spark)
+    out = fac.all_facets(edges, limit=args.limit)
+    print(json.dumps([r.asDict() for r in out.collect()]))
+    return 0
+
+
+def _cmd_search(args: argparse.Namespace) -> int:
+    from .operators import search as srch
+
+    spark = get_spark(app_name="search")
+    edges = LocalSnapshotTable(f"{args.out}/edges").read(spark)
+    filters = {}
+    for key in srch.FILTER_KEYS:
+        vals = getattr(args, key.lower().replace("-", "_"), None)
+        if vals:
+            filters[key] = vals
+    found = srch.search_datasets(edges, filters, limit=args.limit)
+    detail = srch.dataset_details_nested(edges, found)
+    print(json.dumps([json.loads(r) for r in detail.toJSON().collect()]))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="breg-dcat-harvester-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    h = sub.add_parser("harvest", help="run (or resume) the harvest pipeline")
+    h.add_argument("--transcripts", required=True)
+    h.add_argument("--out", required=True)
+    h.add_argument("--impl", default="pandas", choices=["pandas", "sql"])
+    h.add_argument("--strict", action="store_true")
+    h.add_argument("--all-or-nothing", action="store_true")
+    h.add_argument("--buckets", type=int, default=32)
+    h.add_argument("--resume", default=None, help="run_id to resume")
+    h.set_defaults(fn=_cmd_harvest)
+
+    f = sub.add_parser("facets", help="compute the five facet lists")
+    f.add_argument("--out", required=True)
+    f.add_argument("--limit", type=int, default=50)
+    f.set_defaults(fn=_cmd_facets)
+
+    s = sub.add_parser("search", help="two-stage faceted dataset search")
+    s.add_argument("--out", required=True)
+    s.add_argument("--limit", type=int, default=200)
+    for key in ("catalog", "dataset", "themetaxonomy", "language", "theme",
+                "publisher", "publishertype", "location"):
+        s.add_argument(f"--{key}", action="append")
+    s.set_defaults(fn=_cmd_search)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

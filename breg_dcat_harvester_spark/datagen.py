@@ -357,12 +357,19 @@ ARROW_SCHEMA = pa.schema(
 def write_transcripts_parquet(df: pd.DataFrame, path: str) -> str:
     os.makedirs(path, exist_ok=True)
     table = pa.Table.from_pandas(df, schema=ARROW_SCHEMA, preserve_index=False)
-    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    # bounded row groups -> the single file still splits across Spark tasks
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"), row_group_size=50_000)
     return path
 
 
 # sf name -> number of turns for the locally generated transcript corpus
-SF_TURNS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+SF_TURNS = {
+    "sf0.001": 2_000,
+    "sf0.01": 20_000,
+    "sf0.1": 200_000,
+    "sf1": 1_000_000,
+    "sf10": 10_000_000,
+}
 
 
 def ensure_transcripts(sf: str, base_dir: str = "/root/repo/data/transcripts") -> str:

@@ -34,8 +34,11 @@ from pyspark.sql.types import DoubleType
 from ..schema import DCT, FOAF, RDF_TYPE
 
 DEFAULT_THRESHOLD = 0.8
-DEFAULT_BANDS = 24
-DEFAULT_ROWS_PER_BAND = 2
+# S-curve tuning: P(candidate) = 1-(1-j^r)^b.  r=5/b=20 keeps
+# P(miss @ j=0.86) ~ 3e-6 while cutting medium-similarity noise
+# (j=0.33 -> 7.5% candidate rate vs 94% at the naive r=2/b=24).
+DEFAULT_BANDS = 20
+DEFAULT_ROWS_PER_BAND = 5
 DEFAULT_MAX_BUCKET = 64
 
 
@@ -185,8 +188,25 @@ def link_pairs(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
 ) -> DataFrame:
     """End-to-end linking: edges -> (entity_type, a, b, g_inter, g_union)."""
-    labeled = entity_labels(edges)
+    # cache: the label/gram sub-plan feeds signature building, candidate
+    # keying AND pair verification — without it the extraction DAG would
+    # re-execute once per consumer
+    labeled = entity_labels(edges).cache()
     cands = lsh_candidates(labeled, bands=bands, rows_per_band=rows_per_band)
+    # size-ratio prefilter: jaccard >= t requires |A|/|B| within [t, 1/t]
+    num = int(round(threshold * 1000))
+    sizes = with_grams(labeled).select(
+        "node_id", F.size("grams").alias("n_g")
+    )
+    cands = (
+        cands.join(sizes.withColumnRenamed("node_id", "a").withColumnRenamed("n_g", "na"), "a")
+        .join(sizes.withColumnRenamed("node_id", "b").withColumnRenamed("n_g", "nb"), "b")
+        .filter(
+            (F.col("na") * 1000 >= F.col("nb") * num)
+            & (F.col("nb") * 1000 >= F.col("na") * num)
+        )
+        .select("entity_type", "a", "b")
+    )
     scored = score_candidates(cands, labeled, scorer=scorer)
     # integer threshold comparison (g_inter/g_union >= num/1000) — exact, no
     # float boundary drift vs the SQL oracle

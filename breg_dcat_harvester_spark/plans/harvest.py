@@ -37,7 +37,7 @@ from ..operators.extract import extract_edges
 from ..operators.merge import merge_triples, num_triples
 from ..operators.validate import conforms_column, partition_valid
 from ..storage import table_for
-from .jobs import RunLog
+from .jobs import MetricsLog, RunLog
 
 
 @dataclass
@@ -133,6 +133,11 @@ def run_harvest(
         return ccm.build_nodes(valid, labels)
 
     nodes = stage("nodes", _nodes)
+
+    # A9: per-partition lineage/metrics rows for the materialized edge table
+    metricslog = MetricsLog(spark, os.path.join(cfg.out_dir, "metrics"))
+    if metrics:  # only on fresh (non-resumed) materialization
+        metricslog.record_partitions(run_id, "edges", edges_final)
 
     n_triples = num_triples(edges_final)
     runlog.record(run_id, "job", "finished", num_triples=n_triples)

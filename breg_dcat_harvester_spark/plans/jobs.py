@@ -80,6 +80,30 @@ class RunLog:
         return rows[0].snapshot_id if rows else None
 
 
+class MetricsLog:
+    """Per-partition stage metrics (A9): one row per (run, stage, partition)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.table = LocalSnapshotTable(path)
+
+    def record_partitions(self, run_id: str, stage: str, df: DataFrame) -> None:
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                F.col("rows_out").cast("long"),
+            )
+        )
+        self.table.write(rows, mode="append")
+
+    def read(self) -> DataFrame:
+        return self.table.read(self.spark)
+
+
 def registry_tail(runs: DataFrame, num: int = 10) -> DataFrame:
     """A7/W2: last ``num`` runs per status registry, newest first — the
     GET /api/harvest/source/jobs semantics (harvest.py:146-193)."""
