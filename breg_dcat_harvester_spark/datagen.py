@@ -368,6 +368,8 @@ SF_TURNS = {
     "sf0.01": 20_000,
     "sf0.1": 200_000,
     "sf1": 1_000_000,
+    "sf3": 3_000_000,
+    "sf5": 5_000_000,
     "sf10": 10_000_000,
 }
 

@@ -80,6 +80,20 @@ class RunLog:
         return rows[0].snapshot_id if rows else None
 
 
+def next_fire_date(
+    base: dt.datetime, interval_seconds: int, now: dt.datetime
+) -> dt.datetime:
+    """F6 parity — scheduler.py:159-169: the next interval boundary after
+    ``now``, computed by ceiling-division from the trigger's base date."""
+    if now <= base:
+        return base
+    import math
+
+    elapsed = (now - base).total_seconds()
+    periods = math.ceil(elapsed / interval_seconds)
+    return base + dt.timedelta(seconds=periods * interval_seconds)
+
+
 class MetricsLog:
     """Per-partition stage metrics (A9): one row per (run, stage, partition)."""
 
