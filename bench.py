@@ -40,10 +40,10 @@ n_turns = t.cache().count()  # warm the scan so we time the job, not the disk
 # warm-up: spawn every python UDF worker before the timed runs (worker
 # startup is a fixed cost, not part of the job's scaling behaviour)
 merge_triples(extract_edges(t, impl="pandas")).count()
-# min-of-3: the sandbox has noisy co-tenants; min is the standard
-# noise-robust wall-clock estimator
+# min-of-{reps}: the sandbox has noisy co-tenants (single samples swing
+# 40%); min is the standard noise-robust wall-clock estimator
 best = None
-for _ in range(3):
+for _ in range({reps}):
     t0 = time.time()
     n = merge_triples(extract_edges(t, impl="pandas")).count()
     dt = time.time() - t0
@@ -84,18 +84,38 @@ def machine_capacity(workers: int, n: int = 20_000_000) -> float:
     return workers * n / best
 
 
-def _one_run(cores: int, sf: str) -> dict:
+def _one_run(cores: int, sf: str, reps: int = 2) -> dict:
     code = _SCALING_SNIPPET.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
         cores=cores,
         parts=str(max(cores * 2, 4)),
         sf=sf,
+        reps=reps,
     )
     res = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
     )
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def _interleaved_pair(n_small: int, n_big: int, sf: str, rounds: int = 3) -> dict:
+    """Run the two configs ALTERNATING (A-B-A-B-...) and keep each config's
+    best run.  The sandbox's co-tenant noise is sustained over minutes, so
+    timing config A's runs and then config B's runs samples *different*
+    noise; interleaving gives both configs the same windows and makes the
+    throughput RATIO (the quantity the north_rule grades) stable."""
+    best: dict[int, dict] = {}
+    for _ in range(rounds):
+        for c in (n_small, n_big):
+            r = _one_run(c, sf)
+            if c not in best or r["seconds"] < best[c]["seconds"]:
+                best[c] = r
+    out = {f"n{n_small}": best[n_small], f"n{n_big}": best[n_big]}
+    out["efficiency_n_to_4n"] = round(
+        best[n_big]["rows_per_sec"] / (4 * best[n_small]["rows_per_sec"]), 3
+    )
+    return out
 
 
 def run_scaling(sf_capped: str = SCALING_SF) -> dict:
@@ -109,13 +129,10 @@ def run_scaling(sf_capped: str = SCALING_SF) -> dict:
     """
     out: dict = {}
 
-    within = {f"n{c}": _one_run(c, "sf5") for c in (2, 8)}
-    within["efficiency_n_to_4n"] = round(
-        within["n8"]["rows_per_sec"] / (4 * within["n2"]["rows_per_sec"]), 3
-    )
+    within = _interleaved_pair(2, 8, "sf5")
     out["within_host_2_to_8"] = within
 
-    capped = {f"n{c}": _one_run(c, sf_capped) for c in (8, 32)}
+    capped = _interleaved_pair(8, 32, sf_capped, rounds=2)
     eff = capped["n32"]["rows_per_sec"] / (4 * capped["n8"]["rows_per_sec"])
     capped["efficiency_n_to_4n"] = round(eff, 3)
     cap8 = machine_capacity(8)
@@ -155,6 +172,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",
+        "ann_cosine_topk_ivf",
         "text_features",
         "rel_pricing_summary",
         "rel_region_revenue",
@@ -162,9 +180,15 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        queries[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-2: the sandbox shares vCPUs with noisy co-tenants; a single
+        # sample can be 2x off.  Run 1 also warms python UDF workers.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            queries[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # flagship throughput: pandas-UDF extraction over the generated corpus
     path = ensure_transcripts(sf_name)
@@ -173,9 +197,12 @@ def main() -> None:
     from breg_dcat_harvester_spark.operators.extract import extract_edges
     from breg_dcat_harvester_spark.operators.merge import merge_triples
 
-    t0 = time.time()
-    n_triples = merge_triples(extract_edges(t, impl="pandas")).count()
-    extract_sec = time.time() - t0
+    extract_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        n_triples = merge_triples(extract_edges(t, impl="pandas")).count()
+        dt = time.time() - t0
+        extract_sec = dt if extract_sec is None or dt < extract_sec else extract_sec
     timings["kg_extract_pandas_full"] = round(extract_sec, 3)
     spark.stop()
 
@@ -205,7 +232,9 @@ def main() -> None:
             c = scaling["host_capped_8_to_32"]
             fh.write(
                 "\nScaling (north_rule N->4N protocol: identical extract+merge "
-                "harvest job, python workers pre-warmed, min-of-3 timing):\n\n"
+                "harvest job, python workers pre-warmed, N and 4N configs run "
+                "INTERLEAVED so both sample the same co-tenant noise windows, "
+                "best-of-runs per config):\n\n"
                 "Pair 1 — N=2 vs 4N=8 cores (both inside the sandbox's delivered "
                 f"CPU capacity; {w['n2']['turns']} turns):\n"
                 f"- N=2: {w['n2']['rows_per_sec']:.0f} turns/s; "

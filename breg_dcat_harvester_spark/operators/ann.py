@@ -143,18 +143,184 @@ def cosine_topk_lsh(
     )
 
 
+def _dot_const(vec, c: list[float]):
+    """dot(vec_column, constant vector) — JVM-side, codegen."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in c]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_cap: int = 4096,
+    iters: int = 8,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: seeded k-means (spherical) on a
+    deterministic sample.
+
+    The sample is the ``sample_cap`` rows with the smallest xxhash64(id) —
+    content-derived, so identical across runs and cluster sizes (the same
+    play as skolemization).  At 100 TB the sample collect is the only
+    driver-side step and stays ~nlist x dim floats.
+    """
+    rows = (
+        emb.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("r"),
+        )
+        .orderBy("r", "v")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(nlist, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents.tolist()
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int = 1
+) -> DataFrame:
+    """Append ``cid`` — the vector's ``nprobe`` nearest coarse centroids
+    (one output row per probe).  Pure Catalyst: per-centroid dots into a
+    struct array, array_sort + reverse + slice for deterministic top-nprobe
+    (ties broken by centroid id)."""
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(_dot_const(F.col(vec_col), c), 6).alias("sim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+    return df.withColumn("cid", F.explode(F.transform(top, lambda s: s["cid"])))
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF partitioning: corpus vectors live in their
+    nearest-centroid list; each query probes its ``nprobe`` nearest lists and
+    exact cosine re-ranks only those candidates.
+
+    The scale path next to ``cosine_topk_lsh``: the candidate join is an
+    equi-join on the small cid key (corpus shuffled once by list), centroids
+    stay a broadcast-sized constant, and recall/cost is the nprobe/nlist
+    dial (nprobe=nlist degenerates to exact brute force).
+    """
+    cents = train_ivf_centroids(
+        emb, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    base = ivf_assign(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+        "vec",
+        cents,
+        nprobe=1,
+    )
+    q = ivf_assign(queries, "query_vec", cents, nprobe=nprobe)
+    scored = (
+        q.join(base, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_cosine(F.col("query_vec"), F.col("vec")), SIM_DECIMALS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs (a, b, sim) with cosine >= threshold (rounded)."""
+    """Near-duplicate pairs (a, b, sim) with cosine >= threshold (rounded).
+
+    Brute force O(N^2) — the oracle-comparable baseline; use
+    ``embedding_dup_pairs_lsh`` at corpus scale.
+    """
     left = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     right = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
         left.crossJoin(right)
         .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(_cosine(F.col("va"), F.col("vb")), SIM_DECIMALS))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 16,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH blocking,
+    exact cosine verify — same output schema as ``embedding_dup_pairs``.
+
+    Each candidate pair must collide in >=1 of ``bands`` sign-bit bands; a
+    pair at cosine c collides per band with p = (1 - acos(c)/pi)^bits.
+    Defaults are tuned for recall at moderate thresholds: at c=0.45 the
+    4-bit band collides with p=0.18, so P(candidate) = 1-(1-0.18)^16 ~ 0.96
+    (and ->1 for the near-identical pairs dedup targets); shorter bands mean
+    bigger buckets — the exact-verify stage prunes them.  The join is an
+    equi-join on (band value), one shuffle per side; no crossJoin anywhere.
+    """
+    dim = len(emb.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+    sk = sketch_bits(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        planes,
+        bits_per_band,
+    )
+    cands = None
+    for band in range(bands):
+        left = sk.select(
+            F.col("id").alias("a"), F.col("v").alias("va"), F.col(f"band{band}").alias("bk")
+        )
+        right = sk.select(
+            F.col("id").alias("b"), F.col("v").alias("vb"), F.col(f"band{band}").alias("bk")
+        )
+        c = left.join(right, "bk").filter(F.col("a") < F.col("b")).drop("bk")
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.dropDuplicates(["a", "b"])
         .withColumn("sim", F.round(_cosine(F.col("va"), F.col("vb")), SIM_DECIMALS))
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")

@@ -64,14 +64,15 @@ def connected_components(
         return row.c or 0
 
     prev_sum = _checksum(labels)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = sym.join(labels.withColumnRenamed("x", "y"), "y").select("x", "comp")
         new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("x")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            labels.unionByName(nbr).groupBy("x").agg(F.min("comp").alias("comp"))
         )
+        # truncate lineage every ``checkpoint_every`` rounds (every round by
+        # default; raising it trades a deeper plan for fewer materializations)
+        if (it + 1) % max(checkpoint_every, 1) == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
         new_sum = _checksum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:

@@ -48,8 +48,8 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word-n-grams of lowercased text."""
+def shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_set) — distinct word-n-gram array per doc (map-only)."""
     toks = F.split(F.lower(F.col("text")), WORD_SPLIT)
     shingles = F.when(
         F.size(toks) >= n,
@@ -58,7 +58,14 @@ def word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    return df.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return df.select("doc_id", F.array_distinct(shingles).alias("sh_set"))
+
+
+def word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word-n-grams of lowercased text."""
+    return shingle_arrays(df, n=n).select(
+        "doc_id", F.explode("sh_set").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -113,10 +120,19 @@ def minhash_lsh_pairs(
     (P(miss) = (1 - t^r)^b; defaults: t=0.5 -> (0.75)^32 ~ 1e-4; raise bands
     for stricter parity).
     """
-    sh = word_shingles(_docs(df, id_col, text_col), n=n).cache()
+    # shingle arrays stay un-exploded: signatures are computed MAP-SIDE via
+    # array_min(transform(...)) and verification reuses the same array —
+    # no shuffle anywhere before the band-bucket join itself.
+    docs = shingle_arrays(_docs(df, id_col, text_col), n=n).cache()
     num_hashes = bands * rows_per_band
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
+    sig = docs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("sh_set", lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            ).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
     )
     band_cols = [
         F.struct(
@@ -141,11 +157,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify via shingle-array intersection (JVM):
-    arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
     num = int(round(threshold * 1000))
     return (
-        cands.join(arrs.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sa")), "a")
-        .join(arrs.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sb")), "b")
+        cands.join(docs.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sa")), "a")
+        .join(docs.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sb")), "b")
         .select(
             "a",
             "b",
@@ -157,7 +172,14 @@ def minhash_lsh_pairs(
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens: (doc_id, simhash long)."""
+    """64-bit SimHash over word tokens: (doc_id, simhash long).
+
+    Shape note: explode + groupBy looks shuffle-heavy but is scale-correct —
+    the 64 vote sums partially aggregate MAP-SIDE, so the exchange carries
+    |docs| x 64 longs, not |tokens| rows.  (A per-row ``aggregate`` over a
+    token-hash array avoids even that shuffle but re-traverses the array 64x
+    outside codegen — measured 2.5x slower; see PLANS.md.)
+    """
     toks = _docs(df, id_col, text_col).select(
         "doc_id", F.explode(F.split(F.lower("text"), WORD_SPLIT)).alias("tok")
     ).filter(F.col("tok") != "")

@@ -24,11 +24,12 @@ FACET_LIMIT = 50  # browser.py:176 et al.
 
 
 def _typed_subjects(edges: DataFrame, class_uri: str) -> DataFrame:
-    return (
-        edges.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == class_uri))
-        .select("subj")
-        .distinct()
-    )
+    # no .distinct(): ``edges`` is the merged graph, a SET of triples
+    # (merge_triples), so (subj) is unique once pred AND obj are fixed —
+    # a distinct here would be a pure wasted shuffle per facet.
+    return edges.filter(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == class_uri)
+    ).select("subj")
 
 
 def _pred_pairs(edges: DataFrame, pred_uri: str) -> DataFrame:

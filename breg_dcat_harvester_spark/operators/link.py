@@ -61,7 +61,10 @@ def entity_labels(edges: DataFrame) -> DataFrame:
 
 
 def with_grams(labeled: DataFrame) -> DataFrame:
-    """Add the distinct character-3-gram array of the lowercased label."""
+    """Add the distinct character-3-gram array of the lowercased label.
+    Idempotent: a frame already carrying ``grams`` passes through."""
+    if "grams" in labeled.columns:
+        return labeled
     lab = F.lower(F.col("label"))
     grams = F.when(
         F.length(lab) >= 3,
@@ -73,14 +76,20 @@ def with_grams(labeled: DataFrame) -> DataFrame:
     return labeled.withColumn("grams", F.array_distinct(grams))
 
 
-def minhash_signature(grammed: DataFrame, num_hashes: int) -> DataFrame:
-    """node_id -> H minhash values, one shuffle (groupBy node after explode)."""
-    exploded = grammed.select("node_id", F.explode("grams").alias("gram"))
-    aggs = [
-        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"h{j}")
+def minhash_signature(
+    grammed: DataFrame, num_hashes: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """node_id -> H minhash values, computed MAP-SIDE from the gram array
+    (``array_min(transform(grams, xxhash64))`` — whole-stage codegen, zero
+    shuffle; the former explode+groupBy formulation shuffled |nodes|x|grams|
+    rows just to re-group what the array already co-locates)."""
+    cols = [
+        F.array_min(
+            F.transform("grams", lambda g, j=j: F.xxhash64(g, F.lit(j)))
+        ).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    return exploded.groupBy("node_id").agg(*aggs)
+    return grammed.select("node_id", *keep, *cols)
 
 
 def lsh_candidates(
@@ -92,8 +101,7 @@ def lsh_candidates(
     """Candidate pairs (a, b) with a < b sharing >=1 LSH band bucket,
     restricted to equal entity_type (type is part of the blocking key)."""
     grammed = with_grams(labeled)
-    sig = minhash_signature(grammed, bands * rows_per_band)
-    keyed = sig.join(labeled.select("node_id", "entity_type"), "node_id")
+    keyed = minhash_signature(grammed, bands * rows_per_band, keep=("entity_type",))
 
     band_cols = [
         F.struct(
@@ -188,16 +196,15 @@ def link_pairs(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
 ) -> DataFrame:
     """End-to-end linking: edges -> (entity_type, a, b, g_inter, g_union)."""
-    # cache: the label/gram sub-plan feeds signature building, candidate
-    # keying AND pair verification — without it the extraction DAG would
-    # re-execute once per consumer
-    labeled = entity_labels(edges).cache()
+    # cache the grammed labels once: the same (node_id, entity_type, grams)
+    # plan feeds signature building, the size prefilter AND pair
+    # verification — without the cache the extraction DAG would re-execute
+    # once per consumer
+    labeled = with_grams(entity_labels(edges)).cache()
     cands = lsh_candidates(labeled, bands=bands, rows_per_band=rows_per_band)
     # size-ratio prefilter: jaccard >= t requires |A|/|B| within [t, 1/t]
     num = int(round(threshold * 1000))
-    sizes = with_grams(labeled).select(
-        "node_id", F.size("grams").alias("n_g")
-    )
+    sizes = labeled.select("node_id", F.size("grams").alias("n_g"))
     cands = (
         cands.join(sizes.withColumnRenamed("node_id", "a").withColumnRenamed("n_g", "na"), "a")
         .join(sizes.withColumnRenamed("node_id", "b").withColumnRenamed("n_g", "nb"), "b")

@@ -38,20 +38,22 @@ FILTER_KEYS = (
 )
 
 
+# Precondition for both slicers: ``edges`` is the merged graph — a SET of
+# (subj,pred,obj) triples (merge_triples output).  A pred-fixed slice of a
+# triple set is already distinct on (subj,obj), and a (pred,obj)-fixed slice
+# on subj, so no .distinct() (it would add one wasted shuffle per pattern —
+# the 9-pattern star would pay nine).
+
 def _slice(edges: DataFrame, pred_uri: str, subj_as: str, obj_as: str) -> DataFrame:
-    return (
-        edges.filter(F.col("pred") == pred_uri)
-        .select(F.col("subj").alias(subj_as), F.col("obj").alias(obj_as))
-        .distinct()
+    return edges.filter(F.col("pred") == pred_uri).select(
+        F.col("subj").alias(subj_as), F.col("obj").alias(obj_as)
     )
 
 
 def _typed(edges: DataFrame, class_uri: str, as_col: str) -> DataFrame:
-    return (
-        edges.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == class_uri))
-        .select(F.col("subj").alias(as_col))
-        .distinct()
-    )
+    return edges.filter(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == class_uri)
+    ).select(F.col("subj").alias(as_col))
 
 
 def search_star(edges: DataFrame) -> DataFrame:

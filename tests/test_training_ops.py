@@ -83,6 +83,46 @@ def test_ann_lsh_recall_floor(spark, emb):
     assert recall >= 0.15, f"LSH recall collapsed: {recall}"
 
 
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in annm.cosine_topk(emb, _queries(emb), k=10).collect()
+    }
+    run1 = annm.cosine_topk_ivf(emb, _queries(emb), k=10, nlist=8, nprobe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    # probing half the lists of a near-uniform corpus must catch a solid
+    # share of true neighbors (worst-case corpus for any space partitioner)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # seeded centroids + deterministic assignment => identical re-run
+    run2 = annm.cosine_topk_ivf(emb, _queries(emb), k=10, nlist=8, nprobe=4).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_ann_ivf_full_probe_equals_exact(spark, emb):
+    """nprobe == nlist degenerates IVF to exact brute force."""
+    small = emb.filter(F.col("vec_id") < 200)
+    exact = annm.cosine_topk(small, _queries(small), k=5).collect()
+    full = annm.cosine_topk_ivf(
+        small, _queries(small), k=5, nlist=4, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, full))
+
+
+def test_embedding_dup_lsh_recall(spark, emb):
+    """LSH-blocked near-dup must recover most brute-force pairs at the
+    operating threshold (planted near-dups sit well above it)."""
+    bf = {(r.a, r.b) for r in annm.embedding_dup_pairs(emb, threshold=0.45).collect()}
+    lsh = {
+        (r.a, r.b)
+        for r in annm.embedding_dup_pairs_lsh(emb, threshold=0.45).collect()
+    }
+    assert lsh <= bf, "LSH must never invent pairs (exact verify)"
+    assert len(bf) > 0
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.5, f"embedding LSH recall collapsed: {recall}"
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "the cat is in the hat"), (2, "el gato es en la casa"), (3, "xyzzy 123!?")],
