@@ -713,6 +713,25 @@ SELECT doc_id, n_tokens, n_pieces, n_chars, n_alpha, n_digit, n_punct, n_stopwor
 FROM feat
 """
 
+    # multimodal: the deterministic fake decoder is sha256-derived, so DuckDB
+    # can replay it exactly — f0 is bytes 0-3 of sha256(payload) as a
+    # little-endian u32 scaled to [0,1) and cast to float32 (multimodal.py::
+    # fake_decode); n_bytes is the utf-8 payload length.
+    sql["multimodal_features"] = """
+WITH x AS (SELECT doc_id, text, sha256(text) AS h FROM documents)
+SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((
+           ('0x'||substr(h,1,2))::BIGINT
+         + ('0x'||substr(h,3,2))::BIGINT * 256
+         + ('0x'||substr(h,5,2))::BIGINT * 65536
+         + ('0x'||substr(h,7,2))::BIGINT * 16777216
+       )::DOUBLE / 4294967296 AS REAL) AS f0
+FROM x
+"""
+
     # --- generic relational ops ---------------------------------------------
 
     sql["rel_pricing_summary"] = """

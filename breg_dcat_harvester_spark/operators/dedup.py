@@ -125,12 +125,16 @@ def minhash_lsh_pairs(
     # no shuffle anywhere before the band-bucket join itself.
     docs = shingle_arrays(_docs(df, id_col, text_col), n=n).cache()
     num_hashes = bands * rows_per_band
+    # NB: expression-string transform, NOT F.transform(.., lambda .. F.lit(j)):
+    # pyspark collapses python-lambda HOFs that differ only in a captured
+    # literal into ONE expression, silently making every hash identical
+    # (recall then quietly degrades to min-shingle collision probability).
     sig = docs.select(
         "doc_id",
         *[
-            F.array_min(
-                F.transform("sh_set", lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            ).alias(f"h{j}")
+            F.array_min(F.expr(f"transform(sh_set, s -> xxhash64(s, {j}))")).alias(
+                f"h{j}"
+            )
             for j in range(num_hashes)
         ],
     )

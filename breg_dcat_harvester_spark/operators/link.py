@@ -83,10 +83,11 @@ def minhash_signature(
     (``array_min(transform(grams, xxhash64))`` — whole-stage codegen, zero
     shuffle; the former explode+groupBy formulation shuffled |nodes|x|grams|
     rows just to re-group what the array already co-locates)."""
+    # expression-string transform, NOT a python lambda closing over F.lit(j):
+    # pyspark collapses lambda-HOFs differing only in a captured literal into
+    # one expression — every hash would silently be identical (see dedup.py).
     cols = [
-        F.array_min(
-            F.transform("grams", lambda g, j=j: F.xxhash64(g, F.lit(j)))
-        ).alias(f"h{j}")
+        F.array_min(F.expr(f"transform(grams, g -> xxhash64(g, {j}))")).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return grammed.select("node_id", *keep, *cols)

@@ -36,6 +36,26 @@ def test_minhash_lsh_equals_bruteforce(spark, docs):
     assert len(bf) > 0, "testdata should contain planted near-dups"
 
 
+def test_minhash_signature_hashes_are_independent(spark, docs):
+    """Regression: pyspark collapses python-lambda HOFs that differ only in a
+    captured literal into one expression — every minhash column silently
+    became the same hash (recall degraded to min-shingle collision).  The
+    signature columns must be pairwise-distinct functions."""
+    from pyspark.sql import functions as F
+
+    arr = ddp.shingle_arrays(ddp._docs(docs, "doc_id", "text")).limit(5)
+    sig = arr.select(
+        *[
+            F.array_min(F.expr(f"transform(sh_set, s -> xxhash64(s, {j}))")).alias(
+                f"h{j}"
+            )
+            for j in range(8)
+        ]
+    ).collect()
+    for row in sig:
+        assert len(set(row)) > 1, f"all minhash columns identical: {row[:3]}..."
+
+
 def test_simhash_finds_planted_near_dups(spark, docs):
     """SimHash(hamming<=3) should overlap with high-jaccard pairs."""
     sh = {(r.a, r.b) for r in ddp.simhash_pairs(docs, max_hamming=3).collect()}
