@@ -175,6 +175,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _transcripts(spark, sf)
     )
 
+    # streaming extension (batch-parity form): event-time tumbling windows —
+    # the same operator runs under readStream with a watermark
+    # (streaming/windowed.py; watermarked append path probed in tests)
+    def _windowed(spark, sf):
+        from breg_dcat_harvester_spark.streaming.windowed import windowed_turn_counts
+
+        return windowed_turn_counts(_transcripts(spark, sf), window="10 minutes")
+
+    q["kg_windowed_turn_counts"] = _windowed
+
     # --- training-data pipeline ops (documents/embeddings tables) ---------
 
     def _documents(spark, sf):
@@ -619,6 +629,16 @@ SELECT conv_id,
        CAST(sum(len(regexp_extract_all(text, '\\[\\['))) AS BIGINT) AS n_mentions,
        CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_seconds
 FROM w GROUP BY conv_id
+"""
+
+    sql["kg_windowed_turn_counts"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{glob}'))
+SELECT to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP AS window_start,
+       to_timestamp(floor(epoch(ts) / 600) * 600 + 600)::TIMESTAMP AS window_end,
+       role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(len(regexp_extract_all(text, '\\[\\['))) AS BIGINT) AS n_mentions
+FROM t GROUP BY 1, 2, 3
 """
 
     # --- training-data ops ---------------------------------------------------
