@@ -256,6 +256,7 @@ def main() -> None:
         "rel_pricing_summary",
         "rel_region_revenue",
         "rel_events_sessionize",
+        "kg_windowed_turn_counts",
     ]
     timings: dict[str, float] = {}
     for name in headline:
