@@ -98,6 +98,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subj", "pred", "obj"
     ).agg(F.count(F.lit(1)).alias("num_triples"))
 
+    # A1/A3 generalized: per-predicate graph profile (metrics-table row shape)
+    from breg_dcat_harvester_spark.operators.merge import graph_stats
+
+    q["kg_graph_stats"] = lambda spark, sf: graph_stats(_merged(spark, sf))
+
     # A8/P2: SHACL cardinality violations
     def _violations(spark, sf):
         rep = validation_report(_merged(spark, sf))
@@ -629,6 +634,15 @@ SELECT conv_id,
        CAST(sum(len(regexp_extract_all(text, '\\[\\['))) AS BIGINT) AS n_mentions,
        CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_seconds
 FROM w GROUP BY conv_id
+"""
+
+    sql["kg_graph_stats"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+FROM edges GROUP BY pred
 """
 
     sql["kg_windowed_turn_counts"] = f"""

@@ -46,3 +46,21 @@ def num_triples(edges: DataFrame) -> int:
 def anti_join_failed(df: DataFrame, failed: DataFrame, key: str) -> DataFrame:
     """Negative-cache semantics (browser.py:81-91): skip known-failed terms."""
     return df.join(failed.select(key).distinct(), on=key, how="left_anti")
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """Per-predicate graph profile: (pred, n_triples, n_subjects, n_objects).
+
+    Generalizes the reference's single ``num_triples`` metric (harvest.py:58)
+    and the facet distinct-term counts (browser.py:157) into the profiling
+    table a harvest run records per stage.  One hash-agg shuffle keyed on
+    pred; Spark plans the two count-distincts as an expand + two-phase agg,
+    which spreads hot predicates across tasks (no single-key bottleneck)."""
+    return (
+        edges.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subjects"),
+            F.countDistinct("obj").cast("long").alias("n_objects"),
+        )
+    )
