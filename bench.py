@@ -284,12 +284,20 @@ def main() -> None:
         dt = time.time() - t0
         extract_sec = dt if extract_sec is None or dt < extract_sec else extract_sec
     timings["kg_extract_pandas_full"] = round(extract_sec, 3)
-    skew = skew_demo(spark)
+    # fail-soft: the driver needs the one JSON line even if a sub-benchmark
+    # dies (co-tenant OOM, subprocess timeout)
+    try:
+        skew = skew_demo(spark)
+    except Exception as exc:  # pragma: no cover
+        skew = {"error": str(exc)[:200]}
     spark.stop()
 
     scaling = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        scaling = run_scaling()
+        try:
+            scaling = run_scaling()
+        except Exception as exc:  # pragma: no cover
+            scaling = {"error": str(exc)[:200]}
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -309,15 +317,20 @@ def main() -> None:
         fh.write("# BENCH\n\nLatest local bench (see bench.py).\n\n```json\n")
         fh.write(json.dumps(result, indent=2))
         fh.write("\n```\n")
-        fh.write(
-            "\nSkew (hot-key join, broadcast disabled, one key = 50% of the "
-            f"{skew['rows']}-row fact side): sort-merge with AQE off "
-            f"{skew['smj_aqe_off_sec']}s, AQE skew-split "
-            f"{skew['smj_aqe_skewjoin_sec']}s, explicit salted join "
-            f"{skew['salted_join_sec']}s — salting beats the skewed baseline "
-            f"{skew['salting_speedup_vs_skewed']}x (it spreads the hot key "
-            "before the sort; AQE can only split after the shuffle).\n"
-        )
+        if "error" in skew:
+            skew = None
+        if "error" in scaling or "within_host_2_to_8" not in scaling:
+            scaling = None
+        if skew:
+            fh.write(
+                "\nSkew (hot-key join, broadcast disabled, one key = 50% of the "
+                f"{skew['rows']}-row fact side): sort-merge with AQE off "
+                f"{skew['smj_aqe_off_sec']}s, AQE skew-split "
+                f"{skew['smj_aqe_skewjoin_sec']}s, explicit salted join "
+                f"{skew['salted_join_sec']}s — salting beats the skewed baseline "
+                f"{skew['salting_speedup_vs_skewed']}x (it spreads the hot key "
+                "before the sort; AQE can only split after the shuffle).\n"
+            )
         if scaling:
             w = scaling["within_host_2_to_8"]
             c = scaling["host_capped_8_to_32"]
