@@ -47,6 +47,31 @@ from breg_dcat_harvester_spark.schema import (
 
 SEARCH_FILTERS = {"theme": [THEMES[0], THEMES[1]], "language": [LANGUAGES[0]]}
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+EMB_DIM = 64  # embeddings.parquet vector dimensionality (TESTDATA fixed)
+
+# Recall-audit floors for the approximate ANN contract queries.  Everything
+# is seeded/deterministic, so the observed per-query hit counts are stable;
+# the floor sits under the observed minimum with margin so the gate trips
+# only on a genuine recall collapse (at sf0.01: LSH >= 10/10 per query with
+# solver params target_sim=0.35/recall=0.999; IVF >= 5/10 probing 4/16
+# lists).
+ANN_LSH_MIN_HITS = 7
+ANN_IVF_MIN_HITS = 3
+
+# Planted-near-dup perturbation, expressed twice so BOTH engines build
+# bit-identical float32 vectors (integer-derived deltas, IEEE ops only;
+# Spark transform index is 0-based, DuckDB's 1-based — hence the i-1):
+PLANT_EXPR_SPARK = (
+    "transform(embedding, (x, i) ->"
+    " cast(x + 0.02 * (pmod(vec_id + i, 7) - 3) as float))"
+)
+PLANT_EXPR_DUCK = (
+    "list_transform(embedding, (x, i) ->"
+    " CAST(x + 0.02 * ((vec_id + i - 1) % 7 - 3) AS REAL))"
+)
+
 
 def _sf_name(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -152,6 +177,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_dataset_detail"] = _detail
 
+    # A5 nested form: build the reference's response shape (per-dataset
+    # lists + {distribution -> {url, type, description[]}} map), then
+    # explode it BACK to flat rows — gating that map_from_entries/array_sort
+    # construction loses nothing (the oracle is the flat detail SQL).
+    def _detail_nested(spark, sf):
+        merged = _merged(spark, sf)
+        found = srch.search_datasets(merged, SEARCH_FILTERS, limit=0)
+        nested = srch.dataset_details_nested(merged, found)
+        dist = F.explode("distribution")
+        return nested.select(
+            "dataset",
+            "catalog",
+            F.array_join("description", "|").alias("descriptions"),
+            F.array_join("identifier", "|").alias("identifiers"),
+            F.array_join("title", "|").alias("titles"),
+            F.array_join("location", "|").alias("locations"),
+            F.array_join("theme", "|").alias("themes"),
+            F.array_join("language", "|").alias("languages"),
+            dist.alias("distribution", "dist_val"),
+        ).select(
+            "dataset",
+            "distribution",
+            "catalog",
+            "descriptions",
+            "identifiers",
+            "titles",
+            "locations",
+            "themes",
+            "languages",
+            F.col("dist_val.url").alias("dist_url"),
+            F.col("dist_val.type").alias("dist_type"),
+            F.array_join("dist_val.description", "|").alias("dist_descriptions"),
+        )
+
+    q["kg_dataset_detail_nested"] = _detail_nested
+
     # J10/F12: MinHash-LSH blocking + exact jaccard verify (brute-force
     # oracle).  Link pairs are cached per (session, sf): in the production
     # harvest plan the linking stage's output is materialized before
@@ -213,7 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf), threshold=0.8, bands=32, rows_per_band=2
     )
 
-    # SimHash: engine-specific hash -> rows-only check (no oracle entry)
+    # SimHash: gated against a pure-Python brute-force replay of the public
+    # xxHash64+SimHash definitions (functions/hashing_ref.py fixture — the
+    # pigeonhole blocking must lose nothing)
     q["dedup_simhash"] = lambda spark, sf: ddp.simhash_pairs(
         _documents(spark, sf), max_hamming=3
     )
@@ -224,28 +287,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
 
+    def _aug_embeddings(spark, sf):
+        """Corpus ∪ deterministic perturbed near-copies (id+100000): pure
+        integer-derived deltas so Spark and DuckDB build bit-identical
+        float32 vectors (planted pairs land at cosine ~0.949)."""
+        emb = _embeddings(spark, sf).select("vec_id", "embedding")
+        planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr(PLANT_EXPR_SPARK).alias("embedding"),
+        )
+        return emb.unionByName(planted)
+
     q["ann_cosine_topk"] = lambda spark, sf: annm.cosine_topk(
         _embeddings(spark, sf), _queries_df(spark, sf), k=10
     )
 
-    # approximate variants: recall probed in tests, rows-only check here
-    q["ann_cosine_topk_lsh"] = lambda spark, sf: annm.cosine_topk_lsh(
-        _embeddings(spark, sf), _queries_df(spark, sf), k=10
-    )
+    # approximate variants are gated as RECALL AUDITS: the Spark side
+    # computes both the approximate and the exact top-k and reports
+    # (query_id, recall_ok = |approx ∩ exact| >= min_hits); the oracle
+    # computes only the exact side and asserts recall_ok = TRUE per query,
+    # so a recall collapse fails the hash check (everything is seeded and
+    # deterministic — the floor only absorbs the designed approximation).
+    def _ann_lsh_audit(spark, sf):
+        emb, qs = _embeddings(spark, sf), _queries_df(spark, sf)
+        exact = annm.cosine_topk(emb, qs, k=10)
+        approx = annm.cosine_topk_lsh(emb, qs, k=10, dim=EMB_DIM)
+        return annm.topk_recall_audit(exact, approx, min_hits=ANN_LSH_MIN_HITS)
+
+    q["ann_cosine_topk_lsh"] = _ann_lsh_audit
 
     # IVF scale path: seeded k-means coarse quantizer + nprobe list probing
-    q["ann_cosine_topk_ivf"] = lambda spark, sf: annm.cosine_topk_ivf(
-        _embeddings(spark, sf), _queries_df(spark, sf), k=10, nlist=16, nprobe=4
-    )
+    # (nprobe/nlist = 1/4 of the lists -> a deliberately partial probe; the
+    # audit floor is what that design deterministically achieves here)
+    def _ann_ivf_audit(spark, sf):
+        emb, qs = _embeddings(spark, sf), _queries_df(spark, sf)
+        exact = annm.cosine_topk(emb, qs, k=10)
+        approx = annm.cosine_topk_ivf(emb, qs, k=10, nlist=16, nprobe=4)
+        return annm.topk_recall_audit(exact, approx, min_hits=ANN_IVF_MIN_HITS)
+
+    q["ann_cosine_topk_ivf"] = _ann_ivf_audit
 
     q["dedup_embedding"] = lambda spark, sf: annm.embedding_dup_pairs(
         _embeddings(spark, sf), threshold=0.45
     )
 
-    # LSH-blocked scale path (approximate by design -> rows-only check;
-    # recall + no-false-positives probed in tests)
+    # LSH-blocked scale path, gated in its design regime: deterministic
+    # perturbed near-copies are planted at cosine ~0.949 (the corpus's
+    # natural pairs top out at 0.52), threshold 0.9; solver-tuned bands give
+    # per-pair P(miss) ~ 4e-7, so LSH must EQUAL the DuckDB brute-force
+    # oracle over the augmented corpus (precision is 1 by exact verify).
     q["dedup_embedding_lsh"] = lambda spark, sf: annm.embedding_dup_pairs_lsh(
-        _embeddings(spark, sf), threshold=0.45
+        _aug_embeddings(spark, sf), threshold=0.9, dim=EMB_DIM
     )
 
     def _text_features(spark, sf):
@@ -559,6 +651,10 @@ GROUP BY dataset, distribution
 ORDER BY dataset, distribution
 """
 
+    # nested detail explodes back to the flat shape, so the flat oracle
+    # gates the map_from_entries construction losslessly
+    sql["kg_dataset_detail_nested"] = sql["kg_dataset_detail"]
+
     # brute-force exact-jaccard pairs (the LSH path must equal this w.h.p.:
     # P(miss) = (1-j^5)^20 ~ 3e-6 at j=0.86, the fixture's true-pair floor)
     link_core = f"""
@@ -690,6 +786,37 @@ WHERE gi * 1000 >= (sa.n + sb.n - gi) * 800
 """
     sql["dedup_ngram_jaccard"] = ngram_core
     sql["dedup_minhash_lsh"] = ngram_core  # LSH must equal brute force w.h.p.
+
+    # pure-Python xxHash64+SimHash brute-force replay (scripts/make_oracles.py
+    # -> data/oracles/; the engine's pigeonhole blocking must lose nothing)
+    sql["dedup_simhash"] = (
+        "SELECT a, b, hamming FROM read_parquet("
+        f"'{os.path.join(_REPO_DIR, 'data', 'oracles', 'dedup_simhash_sf0.01.parquet')}')"
+    )
+
+    # recall audits: the oracle computes the EXACT side only — every query
+    # id with recall_ok TRUE; the Spark side reports FALSE for any query
+    # whose approximate top-k covers fewer than the floor, failing the hash
+    aud = """
+SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+    sql["ann_cosine_topk_lsh"] = aud
+    sql["ann_cosine_topk_ivf"] = aud
+
+    sql["dedup_embedding_lsh"] = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+planted AS (
+    SELECT vec_id + 100000 AS vec_id, {PLANT_EXPR_DUCK} AS embedding
+    FROM base WHERE vec_id % 25 = 0
+),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+"""
 
     sql["ann_cosine_topk"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -146,13 +146,40 @@ def _pair_grams(candidates: DataFrame, labeled: DataFrame) -> DataFrame:
 
 @F.pandas_udf(DoubleType())
 def jaccard_pandas(grams_a: pd.Series, grams_b: pd.Series) -> pd.Series:
-    """F12: the vectorized (Arrow-batched) string-similarity scorer."""
-    out = []
-    for ga, gb in zip(grams_a, grams_b):
-        sa, sb = set(ga), set(gb)
-        union = len(sa | sb)
-        out.append(len(sa & sb) / union if union else 0.0)
-    return pd.Series(out)
+    """F12: the vectorized (Arrow-batched) string-similarity scorer.
+
+    No per-row Python set ops: both list columns are flattened into
+    (row, gram) frames (np.repeat for row ids, one chained concatenation for
+    values), the intersection size comes from a single vectorized
+    merge+groupby, and the union is |A|+|B|-|A∩B| (the gram arrays are
+    distinct by construction upstream in ``with_grams``).
+    """
+    import itertools
+
+    import numpy as np
+
+    n = len(grams_a)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    la = grams_a.str.len().to_numpy(dtype="int64")
+    lb = grams_b.str.len().to_numpy(dtype="int64")
+    flat_a = pd.DataFrame(
+        {
+            "row": np.repeat(np.arange(n), la),
+            "g": pd.Series(itertools.chain.from_iterable(grams_a), dtype=object),
+        }
+    )
+    flat_b = pd.DataFrame(
+        {
+            "row": np.repeat(np.arange(n), lb),
+            "g": pd.Series(itertools.chain.from_iterable(grams_b), dtype=object),
+        }
+    )
+    inter = flat_a.merge(flat_b, on=["row", "g"]).groupby("row").size()
+    g_inter = np.zeros(n, dtype="int64")
+    g_inter[inter.index.to_numpy()] = inter.to_numpy()
+    union = la + lb - g_inter
+    return pd.Series(np.where(union > 0, g_inter / np.maximum(union, 1), 0.0))
 
 
 def score_candidates(

@@ -98,7 +98,12 @@ def search_datasets(
         if key in FILTER_KEYS and values:
             star = star.filter(F.col(key).isin(values))
     if limit:
-        star = star.orderBy(*FILTER_KEYS).limit(limit)
+        # determinism sort on the projected key only: the limit prefix of
+        # rows ordered by ``dataset`` has a deterministic dataset multiset
+        # even across ties, so the distinct set below is stable — ordering
+        # all 8 star columns (the former form) paid a wider sort for nothing.
+        # orderBy+limit compiles to TakeOrdered (no full sort shuffle).
+        star = star.orderBy("dataset").limit(limit)
     return star.select("dataset").distinct()
 
 

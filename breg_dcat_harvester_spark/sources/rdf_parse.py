@@ -1,0 +1,525 @@
+"""Real RDF document ingestion: per-document parsers -> edges rows.
+
+The reference fetches RDF documents and parses them with rdflib in four
+serializations (api/breg_harvester/models.py:9-27 DataTypes; harvest.py:51-53
+``Graph().parse(format=...)``; browser.py:25,47-57 try-each-format).  This
+module is the Spark-native ingest path for the same documents:
+
+* pure-Python parsers (stdlib only — the sandbox has no rdflib) for
+  N-Triples, a Turtle subset, an RDF/XML subset, and a minimal JSON-LD
+  profile — enough to parse the reference's own sample documents
+  (ontology/sample-01.xml, sample-02.ttl) byte-for-byte;
+* ``parse_rdf_docs`` runs them under ``mapInPandas`` over a documents
+  DataFrame (doc_id, source, content): Arrow-batched, embarrassingly
+  parallel across documents, no driver involvement — at corpus scale each
+  partition parses its documents independently and the output lands
+  directly in the EDGES schema (lineage: conv_id=doc source, turn_idx=0).
+
+Format routing uses sources/rdf_io.sniff_format (S4) — the same first-bytes
+heuristic order as the reference's PARSE_TRY_FORMATS.
+
+Parity quirks preserved deliberately (tested against the actual sample
+files):
+* rdf:resource / rdf:about values resolve against the base URI with
+  ``urljoin`` — a value like ``dcat:Catalog`` parses as an absolute URI with
+  scheme ``dcat`` and passes through VERBATIM (rdflib does the same; the
+  reference's sample-01.xml relies on it, so its type URIs are literally
+  ``dcat:Catalog`` while sample-02.ttl's are full URIs).
+* plain literals carry the engine's xsd:string convention (sources/rdf_io.py
+  parse_ntriples note); explicit ^^datatype wins.
+
+Documented subset limits (raise ParseRdfError, never silently misparse):
+Turtle collections ``( )`` and anonymous bnodes ``[ ]``; RDF/XML
+parseType="Collection"/"Literal"; JSON-LD @reverse/@nest/term definitions
+beyond prefix->IRI strings.  Blank node labels skolemize to
+``urn:skolem:sha2(doc_id|bnode|label)`` — content-deterministic like the
+transcript path (functions/terms.skolem_uri).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import xml.etree.ElementTree as ET
+from typing import Iterable, Iterator
+from urllib.parse import urljoin
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+SKOLEM_NS = "urn:skolem:"
+
+
+class ParseRdfError(ValueError):
+    pass
+
+
+def _skolem(doc_id: str, label: str) -> str:
+    digest = hashlib.sha256(f"{doc_id}|bnode|{label}".encode()).hexdigest()
+    return SKOLEM_NS + digest
+
+
+# Triple tuple: (subj, pred, obj, obj_kind, lang, dtype)
+Triple = tuple[str, str, str, str, str | None, str | None]
+
+
+def _literal(lex: str, lang: str | None, dtype: str | None) -> Triple:
+    # engine convention: literals carry xsd:string unless explicitly typed
+    return ("", "", lex, "literal", lang, dtype or XSD_STRING)
+
+
+# --------------------------------------------------------------------------
+# N-Triples
+# --------------------------------------------------------------------------
+
+_NT_LINE = re.compile(
+    r'^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+'
+    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)\s*\.\s*$'
+)
+
+_ESCAPES = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt in _ESCAPES:
+            out.append(_ESCAPES[nxt])
+            i += 2
+        elif nxt == "u":
+            out.append(chr(int(s[i + 2 : i + 6], 16)))
+            i += 6
+        elif nxt == "U":
+            out.append(chr(int(s[i + 2 : i + 10], 16)))
+            i += 10
+        else:
+            raise ParseRdfError(f"bad escape \\{nxt}")
+    return "".join(out)
+
+
+def parse_ntriples_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
+    for ln, line in enumerate(text.splitlines(), 1):
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        m = _NT_LINE.match(line)
+        if not m:
+            raise ParseRdfError(f"N-Triples line {ln} unparseable: {line[:80]!r}")
+        s_tok, p_tok, o_tok = m.groups()
+        subj = s_tok[1:-1] if s_tok.startswith("<") else _skolem(doc_id, s_tok[2:])
+        pred = p_tok[1:-1]
+        if o_tok.startswith("<"):
+            yield (subj, pred, o_tok[1:-1], "uri", None, None)
+        elif o_tok.startswith("_:"):
+            yield (subj, pred, _skolem(doc_id, o_tok[2:]), "uri", None, None)
+        else:
+            endq = o_tok.rindex('"')
+            lex = _unescape(o_tok[1:endq])
+            rest = o_tok[endq + 1 :]
+            lang = rest[1:] if rest.startswith("@") else None
+            dtype = rest[3:-1] if rest.startswith("^^<") else None
+            _, _, o, k, lg, dt = _literal(lex, lang, dtype)
+            yield (subj, pred, o, k, lg, dt)
+
+
+# --------------------------------------------------------------------------
+# Turtle (subset)
+# --------------------------------------------------------------------------
+
+_TTL_TOKEN = re.compile(
+    r"""
+      (?P<comment>\#[^\n]*)
+    | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
+    | (?P<literal>"""
+    r'"""(?:[^"\\]|\\.|"(?!""))*"""'
+    r"""|"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+    | (?P<prefix_directive>@prefix|@base|(?i:PREFIX|BASE)(?=\s))
+    | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
+    | (?P<dtype_sep>\^\^)
+    | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+    | (?P<pname>(?:[A-Za-z][\w.-]*)?:(?:[\w]|%[0-9A-Fa-f]{2}|\.(?=[\w.-])|-)*)
+    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<kw>\b(?:a|true|false)\b)
+    | (?P<punct>[;,.\[\]()])
+    | (?P<ws>\s+)
+    """,
+    re.X,
+)
+
+
+def _ttl_tokens(text: str):
+    pos = 0
+    while pos < len(text):
+        m = _TTL_TOKEN.match(text, pos)
+        if not m:
+            raise ParseRdfError(f"turtle: unexpected input at {text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        yield kind, m.group()
+
+
+def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
+    prefixes: dict[str, str] = {}
+    cur_base = base
+
+    def term(kind: str, tok: str):
+        """-> (value, obj_kind, lang, dtype) for a non-literal-suffix token."""
+        if kind == "iri":
+            return (urljoin(cur_base, tok[1:-1]), "uri", None, None)
+        if kind == "pname":
+            p, _, local = tok.partition(":")
+            if p not in prefixes:
+                raise ParseRdfError(f"turtle: undefined prefix {p!r}:")
+            return (prefixes[p] + local, "uri", None, None)
+        if kind == "bnode":
+            return (_skolem(doc_id, tok[2:]), "uri", None, None)
+        if kind == "kw":
+            if tok == "a":
+                return (RDF_NS + "type", "uri", None, None)
+            return (tok, "literal", None, XSD + "boolean")
+        if kind == "num":
+            dt = "integer" if re.fullmatch(r"[+-]?\d+", tok) else (
+                "double" if "e" in tok.lower() else "decimal"
+            )
+            return (tok, "literal", None, XSD + dt)
+        raise ParseRdfError(f"turtle: unexpected token {tok!r} as term")
+
+    toks = list(_ttl_tokens(text))
+    i = 0
+    n = len(toks)
+
+    def lit_at(j: int):
+        """Consume a literal (with optional @lang / ^^dtype) at j."""
+        tok = toks[j][1]
+        if tok.startswith('"""'):
+            lex = _unescape(tok[3:-3])
+        else:
+            lex = _unescape(tok[1:-1])
+        j += 1
+        lang = dtype = None
+        if j < n and toks[j][0] == "langtag":
+            lang = toks[j][1][1:]
+            j += 1
+        elif j < n and toks[j][0] == "dtype_sep":
+            val, kind, _, _ = *term(*toks[j + 1])[:1], toks[j + 1][0], None, None
+            if kind not in ("iri", "pname"):
+                raise ParseRdfError("turtle: datatype must be an IRI")
+            dtype = term(*toks[j + 1])[0]
+            j += 1 + 1
+        _, _, o, k, lg, dt = _literal(lex, lang, dtype)
+        return (o, k, lg, dt), j
+
+    while i < n:
+        kind, tok = toks[i]
+        # directives
+        if kind == "prefix_directive":
+            d = tok.lower().lstrip("@")
+            if d == "prefix":
+                pk, ptok = toks[i + 1]
+                ik, itok = toks[i + 2]
+                if pk != "pname" or ik != "iri":
+                    raise ParseRdfError("turtle: malformed @prefix")
+                prefixes[ptok[:-1] if ptok.endswith(":") else ptok.split(":")[0]] = urljoin(
+                    cur_base, itok[1:-1]
+                )
+                i += 3
+            else:  # base
+                ik, itok = toks[i + 1]
+                if ik != "iri":
+                    raise ParseRdfError("turtle: malformed @base")
+                cur_base = urljoin(cur_base, itok[1:-1])
+                i += 2
+            if tok.startswith("@"):
+                if i >= n or toks[i] != ("punct", "."):
+                    raise ParseRdfError("turtle: @directive missing '.'")
+                i += 1
+            continue
+        # statement
+        if kind in ("punct",) and tok in "[]()":
+            raise ParseRdfError(
+                "turtle subset: collections/anonymous bnodes not supported"
+            )
+        subj = term(kind, tok)[0]
+        i += 1
+        while True:  # predicate-object list
+            pred = term(*toks[i])[0]
+            i += 1
+            while True:  # object list
+                ok_, otok = toks[i]
+                if ok_ == "literal":
+                    (o, k2, lg, dt), i = lit_at(i)
+                else:
+                    if ok_ == "punct" and otok in "[]()":
+                        raise ParseRdfError(
+                            "turtle subset: collections/anonymous bnodes not supported"
+                        )
+                    o, k2, lg, dt = term(ok_, otok)
+                    i += 1
+                yield (subj, pred, o, k2, lg, dt)
+                if toks[i] == ("punct", ","):
+                    i += 1
+                    continue
+                break
+            if toks[i] == ("punct", ";"):
+                i += 1
+                # tolerate trailing ';' before '.'
+                if toks[i] == ("punct", "."):
+                    break
+                continue
+            break
+        if toks[i] != ("punct", "."):
+            raise ParseRdfError(f"turtle: expected '.', got {toks[i]!r}")
+        i += 1
+
+
+# --------------------------------------------------------------------------
+# RDF/XML (subset)
+# --------------------------------------------------------------------------
+
+
+def _split_tag(tag: str) -> str:
+    if not tag.startswith("{"):
+        raise ParseRdfError(f"rdf/xml: unnamespaced element {tag!r}")
+    ns, local = tag[1:].split("}", 1)
+    return ns + local
+
+
+def parse_rdfxml_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as ex:
+        raise ParseRdfError(f"rdf/xml: {ex}") from ex
+    out: list[Triple] = []
+    counter = {"b": 0}
+
+    def node_subject(el, lang: str | None) -> str:
+        about = el.get(f"{{{RDF_NS}}}about")
+        rid = el.get(f"{{{RDF_NS}}}ID")
+        node_id = el.get(f"{{{RDF_NS}}}nodeID")
+        if about is not None:
+            subj = urljoin(base, about)
+        elif rid is not None:
+            subj = urljoin(base, "#" + rid)
+        elif node_id is not None:
+            subj = _skolem(doc_id, node_id)
+        else:
+            counter["b"] += 1
+            subj = _skolem(doc_id, f"anon{counter['b']}")
+        tag = _split_tag(el.tag)
+        if tag != RDF_NS + "Description":
+            out.append((subj, RDF_NS + "type", tag, "uri", None, None))
+        lang = el.get(XML_LANG, lang)
+        # property ATTRIBUTES (non-rdf:, non-xml:) are literal shortcuts
+        for attr, val in el.attrib.items():
+            if attr.startswith(f"{{{RDF_NS}}}") or attr.startswith("{http://www.w3.org/XML/"):
+                continue
+            _, _, o, k, lg, dt = _literal(val, lang, None)
+            out.append((subj, _split_tag(attr), o, k, lg, dt))
+        for prop in el:
+            pred = _split_tag(prop.tag)
+            plang = prop.get(XML_LANG, lang)
+            res = prop.get(f"{{{RDF_NS}}}resource")
+            pnode = prop.get(f"{{{RDF_NS}}}nodeID")
+            dtype = prop.get(f"{{{RDF_NS}}}datatype")
+            ptype = prop.get(f"{{{RDF_NS}}}parseType")
+            children = list(prop)
+            if ptype is not None:
+                raise ParseRdfError(f"rdf/xml subset: parseType={ptype!r} unsupported")
+            if res is not None:
+                out.append((subj, pred, urljoin(base, res), "uri", None, None))
+            elif pnode is not None:
+                out.append((subj, pred, _skolem(doc_id, pnode), "uri", None, None))
+            elif children:
+                child_subj = node_subject(children[0], plang)
+                out.append((subj, pred, child_subj, "uri", None, None))
+            else:
+                _, _, o, k, lg, dt = _literal(prop.text or "", plang, dtype)
+                out.append((subj, pred, o, k, lg, dt))
+        return subj
+
+    root_tag = _split_tag(root.tag)
+    nodes = list(root) if root_tag == RDF_NS + "RDF" else [root]
+    doc_lang = root.get(XML_LANG)
+    for el in nodes:
+        node_subject(el, doc_lang)
+    return iter(out)
+
+
+# --------------------------------------------------------------------------
+# JSON-LD (minimal profile)
+# --------------------------------------------------------------------------
+
+
+def _jld_expand(term: str, ctx: dict[str, str], base: str, *, vocab: bool) -> str:
+    if term.startswith("@"):
+        raise ParseRdfError(f"json-ld: unsupported keyword {term!r}")
+    p, sep, local = term.partition(":")
+    if sep and p in ctx:
+        return ctx[p] + local
+    if sep and not term.startswith("//"):  # already an absolute IRI
+        return term
+    if term in ctx:
+        return ctx[term]
+    if vocab:
+        raise ParseRdfError(f"json-ld: term {term!r} not in @context")
+    return urljoin(base, term)
+
+
+def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError as ex:
+        raise ParseRdfError(f"json-ld: {ex}") from ex
+    ctx_raw = doc.get("@context", {}) if isinstance(doc, dict) else {}
+    if not isinstance(ctx_raw, dict):
+        raise ParseRdfError("json-ld minimal profile: @context must be an object")
+    ctx = {}
+    for k, v in ctx_raw.items():
+        if not isinstance(v, str):
+            raise ParseRdfError("json-ld minimal profile: only prefix->IRI context")
+        ctx[k] = v
+    if isinstance(doc, list):
+        nodes = doc
+    elif "@graph" in doc:
+        nodes = doc["@graph"]
+    else:
+        nodes = [doc]
+    counter = {"b": 0}
+
+    def subject_of(node: dict) -> str:
+        nid = node.get("@id")
+        if nid is None:
+            counter["b"] += 1
+            return _skolem(doc_id, f"anon{counter['b']}")
+        if nid.startswith("_:"):
+            return _skolem(doc_id, nid[2:])
+        return _jld_expand(nid, ctx, base, vocab=False)
+
+    def walk(node: dict) -> Iterator[Triple]:
+        subj = subject_of(node)
+        types = node.get("@type", [])
+        for t in types if isinstance(types, list) else [types]:
+            yield (subj, RDF_NS + "type", _jld_expand(t, ctx, base, vocab=True),
+                   "uri", None, None)
+        for key, val in node.items():
+            if key.startswith("@"):
+                if key not in ("@id", "@type", "@context"):
+                    raise ParseRdfError(f"json-ld: unsupported keyword {key!r}")
+                continue
+            pred = _jld_expand(key, ctx, base, vocab=True)
+            for v in val if isinstance(val, list) else [val]:
+                if isinstance(v, dict):
+                    if "@value" in v:
+                        dt = v.get("@type")
+                        dt = _jld_expand(dt, ctx, base, vocab=True) if dt else None
+                        _, _, o, k, lg, dtt = _literal(
+                            str(v["@value"]), v.get("@language"), dt
+                        )
+                        yield (subj, pred, o, k, lg, dtt)
+                    else:
+                        yield (subj, pred, subject_of(v), "uri", None, None)
+                        if len(v) > (1 if "@id" in v else 0):
+                            yield from walk(v)
+                elif isinstance(v, bool):
+                    yield (subj, pred, "true" if v else "false", "literal",
+                           None, XSD + "boolean")
+                elif isinstance(v, int):
+                    yield (subj, pred, str(v), "literal", None, XSD + "integer")
+                elif isinstance(v, float):
+                    yield (subj, pred, repr(v), "literal", None, XSD + "double")
+                else:
+                    _, _, o, k, lg, dt = _literal(str(v), None, None)
+                    yield (subj, pred, o, k, lg, dt)
+
+    for node in nodes:
+        yield from walk(node)
+
+
+# --------------------------------------------------------------------------
+# dispatch + Spark operator
+# --------------------------------------------------------------------------
+
+_PARSERS = {
+    "nt": parse_ntriples_doc,
+    "turtle": parse_turtle_doc,
+    "xml": parse_rdfxml_doc,
+    "json-ld": parse_jsonld_doc,
+}
+
+
+def parse_rdf_text(
+    text: str, fmt: str, base: str = "", doc_id: str = ""
+) -> list[Triple]:
+    """Parse one document; fmt in {'xml','turtle','nt','json-ld'} (the
+    reference's DataTypes values, models.py:9-13)."""
+    if fmt not in _PARSERS:
+        raise ParseRdfError(f"unknown RDF format {fmt!r}")
+    return list(_PARSERS[fmt](text, base, doc_id or base))
+
+
+PARSED_SCHEMA = (
+    "subj string, pred string, obj string, obj_kind string, "
+    "lang string, dtype string, conv_id string, turn_idx int"
+)
+
+
+def parse_rdf_docs(docs, id_col: str = "doc_id", content_col: str = "content",
+                   source_col: str = "source", fmt_col: str | None = None,
+                   on_error: str = "raise"):
+    """documents (id, source, content[, fmt]) -> EDGES-schema rows.
+
+    Format comes from ``fmt_col`` when given, else from
+    ``rdf_io.sniff_format`` (S4 first-bytes heuristic, the reference's
+    browser.py:25 try-order).  Runs the pure-Python parsers inside
+    ``mapInPandas`` — one Arrow batch of documents per call, zero driver
+    involvement, output already in the edge shape (lineage: conv_id =
+    source, turn_idx = 0).  ``on_error='skip'`` drops undecodable documents
+    (the reference harvest skips invalid sources); 'raise' propagates.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .rdf_io import sniff_format
+
+    if fmt_col is None:
+        docs = docs.withColumn("_fmt", sniff_format(F.col(content_col)))
+        fmt_col = "_fmt"
+    cols = [id_col, source_col, content_col, fmt_col]
+    proj = docs.select(*cols)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source, content, fmt in pdf.itertuples(index=False):
+                try:
+                    if fmt is None:
+                        raise ParseRdfError("unrecognized RDF serialization")
+                    for t in parse_rdf_text(
+                        content, fmt, base=source or "", doc_id=str(doc_id)
+                    ):
+                        rows.append((*t, str(source), 0))
+                except ParseRdfError:
+                    if on_error != "skip":
+                        raise
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "subj", "pred", "obj", "obj_kind", "lang", "dtype",
+                    "conv_id", "turn_idx",
+                ],
+            )
+
+    return proj.mapInPandas(run, schema=PARSED_SCHEMA)

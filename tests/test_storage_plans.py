@@ -56,8 +56,19 @@ def test_harvest_run_and_resume(spark, tmp_path, small_transcripts):
     res1 = run_harvest(spark, src, cfg, run_id="run-a")
     assert res1["num_triples"] > 0
     assert [s["stage"] for s in res1["stages"]] == [
-        "edges_raw", "triples", "valid_triples", "edges", "nodes",
+        "edges_raw", "triples", "valid_triples", "links", "cc_labels",
+        "edges", "nodes",
     ]
+
+    # link+CC must run exactly ONCE per run: both edges and nodes consume
+    # the checkpointed cc_labels snapshot (VERDICT r1 §wrong-1 regression)
+    runlog = RunLog(spark, os.path.join(cfg.out_dir, "runs"))
+    cc_rows = (
+        runlog.read()
+        .filter((F.col("run_id") == "run-a") & (F.col("stage") == "cc_labels"))
+        .collect()
+    )
+    assert [r.status for r in cc_rows].count("finished") == 1
 
     # resume: same run_id -> every stage skipped (no new stage metrics),
     # identical result

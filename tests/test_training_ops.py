@@ -90,17 +90,42 @@ def test_ann_exact_self_similarity(spark, emb):
 
 
 def test_ann_lsh_recall_floor(spark, emb):
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in annm.cosine_topk(emb, _queries(emb), k=10).collect()
-    }
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in annm.cosine_topk_lsh(emb, _queries(emb), k=10).collect()
-    }
-    recall = len(exact & approx) / len(exact)
-    # random near-uniform corpus is LSH's worst case; still demand a floor
-    assert recall >= 0.15, f"LSH recall collapsed: {recall}"
+    exact = annm.cosine_topk(emb, _queries(emb), k=10)
+    approx = annm.cosine_topk_lsh(emb, _queries(emb), k=10, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # solver-tuned defaults (target_sim 0.35 @ recall .999) must recover
+    # nearly all true neighbors even on this near-uniform worst case
+    assert recall >= 0.8, f"LSH recall collapsed: {recall}"
+    # the audit shape used by the correctness harness: every query covered
+    audit = annm.topk_recall_audit(exact, approx, min_hits=7).collect()
+    assert audit and all(r.recall_ok for r in audit)
+
+
+def test_lsh_param_solver_math(spark):
+    """(bands, bits) solve the documented formulas and budget constraint."""
+    import math
+
+    for t, rec in ((0.95, 0.999), (0.9, 0.9999), (0.45, 0.999)):
+        p = annm.hyperplane_lsh_params(t, rec)
+        p_bit = 1 - math.acos(t) / math.pi
+        assert abs(p.p_band - p_bit**p.bits_per_band) < 1e-12
+        assert p.recall >= rec
+        assert p.bands * p.bits_per_band <= 256
+    # higher threshold -> tighter blocking (lower unrelated-pair rate)
+    assert (
+        annm.hyperplane_lsh_params(0.95).fp_rate
+        < annm.hyperplane_lsh_params(0.7).fp_rate
+        < annm.hyperplane_lsh_params(0.45).fp_rate
+    )
+
+
+def test_lsh_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([], "query_id long, query_vec array<float>")
+    assert annm.embedding_dup_pairs_lsh(empty, threshold=0.9).count() == 0
+    assert annm.cosine_topk_lsh(empty, q, k=5).count() == 0
 
 
 def test_ann_ivf_recall_and_determinism(spark, emb):
@@ -130,17 +155,40 @@ def test_ann_ivf_full_probe_equals_exact(spark, emb):
 
 
 def test_embedding_dup_lsh_recall(spark, emb):
-    """LSH-blocked near-dup must recover most brute-force pairs at the
-    operating threshold (planted near-dups sit well above it)."""
+    """LSH-blocked near-dup must recover the brute-force pairs at the
+    operating threshold (solver-tuned bands give per-pair recall ~0.999
+    even at this low-threshold worst case)."""
     bf = {(r.a, r.b) for r in annm.embedding_dup_pairs(emb, threshold=0.45).collect()}
     lsh = {
         (r.a, r.b)
-        for r in annm.embedding_dup_pairs_lsh(emb, threshold=0.45).collect()
+        for r in annm.embedding_dup_pairs_lsh(emb, threshold=0.45, dim=64).collect()
     }
     assert lsh <= bf, "LSH must never invent pairs (exact verify)"
     assert len(bf) > 0
     recall = len(bf & lsh) / len(bf)
-    assert recall >= 0.5, f"embedding LSH recall collapsed: {recall}"
+    assert recall >= 0.9, f"embedding LSH recall collapsed: {recall}"
+
+
+def test_embedding_dup_lsh_planted_high_threshold(spark, emb):
+    """The scale regime LSH is FOR: high threshold, planted near-dups.
+    Deterministic perturbed copies (the contract-query construction) must be
+    found exactly, and blocking must be non-vacuous there (fp_rate < 15%)."""
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " cast(x + 0.02 * (pmod(vec_id + i, 7) - 3) as float))"
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    bf = {(r.a, r.b) for r in annm.embedding_dup_pairs(aug, threshold=0.9).collect()}
+    lsh = {
+        (r.a, r.b)
+        for r in annm.embedding_dup_pairs_lsh(aug, threshold=0.9, dim=64).collect()
+    }
+    assert len(bf) == planted.count(), "each planted copy pairs with its source"
+    assert lsh == bf
+    assert annm.hyperplane_lsh_params(0.9, 0.9999).fp_rate < 0.15
 
 
 def test_text_functions(spark):
