@@ -49,6 +49,13 @@ SEARCH_FILTERS = {"theme": [THEMES[0], THEMES[1]], "language": [LANGUAGES[0]]}
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
+# the reference's own sample RDF documents + our JSON-LD third source
+RDF_SAMPLE_PATHS = [
+    "/root/reference/api/breg_harvester/ontology/sample-01.xml",
+    "/root/reference/api/breg_harvester/ontology/sample-02.ttl",
+    os.path.join(_REPO_DIR, "data", "rdf_samples", "sample-03.jsonld"),
+]
+
 EMB_DIM = 64  # embeddings.parquet vector dimensionality (TESTDATA fixed)
 
 # Recall-audit floors for the approximate ANN contract queries.  Everything
@@ -142,6 +149,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_validation_violations"] = _violations
+
+    # S2/S4 real-document path: parse the reference's OWN sample RDF files
+    # (ontology/sample-01.xml + sample-02.ttl, plus our structurally-
+    # equivalent JSON-LD third source standing in for the gist the README's
+    # 33-triple harvest used) through sniff_format routing + the pure-Python
+    # parsers under mapInPandas; oracle = hand-transcribed golden fixture
+    # (scripts/make_rdf_golden.py).  Must reproduce num_triples: 33
+    # (reference README.md:104-122).
+    def _rdf_docs(spark, sf):
+        from breg_dcat_harvester_spark.sources import rdf_parse as rdfp
+
+        docs = rdfp.read_rdf_documents(spark, RDF_SAMPLE_PATHS)
+        edges = rdfp.parse_rdf_docs(docs, id_col="source")
+        return merge_triples(edges).select(
+            "subj", "pred", "obj", "obj_kind", "lang", "dtype"
+        )
+
+    q["kg_harvest_rdf_docs"] = _rdf_docs
 
     # J1-J5/A3/W1: the five facet endpoints
     q["kg_facet_taxonomy"] = lambda spark, sf: fac.catalog_taxonomies(_merged(spark, sf))
@@ -562,6 +587,11 @@ LEFT JOIN counts c ON c.subj = t.subj AND c.pred = s.path
 WHERE coalesce(c.cnt, 0) < s.min_count
    OR (s.max_count IS NOT NULL AND coalesce(c.cnt, 0) > s.max_count)
 """
+
+    sql["kg_harvest_rdf_docs"] = (
+        "SELECT subj, pred, obj, obj_kind, lang, dtype FROM read_parquet("
+        f"'{os.path.join(_REPO_DIR, 'data', 'oracles', 'rdf_docs_golden.parquet')}')"
+    )
 
     sql["kg_facet_taxonomy"] = _facet_sql(glob, CLASS_URIS["Catalog"], DCAT + "themeTaxonomy")
     sql["kg_facet_location"] = _facet_sql(glob, CLASS_URIS["Catalog"], DCT + "spatial")

@@ -56,6 +56,18 @@ class ParseRdfError(ValueError):
     pass
 
 
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _resolve(base: str, iri: str) -> str:
+    """Resolve against base, but pass ABSOLUTE IRIs through verbatim —
+    ``urljoin`` would normalize away a trailing empty fragment ('#'), which
+    namespace IRIs like ``http://ex/ns#`` depend on (and rdflib keeps
+    absolute IRIs untouched, incl. the sample-01.xml ``dcat:Catalog``
+    scheme quirk)."""
+    return iri if _ABS_IRI.match(iri) else urljoin(base, iri)
+
+
 def _skolem(doc_id: str, label: str) -> str:
     digest = hashlib.sha256(f"{doc_id}|bnode|{label}".encode()).hexdigest()
     return SKOLEM_NS + digest
@@ -178,7 +190,7 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
     def term(kind: str, tok: str):
         """-> (value, obj_kind, lang, dtype) for a non-literal-suffix token."""
         if kind == "iri":
-            return (urljoin(cur_base, tok[1:-1]), "uri", None, None)
+            return (_resolve(cur_base, tok[1:-1]), "uri", None, None)
         if kind == "pname":
             p, _, local = tok.partition(":")
             if p not in prefixes:
@@ -232,7 +244,7 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
                 ik, itok = toks[i + 2]
                 if pk != "pname" or ik != "iri":
                     raise ParseRdfError("turtle: malformed @prefix")
-                prefixes[ptok[:-1] if ptok.endswith(":") else ptok.split(":")[0]] = urljoin(
+                prefixes[ptok[:-1] if ptok.endswith(":") else ptok.split(":")[0]] = _resolve(
                     cur_base, itok[1:-1]
                 )
                 i += 3
@@ -240,7 +252,7 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
                 ik, itok = toks[i + 1]
                 if ik != "iri":
                     raise ParseRdfError("turtle: malformed @base")
-                cur_base = urljoin(cur_base, itok[1:-1])
+                cur_base = _resolve(cur_base, itok[1:-1])
                 i += 2
             if tok.startswith("@"):
                 if i >= n or toks[i] != ("punct", "."):
@@ -310,7 +322,7 @@ def parse_rdfxml_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         rid = el.get(f"{{{RDF_NS}}}ID")
         node_id = el.get(f"{{{RDF_NS}}}nodeID")
         if about is not None:
-            subj = urljoin(base, about)
+            subj = _resolve(base, about)
         elif rid is not None:
             subj = urljoin(base, "#" + rid)
         elif node_id is not None:
@@ -339,14 +351,17 @@ def parse_rdfxml_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             if ptype is not None:
                 raise ParseRdfError(f"rdf/xml subset: parseType={ptype!r} unsupported")
             if res is not None:
-                out.append((subj, pred, urljoin(base, res), "uri", None, None))
+                out.append((subj, pred, _resolve(base, res), "uri", None, None))
             elif pnode is not None:
                 out.append((subj, pred, _skolem(doc_id, pnode), "uri", None, None))
             elif children:
                 child_subj = node_subject(children[0], plang)
                 out.append((subj, pred, child_subj, "uri", None, None))
             else:
-                _, _, o, k, lg, dt = _literal(prop.text or "", plang, dtype)
+                # a datatyped literal carries no language tag (RDF spec)
+                _, _, o, k, lg, dt = _literal(
+                    prop.text or "", None if dtype else plang, dtype
+                )
                 out.append((subj, pred, o, k, lg, dt))
         return subj
 
@@ -375,7 +390,7 @@ def _jld_expand(term: str, ctx: dict[str, str], base: str, *, vocab: bool) -> st
         return ctx[term]
     if vocab:
         raise ParseRdfError(f"json-ld: term {term!r} not in @context")
-    return urljoin(base, term)
+    return _resolve(base, term)
 
 
 def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
@@ -476,6 +491,17 @@ PARSED_SCHEMA = (
 )
 
 
+def read_rdf_documents(spark, paths: list[str]):
+    """Whole-file document scan: (source, content) — one row per file, read
+    BY EXECUTORS (``spark.read.text(wholetext)`` + input_file_name), so a
+    100 TB document corpus never flows through the driver."""
+    from pyspark.sql import functions as F
+
+    return spark.read.text(paths, wholetext=True).select(
+        F.input_file_name().alias("source"), F.col("value").alias("content")
+    )
+
+
 def parse_rdf_docs(docs, id_col: str = "doc_id", content_col: str = "content",
                    source_col: str = "source", fmt_col: str | None = None,
                    on_error: str = "raise"):
@@ -497,8 +523,12 @@ def parse_rdf_docs(docs, id_col: str = "doc_id", content_col: str = "content",
     if fmt_col is None:
         docs = docs.withColumn("_fmt", sniff_format(F.col(content_col)))
         fmt_col = "_fmt"
-    cols = [id_col, source_col, content_col, fmt_col]
-    proj = docs.select(*cols)
+    proj = docs.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(source_col).alias("_src"),
+        F.col(content_col).alias("_content"),
+        F.col(fmt_col).alias("_f"),
+    )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

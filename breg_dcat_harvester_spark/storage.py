@@ -111,6 +111,33 @@ class LocalSnapshotTable:
     def exists(self) -> bool:
         return self.current_snapshot() is not None
 
+    def expire_snapshots(self, keep_n: int) -> list[str]:
+        """T5 (result TTL): retain only the newest ``keep_n`` snapshots (the
+        current one is always retained), deleting data files no surviving
+        snapshot references — the LocalSnapshotTable analog of Iceberg's
+        ``expire_snapshots`` maintenance action.  Returns expired ids."""
+        if keep_n < 1:
+            raise ValueError("keep_n must be >= 1")
+        manifest = self._load()
+        snaps = manifest["snapshots"]
+        keep = snaps[-keep_n:]
+        cur = self._snapshot(manifest, None)
+        if cur and all(s["id"] != cur["id"] for s in keep):
+            keep = [cur] + keep
+        keep_ids = {s["id"] for s in keep}
+        kept_files = {f for s in keep for f in s["files"]}
+        expired = [s for s in snaps if s["id"] not in keep_ids]
+        for s in expired:
+            for f in s["files"]:
+                if f not in kept_files:
+                    try:
+                        os.remove(os.path.join(self.data_dir, f))
+                    except FileNotFoundError:
+                        pass
+        manifest["snapshots"] = [s for s in snaps if s["id"] in keep_ids]
+        self._store(manifest)
+        return [s["id"] for s in expired]
+
 
 class IcebergTable:
     """Iceberg-native backend (cluster path; requires a configured catalog).

@@ -1,0 +1,231 @@
+"""Real RDF document ingestion (sources/rdf_parse.py).
+
+Parity anchor: the reference's own sample documents
+(/root/reference/api/breg_harvester/ontology/sample-01.xml, sample-02.ttl —
+harvest.py:51-53, README.md:104-122) must parse byte-for-byte into the
+hand-transcribed golden fixture, and the 3-source harvest must reproduce the
+README's ``num_triples: 33``.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from breg_dcat_harvester_spark.operators.merge import merge_triples, num_triples
+from breg_dcat_harvester_spark.sources.rdf_parse import (
+    ParseRdfError,
+    parse_rdf_docs,
+    parse_rdf_text,
+    read_rdf_documents,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_XML = "/root/reference/api/breg_harvester/ontology/sample-01.xml"
+REF_TTL = "/root/reference/api/breg_harvester/ontology/sample-02.ttl"
+OUR_JSONLD = os.path.join(REPO, "data", "rdf_samples", "sample-03.jsonld")
+GOLDEN = os.path.join(REPO, "data", "oracles", "rdf_docs_golden.parquet")
+
+needs_reference = pytest.mark.skipif(
+    not os.path.exists(REF_XML), reason="reference repo not mounted"
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _golden_set():
+    import duckdb
+
+    return {
+        tuple(r)
+        for r in duckdb.query(
+            f"SELECT subj, pred, obj, obj_kind, lang, dtype FROM read_parquet('{GOLDEN}')"
+        ).fetchall()
+    }
+
+
+@needs_reference
+def test_sample_files_match_hand_golden():
+    got = set()
+    for path, fmt in ((REF_XML, "xml"), (REF_TTL, "turtle"), (OUR_JSONLD, "json-ld")):
+        triples = parse_rdf_text(open(path).read(), fmt, base="file://" + path,
+                                 doc_id=path)
+        assert len(triples) == 11, (path, len(triples))
+        got.update(triples)
+    assert got == _golden_set()
+
+
+@needs_reference
+def test_rdf_doc_harvest_num_triples_33(spark):
+    """README.md:104-122 parity: the 3-source harvest yields 33 triples."""
+    docs = read_rdf_documents(spark, [REF_XML, REF_TTL, OUR_JSONLD])
+    edges = parse_rdf_docs(docs, id_col="source")  # sniff_format routing
+    assert num_triples(merge_triples(edges)) == 33
+    # the XML quirk survives the Spark path: rdf:resource="dcat:Catalog" is
+    # an absolute URI with scheme 'dcat' and passes through verbatim
+    types = {
+        r.obj
+        for r in edges.filter(F.col("pred") == RDF_TYPE).select("obj").collect()
+    }
+    assert "dcat:Catalog" in types and "http://www.w3.org/ns/dcat#Catalog" in types
+
+
+def test_ntriples_forms():
+    text = "\n".join(
+        [
+            "<http://ex/s> <http://ex/p> <http://ex/o> .",
+            '<http://ex/s> <http://ex/label> "hi there" .',
+            '<http://ex/s> <http://ex/label> "bonjour"@fr .',
+            '<http://ex/s> <http://ex/n> "4"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+            "# a comment",
+            '_:b1 <http://ex/p> _:b2 .',
+            '<http://ex/esc> <http://ex/p> "line\\nbreak\\t\\"q\\" \\u00e9" .',
+        ]
+    )
+    ts = parse_rdf_text(text, "nt", base="http://ex/", doc_id="d1")
+    assert ("http://ex/s", "http://ex/p", "http://ex/o", "uri", None, None) in ts
+    assert ("http://ex/s", "http://ex/label", "hi there", "literal", None, XSD_STRING) in ts
+    assert ("http://ex/s", "http://ex/label", "bonjour", "literal", "fr", XSD_STRING) in ts
+    assert ("http://ex/s", "http://ex/n", "4", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#integer") in ts
+    esc = [t for t in ts if t[0] == "http://ex/esc"][0]
+    assert esc[2] == 'line\nbreak\t"q" é'
+    bn = [t for t in ts if t[1] == "http://ex/p" and t[0].startswith("urn:skolem:")]
+    assert len(bn) == 1 and bn[0][2].startswith("urn:skolem:")
+    # deterministic skolemization: same doc -> same URIs
+    assert parse_rdf_text(text, "nt", base="http://ex/", doc_id="d1") == ts
+
+
+def test_turtle_features():
+    text = """
+@base <http://ex/> .
+@prefix ex: <http://ex/ns#> .
+PREFIX dc: <http://purl.org/dc/terms/>
+<thing> a ex:Widget, ex:Gadget ;
+  dc:title "A title"@en ;
+  ex:count 42 ;
+  ex:ratio 3.14 ;
+  ex:flag true ;
+  ex:rel <other>, ex:third ;  # trailing comment
+  .
+_:b ex:refs <thing> .
+"""
+    ts = set(parse_rdf_text(text, "turtle", base="http://ignored/", doc_id="d"))
+    s = "http://ex/thing"
+    assert (s, RDF_TYPE, "http://ex/ns#Widget", "uri", None, None) in ts
+    assert (s, RDF_TYPE, "http://ex/ns#Gadget", "uri", None, None) in ts
+    assert (s, "http://purl.org/dc/terms/title", "A title", "literal", "en", XSD_STRING) in ts
+    assert (s, "http://ex/ns#count", "42", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#integer") in ts
+    assert (s, "http://ex/ns#ratio", "3.14", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#decimal") in ts
+    assert (s, "http://ex/ns#flag", "true", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#boolean") in ts
+    assert (s, "http://ex/ns#rel", "http://ex/other", "uri", None, None) in ts
+    assert (s, "http://ex/ns#rel", "http://ex/ns#third", "uri", None, None) in ts
+    assert any(t[0].startswith("urn:skolem:") and t[2] == s for t in ts)
+
+
+def test_turtle_subset_errors():
+    with pytest.raises(ParseRdfError, match="prefix"):
+        parse_rdf_text("<http://s> nope:p <http://o> .", "turtle", "", "d")
+    with pytest.raises(ParseRdfError, match="not supported"):
+        parse_rdf_text(
+            "@prefix ex: <http://ex/> . ex:s ex:p [ ex:q ex:r ] .", "turtle", "", "d"
+        )
+
+
+def test_rdfxml_features():
+    text = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex/ns#" xml:lang="en">
+  <ex:Widget rdf:about="http://ex/w1" ex:shortcut="attr literal">
+    <ex:title>Widget one</ex:title>
+    <ex:title xml:lang="fr">Widget un</ex:title>
+    <ex:size rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">5</ex:size>
+    <ex:part>
+      <rdf:Description rdf:about="http://ex/p1">
+        <ex:title>Part</ex:title>
+      </rdf:Description>
+    </ex:part>
+    <ex:rel rdf:resource="http://ex/w2"/>
+  </ex:Widget>
+</rdf:RDF>"""
+    ts = set(parse_rdf_text(text, "xml", base="http://base/", doc_id="d"))
+    w = "http://ex/w1"
+    assert (w, RDF_TYPE, "http://ex/ns#Widget", "uri", None, None) in ts
+    assert (w, "http://ex/ns#shortcut", "attr literal", "literal", "en", XSD_STRING) in ts
+    assert (w, "http://ex/ns#title", "Widget one", "literal", "en", XSD_STRING) in ts
+    assert (w, "http://ex/ns#title", "Widget un", "literal", "fr", XSD_STRING) in ts
+    assert (w, "http://ex/ns#size", "5", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#integer") in ts
+    assert (w, "http://ex/ns#part", "http://ex/p1", "uri", None, None) in ts
+    assert ("http://ex/p1", "http://ex/ns#title", "Part", "literal", "en", XSD_STRING) in ts
+    assert (w, "http://ex/ns#rel", "http://ex/w2", "uri", None, None) in ts
+    with pytest.raises(ParseRdfError, match="parseType"):
+        parse_rdf_text(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            ' xmlns:ex="http://ex/"><rdf:Description rdf:about="http://s">'
+            '<ex:p rdf:parseType="Collection"/></rdf:Description></rdf:RDF>',
+            "xml", "", "d",
+        )
+
+
+def test_jsonld_features():
+    text = """{
+  "@context": {"ex": "http://ex/ns#", "title": "http://purl.org/dc/terms/title"},
+  "@id": "http://ex/a",
+  "@type": ["ex:Widget"],
+  "title": {"@value": "hola", "@language": "es"},
+  "ex:n": 7,
+  "ex:child": {"@id": "http://ex/b", "title": "child title"},
+  "ex:tags": ["x", "y"]
+}"""
+    ts = set(parse_rdf_text(text, "json-ld", base="http://base/", doc_id="d"))
+    a = "http://ex/a"
+    assert (a, RDF_TYPE, "http://ex/ns#Widget", "uri", None, None) in ts
+    assert (a, "http://purl.org/dc/terms/title", "hola", "literal", "es", XSD_STRING) in ts
+    assert (a, "http://ex/ns#n", "7", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#integer") in ts
+    assert (a, "http://ex/ns#child", "http://ex/b", "uri", None, None) in ts
+    assert ("http://ex/b", "http://purl.org/dc/terms/title", "child title",
+            "literal", None, XSD_STRING) in ts
+    assert (a, "http://ex/ns#tags", "x", "literal", None, XSD_STRING) in ts
+    assert (a, "http://ex/ns#tags", "y", "literal", None, XSD_STRING) in ts
+
+
+def test_parse_rdf_docs_sniff_and_skip(spark):
+    rows = [
+        ("d1", "http://src/1", '@prefix ex: <http://ex/> . ex:a ex:p ex:b .'),
+        ("d2", "http://src/2", "<http://ex/a> <http://ex/p> <http://ex/c> ."),
+        ("d3", "http://src/3", "this is not rdf at all"),
+        ("d4", "http://src/4", '{"@context": {"ex": "http://ex/"}, "@id": "ex:a", "ex:q": "v"}'),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, content string")
+    out = parse_rdf_docs(docs, on_error="skip").collect()
+    got = {(r.subj, r.pred, r.obj) for r in out}
+    assert got == {
+        ("http://ex/a", "http://ex/p", "http://ex/b"),
+        ("http://ex/a", "http://ex/p", "http://ex/c"),
+        ("http://ex/a", "http://ex/q", "v"),
+    }
+    # lineage carries the source document
+    assert {r.conv_id for r in out} == {"http://src/1", "http://src/2", "http://src/4"}
+    with pytest.raises(Exception, match="ParseRdfError|unrecognized"):
+        parse_rdf_docs(docs, on_error="raise").collect()
+
+
+def test_ntriples_roundtrip_through_writer(spark, small_transcripts):
+    """Engine-written N-Triples re-ingest to the identical triple set."""
+    from breg_dcat_harvester_spark.operators.extract import extract_edges
+    from breg_dcat_harvester_spark.sources.rdf_io import to_ntriples
+
+    edges = merge_triples(extract_edges(small_transcripts, impl="sql"))
+    lines = [r.ntriple for r in to_ntriples(edges).collect()]
+    ts = parse_rdf_text("\n".join(lines), "nt", base="", doc_id="rt")
+    want = {
+        (r.subj, r.pred, r.obj, r.obj_kind, r.lang, r.dtype)
+        for r in edges.select("subj", "pred", "obj", "obj_kind", "lang", "dtype").collect()
+    }
+    assert set(ts) == want
