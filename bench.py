@@ -100,17 +100,23 @@ def _one_run(cores: int, sf: str, reps: int = 2) -> dict:
 
 
 def _interleaved_pair(
-    n_small: int, n_big: int, sf: str, rounds: int = 3, reps: int = 2
+    n_small: int, n_big: int, sf: str, rounds: int = 3, reps: int = 2,
+    warmup_rounds: int = 0,
 ) -> dict:
     """Run the two configs ALTERNATING (A-B-A-B-...).  The sandbox's
     co-tenant noise is sustained over minutes, so timing config A's runs and
     then config B's samples *different* noise; interleaving gives both the
     same windows.  Efficiency is the MEDIAN of the per-round paired ratios
     (each ratio compares runs from the same window — the noise-robust
-    estimator for a ratio); reported throughputs are each config's best."""
+    estimator for a ratio); reported throughputs are each config's best.
+
+    ``warmup_rounds`` leading rounds are EXCLUDED from the efficiency
+    median (but still count toward best-throughput): the first rounds pay
+    OS page-cache cold reads of the corpus, which r1 showed pollutes early
+    paired ratios (per-round trend 0.67 -> 0.90)."""
     best: dict[int, dict] = {}
     ratios: list[float] = []
-    for i in range(rounds):
+    for i in range(warmup_rounds + rounds):
         rnd: dict[int, dict] = {}
         # ABBA alternation: flip the order each round so a linear drift in
         # co-tenant load cancels out of the paired ratio
@@ -121,11 +127,16 @@ def _interleaved_pair(
             if c not in best or r["seconds"] < best[c]["seconds"]:
                 best[c] = r
         ratios.append(rnd[n_big]["rows_per_sec"] / (4 * rnd[n_small]["rows_per_sec"]))
-    ratios.sort()
-    mid = len(ratios) // 2
-    med = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+    measured = sorted(ratios[warmup_rounds:])
+    mid = len(measured) // 2
+    med = (
+        measured[mid]
+        if len(measured) % 2
+        else (measured[mid - 1] + measured[mid]) / 2
+    )
     out = {f"n{n_small}": best[n_small], f"n{n_big}": best[n_big]}
-    out["per_round_efficiency"] = [round(x, 3) for x in ratios]
+    out["warmup_round_efficiency"] = [round(x, 3) for x in ratios[:warmup_rounds]]
+    out["per_round_efficiency"] = [round(x, 3) for x in ratios[warmup_rounds:]]
     out["efficiency_n_to_4n"] = round(med, 3)
     return out
 
@@ -141,29 +152,32 @@ def run_scaling(sf_capped: str = SCALING_SF) -> dict:
     """
     out: dict = {}
 
-    within = _interleaved_pair(2, 8, "sf5", rounds=5, reps=1)
+    within = _interleaved_pair(2, 8, "sf5", rounds=5, reps=1, warmup_rounds=2)
     # calibrate what the host actually delivers at 2 vs 8 pure-CPU workers
     # (the vCPUs are hypervisor-shared): engine efficiency normalized to
-    # delivered capacity separates OUR scaling from the host's
+    # delivered capacity separates OUR scaling from the host's.  Both pairs
+    # report the RAW ratio (a value > 1.0 flags measurement noise instead of
+    # being clamped away).
     cap2 = machine_capacity(2)
     cap8 = machine_capacity(8)
     host_eff_28 = cap8 / (4 * cap2)
     within["host_capacity_ratio_2_to_8"] = round(cap8 / cap2, 3)
     within["host_efficiency_n_to_4n"] = round(host_eff_28, 3)
     within["efficiency_vs_host_capacity"] = round(
-        min(within["efficiency_n_to_4n"] / host_eff_28, 1.0), 3
+        within["efficiency_n_to_4n"] / host_eff_28, 3
     )
     out["within_host_2_to_8"] = within
 
-    capped = _interleaved_pair(8, 32, sf_capped, rounds=2)
-    eff = capped["n32"]["rows_per_sec"] / (4 * capped["n8"]["rows_per_sec"])
-    capped["efficiency_n_to_4n"] = round(eff, 3)
-    cap8 = machine_capacity(8)
+    # pair 2 keeps the same paired-median estimator as pair 1 (no
+    # cross-window best/best recompute)
+    capped = _interleaved_pair(8, 32, sf_capped, rounds=3, warmup_rounds=1)
     cap32 = machine_capacity(32)
     host_eff = cap32 / (4 * cap8)
     capped["host_capacity_ratio_8_to_32"] = round(cap32 / cap8, 3)
     capped["host_efficiency_n_to_4n"] = round(host_eff, 3)
-    capped["efficiency_vs_host_capacity"] = round(eff / host_eff, 3) if host_eff else None
+    capped["efficiency_vs_host_capacity"] = (
+        round(capped["efficiency_n_to_4n"] / host_eff, 3) if host_eff else None
+    )
     out["host_capped_8_to_32"] = capped
 
     # headline numbers: the engine-scaling pair, raw and host-normalized
@@ -240,6 +254,40 @@ def main() -> None:
     )
 
     queries = entry.queries()
+
+    # Overrides where the contract query is the wrong thing to TIME:
+    # - kg_link_candidates caches its result for CC reuse; min-of-2 would
+    #   time a cache scan, so time the raw operator COLD instead (CC's
+    #   cached read stays the documented production cost model).
+    # - the ANN approximate contract queries are recall AUDITS (they also
+    #   compute exact brute force); time the raw approximate operators.
+    from breg_dcat_harvester_spark.operators import ann as annm
+    from breg_dcat_harvester_spark.operators import link as lnk
+
+    def _emb_q(spark, sf):
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return emb, qs
+
+    def _link_cold(spark, sf):
+        return lnk.link_pairs(entry._merged(spark, sf), threshold=0.8, scorer="sql")
+
+    def _ivf_raw(spark, sf):
+        emb, qs = _emb_q(spark, sf)
+        return annm.cosine_topk_ivf(emb, qs, k=10, nlist=16, nprobe=4)
+
+    def _lsh_raw(spark, sf):
+        emb, qs = _emb_q(spark, sf)
+        return annm.cosine_topk_lsh(emb, qs, k=10, dim=entry.EMB_DIM)
+
+    overrides = {
+        "kg_link_candidates": _link_cold,
+        "ann_cosine_topk_ivf": _ivf_raw,
+        "ann_cosine_topk_lsh": _lsh_raw,
+    }
+
     headline = [
         "kg_harvest_triples",
         "kg_validation_violations",
@@ -251,6 +299,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",
+        "ann_cosine_topk_lsh",
         "ann_cosine_topk_ivf",
         "text_features",
         "rel_pricing_summary",
@@ -260,12 +309,13 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     for name in headline:
+        fn = overrides.get(name, queries.get(name))
         # min-of-2: the sandbox shares vCPUs with noisy co-tenants; a single
         # sample can be 2x off.  Run 1 also warms python UDF workers.
         best = None
         for _ in range(2):
             t0 = time.time()
-            queries[name](spark, SF_DIR).count()
+            fn(spark, SF_DIR).count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
@@ -338,7 +388,9 @@ def main() -> None:
                 "\nScaling (north_rule N->4N protocol: identical extract+merge "
                 "harvest job, python workers pre-warmed, N and 4N configs run "
                 "INTERLEAVED so both sample the same co-tenant noise windows; "
-                "efficiency = median of per-round paired ratios, throughput = "
+                "efficiency = median of per-round paired ratios for BOTH "
+                "pairs (leading warm-up rounds excluded: they pay page-cache "
+                "cold reads), throughput = "
                 "best per config):\n\n"
                 f"Pair 1 — N=2 vs 4N=8 cores ({w['n2']['turns']} turns):\n"
                 f"- N=2: {w['n2']['rows_per_sec']:.0f} turns/s; "

@@ -62,6 +62,28 @@ def _cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_schedule(args: argparse.Namespace) -> int:
+    import datetime as dt
+
+    from .streaming.scheduler import run_scheduled_harvests
+
+    spark = get_spark(app_name="schedule")
+    base = dt.datetime.fromisoformat(args.base) if args.base else None
+    recs = run_scheduled_harvests(
+        spark,
+        args.transcripts,
+        f"{args.out}/edges_stream",
+        f"{args.out}/checkpoint",
+        interval_seconds=args.interval,
+        base_date=base,
+        max_runs=args.max_runs,
+        job_timeout_seconds=args.job_timeout,
+        expire_keep=args.expire_keep,
+    )
+    print(json.dumps(recs))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="breg-dcat-harvester-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -88,6 +110,21 @@ def main(argv: list[str] | None = None) -> int:
                 "publisher", "publishertype", "location"):
         s.add_argument(f"--{key}", action="append")
     s.set_defaults(fn=_cmd_search)
+
+    sch = sub.add_parser(
+        "schedule",
+        help="recurring incremental harvest on an interval cadence "
+        "(missed runs coalesce into one catch-up drain; per-run timeout)",
+    )
+    sch.add_argument("--transcripts", required=True)
+    sch.add_argument("--out", required=True)
+    sch.add_argument("--interval", type=int, default=3600, help="seconds")
+    sch.add_argument("--base", default=None, help="ISO base date (trigger anchor)")
+    sch.add_argument("--max-runs", type=int, default=1)
+    sch.add_argument("--job-timeout", type=float, default=None, help="seconds (T4)")
+    sch.add_argument("--expire-keep", type=int, default=None,
+                     help="retain only N newest snapshots after each run (T5)")
+    sch.set_defaults(fn=_cmd_schedule)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -504,7 +504,7 @@ def read_rdf_documents(spark, paths: list[str]):
 
 def parse_rdf_docs(docs, id_col: str = "doc_id", content_col: str = "content",
                    source_col: str = "source", fmt_col: str | None = None,
-                   on_error: str = "raise"):
+                   on_error: str = "raise", max_doc_chars: int = 64 << 20):
     """documents (id, source, content[, fmt]) -> EDGES-schema rows.
 
     Format comes from ``fmt_col`` when given, else from
@@ -514,6 +514,12 @@ def parse_rdf_docs(docs, id_col: str = "doc_id", content_col: str = "content",
     involvement, output already in the edge shape (lineage: conv_id =
     source, turn_idx = 0).  ``on_error='skip'`` drops undecodable documents
     (the reference harvest skips invalid sources); 'raise' propagates.
+
+    ``max_doc_chars`` (string length; ~bytes for ASCII-dominated corpora) is the S5 straggler guard: one pathological document
+    must not pin an executor core (the reference bounds this with rdflib's
+    request/parse timeouts); oversized documents fail fast with a
+    ParseRdfError routed through ``on_error`` — the parsers themselves are
+    single-pass/linear, so the byte cap bounds per-document work.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -537,6 +543,11 @@ def parse_rdf_docs(docs, id_col: str = "doc_id", content_col: str = "content",
                 try:
                     if fmt is None:
                         raise ParseRdfError("unrecognized RDF serialization")
+                    if content is not None and len(content) > max_doc_chars:
+                        raise ParseRdfError(
+                            f"document exceeds max_doc_chars ({len(content)}"
+                            f" > {max_doc_chars})"
+                        )
                     for t in parse_rdf_text(
                         content, fmt, base=source or "", doc_id=str(doc_id)
                     ):

@@ -216,6 +216,21 @@ def test_parse_rdf_docs_sniff_and_skip(spark):
         parse_rdf_docs(docs, on_error="raise").collect()
 
 
+def test_parse_rdf_docs_straggler_guard(spark):
+    """S5: an oversized document fails fast (or skips) instead of pinning an
+    executor core on one pathological blob."""
+    rows = [
+        ("ok", "http://src/ok", "<http://ex/a> <http://ex/p> <http://ex/b> ."),
+        ("big", "http://src/big",
+         "<http://ex/a> <http://ex/p> <http://ex/" + "x" * 4000 + "> ."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, content string")
+    out = parse_rdf_docs(docs, on_error="skip", max_doc_chars=1000).collect()
+    assert {r.conv_id for r in out} == {"http://src/ok"}
+    with pytest.raises(Exception, match="max_doc_chars"):
+        parse_rdf_docs(docs, on_error="raise", max_doc_chars=1000).collect()
+
+
 def test_ntriples_roundtrip_through_writer(spark, small_transcripts):
     """Engine-written N-Triples re-ingest to the identical triple set."""
     from breg_dcat_harvester_spark.operators.extract import extract_edges
