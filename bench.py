@@ -92,11 +92,27 @@ def _one_run(cores: int, sf: str, reps: int = 2) -> dict:
         sf=sf,
         reps=reps,
     )
-    res = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
-    )
-    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # stdout/stderr go to FILES, not pipes: an orphaned pyspark.daemon worker
+    # can inherit a pipe fd and hold it open past the child's exit, blocking
+    # capture_output's EOF wait until the timeout even though the run
+    # finished (observed: a 2-minute run "timing out" at 900 s).
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as out, tempfile.TemporaryFile(
+        mode="w+"
+    ) as err:
+        subprocess.run(
+            [sys.executable, "-c", code], stdout=out, stderr=err, timeout=900
+        )
+        out.seek(0)
+        lines = [l for l in out.read().splitlines() if l.startswith("{")]
+        if not lines:
+            err.seek(0)
+            raise RuntimeError(
+                f"scaling run (cores={cores}, {sf}) produced no result line; "
+                f"stderr tail: {err.read()[-500:]}"
+            )
+    return json.loads(lines[-1])
 
 
 def _interleaved_pair(
@@ -334,6 +350,31 @@ def main() -> None:
         dt = time.time() - t0
         extract_sec = dt if extract_sec is None or dt < extract_sec else extract_sec
     timings["kg_extract_pandas_full"] = round(extract_sec, 3)
+
+    # end-to-end staged harvest (extract -> merge -> validate -> link -> cc
+    # -> materialize, with snapshot commits): single run, fresh out dir —
+    # evidences that link+CC now execute once per run (r1 perf-weak #3)
+    import shutil
+    import tempfile
+
+    from breg_dcat_harvester_spark.plans.harvest import HarvestConfig, run_harvest
+
+    hdir = tempfile.mkdtemp(prefix="bench-harvest-")
+    try:
+        t0 = time.time()
+        hres = run_harvest(
+            spark, path, HarvestConfig(out_dir=hdir, extract_impl="pandas"),
+            run_id="bench-harvest",
+        )
+        harvest = {
+            "seconds": round(time.time() - t0, 3),
+            "num_triples": hres["num_triples"],
+            "stage_seconds": {s["stage"]: s["seconds"] for s in hres["stages"]},
+        }
+    except Exception as exc:  # pragma: no cover — fail-soft like skew_demo
+        harvest = {"error": str(exc)[:200]}
+    finally:
+        shutil.rmtree(hdir, ignore_errors=True)
     # fail-soft: the driver needs the one JSON line even if a sub-benchmark
     # dies (co-tenant OOM, subprocess timeout)
     try:
@@ -359,6 +400,7 @@ def main() -> None:
         "turns": n_turns,
         "triples": n_triples,
         "turns_per_sec_extract": round(n_turns / extract_sec, 1),
+        "harvest_end_to_end": harvest,
         "skew_demo": skew,
         "scaling": scaling,
     }

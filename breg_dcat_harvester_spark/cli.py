@@ -30,6 +30,7 @@ def _cmd_harvest(args: argparse.Namespace) -> int:
         strict_validation=args.strict,
         all_or_nothing=args.all_or_nothing,
         num_buckets=args.buckets,
+        source_kind=args.source_kind,
     )
     res = run_harvest(spark, args.transcripts, cfg, run_id=args.resume)
     print(json.dumps(res))
@@ -96,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--all-or-nothing", action="store_true")
     h.add_argument("--buckets", type=int, default=32)
     h.add_argument("--resume", default=None, help="run_id to resume")
+    h.add_argument(
+        "--source-kind", default="transcripts",
+        choices=["transcripts", "rdf_docs"],
+        help="'rdf_docs' harvests raw RDF documents (the reference's literal "
+        "harvest shape) through the same staged pipeline",
+    )
     h.set_defaults(fn=_cmd_harvest)
 
     f = sub.add_parser("facets", help="compute the five facet lists")

@@ -51,6 +51,13 @@ class HarvestConfig:
     all_or_nothing: bool = False  # harvest.py:41-47 semantics when True
     num_buckets: int = 32
     salt: int = 4  # sub-splits per bucket for hot conv_ids
+    # 'transcripts' = the north-star mention-extraction path;
+    # 'rdf_docs'    = the reference's literal harvest shape: the input paths
+    #                 are RDF documents (xml/turtle/nt/json-ld) parsed by
+    #                 sources/rdf_parse under mapInPandas — every downstream
+    #                 stage (merge/validate/link/cc/materialize, snapshots,
+    #                 resume) is identical.
+    source_kind: str = "transcripts"
     extra: dict = field(default_factory=dict)
 
 
@@ -94,14 +101,26 @@ def run_harvest(
             runlog.record(run_id, name, "failed", exc_info=repr(ex))
             raise
 
-    transcripts = spark.read.parquet(transcripts_path)
+    if cfg.source_kind == "rdf_docs":
+        from ..sources.rdf_parse import parse_rdf_docs, read_rdf_documents
 
-    edges_raw = stage(
-        "edges_raw",
-        lambda: extract_edges(
-            transcripts, emit_provenance=cfg.emit_provenance, impl=cfg.extract_impl
-        ),
-    )
+        paths = (
+            transcripts_path
+            if isinstance(transcripts_path, list)
+            else [transcripts_path]
+        )
+        docs = read_rdf_documents(spark, paths)
+        edges_raw = stage(
+            "edges_raw", lambda: parse_rdf_docs(docs, id_col="source")
+        )
+    else:
+        transcripts = spark.read.parquet(transcripts_path)
+        edges_raw = stage(
+            "edges_raw",
+            lambda: extract_edges(
+                transcripts, emit_provenance=cfg.emit_provenance, impl=cfg.extract_impl
+            ),
+        )
     merged = stage("triples", lambda: merge_triples(edges_raw))
 
     def _validated():

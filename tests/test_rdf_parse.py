@@ -231,6 +231,25 @@ def test_parse_rdf_docs_straggler_guard(spark):
         parse_rdf_docs(docs, on_error="raise", max_doc_chars=1000).collect()
 
 
+@needs_reference
+@pytest.mark.slow
+def test_full_harvest_plan_over_rdf_docs(spark, tmp_path):
+    """The reference's literal harvest shape: RDF documents through the SAME
+    staged pipeline (merge/validate/link/cc/materialize + resume)."""
+    from breg_dcat_harvester_spark.plans.harvest import HarvestConfig, run_harvest
+
+    cfg = HarvestConfig(out_dir=str(tmp_path / "kg"), source_kind="rdf_docs")
+    res = run_harvest(spark, [REF_XML, REF_TTL, OUR_JSONLD], cfg, run_id="rdf-a")
+    assert res["num_triples"] == 33  # README.md:104-122 parity
+    assert [s["stage"] for s in res["stages"]] == [
+        "edges_raw", "triples", "valid_triples", "links", "cc_labels",
+        "edges", "nodes",
+    ]
+    # resume is a no-op
+    res2 = run_harvest(spark, [REF_XML, REF_TTL, OUR_JSONLD], cfg, run_id="rdf-a")
+    assert res2["num_triples"] == 33 and res2["stages"] == []
+
+
 def test_ntriples_roundtrip_through_writer(spark, small_transcripts):
     """Engine-written N-Triples re-ingest to the identical triple set."""
     from breg_dcat_harvester_spark.operators.extract import extract_edges
