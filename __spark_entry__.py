@@ -28,6 +28,7 @@ from breg_dcat_harvester_spark.operators import dedup as ddp
 from breg_dcat_harvester_spark.operators import labels as lbl
 from breg_dcat_harvester_spark.operators import link as lnk
 from breg_dcat_harvester_spark.operators import multimodal as mm
+from breg_dcat_harvester_spark.operators import sampling as smp
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import merge_triples
 from breg_dcat_harvester_spark.operators.validate import (
@@ -304,6 +305,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pigeonhole blocking must lose nothing)
     q["dedup_simhash"] = lambda spark, sf: ddp.simhash_pairs(
         _documents(spark, sf), max_hamming=3
+    )
+
+    # end-to-end curation decision: near-dup clusters (LSH pairs -> CC) ->
+    # keep the min doc_id per cluster; every doc gets a row
+    q["dedup_canonical_docs"] = lambda spark, sf: ddp.canonical_docs(
+        _documents(spark, sf), threshold=0.8, bands=32, rows_per_band=2
+    )
+
+    # deterministic sha256-bucket sampling (training-mix construction):
+    # per-language per-mille rates, zh exercises the default-drop path
+    SAMPLE_RATES = {"en": 250, "de": 600, "fr": 600, "es": 600}
+
+    q["sample_stratified"] = lambda spark, sf: smp.stratified_bernoulli(
+        _documents(spark, sf).select("doc_id", "lang"), SAMPLE_RATES
+    )
+
+    # exactly min(k, |stratum|) rows per language, hash-ordered (fr has 64
+    # docs at sf0.01 -> the short-stratum branch is exercised)
+    q["sample_fixed_k"] = lambda spark, sf: smp.stratified_fixed_k(
+        _documents(spark, sf).select("doc_id", "lang"), k=70
     )
 
     def _queries_df(spark, sf):
@@ -790,8 +811,7 @@ SELECT sha256(text) AS text_hash,
 FROM documents GROUP BY sha256(text) HAVING count(*) > 1
 """
 
-    ngram_core = """
-WITH toks AS (
+    ngram_ctes = """toks AS (
     SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
 ),
 shl AS (
@@ -808,14 +828,67 @@ pi AS (
     SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS gi
     FROM grams g1 JOIN grams g2 ON g2.shingle = g1.shingle AND g1.doc_id < g2.doc_id
     GROUP BY 1, 2
-)
+)"""
+    ngram_core = (
+        "WITH "
+        + ngram_ctes
+        + """
 SELECT pi.a, pi.b, CAST(gi AS BIGINT) AS g_inter,
        CAST(sa.n + sb.n - gi AS BIGINT) AS g_union
 FROM pi JOIN sizes sa ON sa.doc_id = pi.a JOIN sizes sb ON sb.doc_id = pi.b
 WHERE gi * 1000 >= (sa.n + sb.n - gi) * 800
 """
+    )
     sql["dedup_ngram_jaccard"] = ngram_core
     sql["dedup_minhash_lsh"] = ngram_core  # LSH must equal brute force w.h.p.
+
+    # clusters over the SAME pair set (LSH == brute force w.h.p.), closed
+    # transitively with a recursive CTE, min-id canonical, joined back to
+    # every document
+    sql["dedup_canonical_docs"] = (
+        "WITH RECURSIVE "
+        + ngram_ctes
+        + """,
+pairs AS (
+    SELECT pi.a, pi.b FROM pi
+    JOIN sizes sa ON sa.doc_id = pi.a JOIN sizes sb ON sb.doc_id = pi.b
+    WHERE gi * 1000 >= (sa.n + sb.n - gi) * 800
+),
+sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+walk(x, c) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM sym) AS n
+    UNION
+    SELECT s.y, w.c FROM walk w JOIN sym s ON s.x = w.x
+),
+comp AS (SELECT x AS doc_id, min(c) AS canon FROM walk GROUP BY x)
+SELECT d.doc_id,
+       coalesce(comp.canon, d.doc_id) AS canonical_id,
+       d.doc_id = coalesce(comp.canon, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+"""
+    )
+
+    # deterministic sha256-bucket sampling — the decision is replayed
+    # bit-exactly: bucket = first 8 hex chars of sha256('smpl:'||doc_id)
+    # as an int, mod 1000
+    bucket_sql = "(('0x' || substr(sha256('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000)"
+    rate_sql = (
+        "CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 600 "
+        "WHEN 'fr' THEN 600 WHEN 'es' THEN 600 ELSE 0 END"
+    )
+    sql["sample_stratified"] = f"""
+SELECT doc_id, lang, {bucket_sql} AS bucket
+FROM documents
+WHERE {bucket_sql} < {rate_sql}
+"""
+
+    sql["sample_fixed_k"] = f"""
+WITH b AS (SELECT doc_id, lang, {bucket_sql} AS bucket FROM documents)
+SELECT doc_id, lang, bucket,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS BIGINT)
+           AS sample_rank
+FROM b QUALIFY sample_rank <= 70
+"""
 
     # pure-Python xxHash64+SimHash brute-force replay (scripts/make_oracles.py
     # -> data/oracles/; the engine's pigeonhole blocking must lose nothing)

@@ -88,7 +88,11 @@ def _one_run(cores: int, sf: str, reps: int = 2) -> dict:
     code = _SCALING_SNIPPET.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
         cores=cores,
-        parts=str(max(cores * 2, 4)),
+        # SAME partition count at every parallelism (strong-scaling protocol):
+        # tying partitions to cores would confound task granularity with
+        # parallelism — a 4-partition n2 run and a 16-partition n8 run do
+        # different per-task work, and the ratio then measures both effects.
+        parts="32",
         sf=sf,
         reps=reps,
     )
@@ -96,23 +100,46 @@ def _one_run(cores: int, sf: str, reps: int = 2) -> dict:
     # can inherit a pipe fd and hold it open past the child's exit, blocking
     # capture_output's EOF wait until the timeout even though the run
     # finished (observed: a 2-minute run "timing out" at 900 s).
+    #
+    # The run itself takes <60 s; timeout at 300 and RETRY once rather than
+    # burning 900 s on a wedged python-worker socket (seen once: worker stuck
+    # in tcp_sendmsg, executor epoll-waiting — unrecoverable without a kill).
+    # start_new_session lets the timeout kill the whole JVM+worker tree, not
+    # just the child python.
+    import signal
     import tempfile
 
-    with tempfile.TemporaryFile(mode="w+") as out, tempfile.TemporaryFile(
-        mode="w+"
-    ) as err:
-        subprocess.run(
-            [sys.executable, "-c", code], stdout=out, stderr=err, timeout=900
-        )
-        out.seek(0)
-        lines = [l for l in out.read().splitlines() if l.startswith("{")]
-        if not lines:
+    last_err = None
+    for attempt in range(2):
+        with tempfile.TemporaryFile(mode="w+") as out, tempfile.TemporaryFile(
+            mode="w+"
+        ) as err:
+            proc = subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=out,
+                stderr=err,
+                start_new_session=True,
+            )
+            try:
+                proc.wait(timeout=300)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                proc.wait()
+                last_err = f"scaling run (cores={cores}, {sf}) timed out at 300 s"
+                continue
+            out.seek(0)
+            lines = [l for l in out.read().splitlines() if l.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
             err.seek(0)
-            raise RuntimeError(
+            last_err = (
                 f"scaling run (cores={cores}, {sf}) produced no result line; "
                 f"stderr tail: {err.read()[-500:]}"
             )
-    return json.loads(lines[-1])
+    raise RuntimeError(f"{last_err} (after retry)")
 
 
 def _interleaved_pair(
@@ -168,7 +195,10 @@ def run_scaling(sf_capped: str = SCALING_SF) -> dict:
     """
     out: dict = {}
 
-    within = _interleaved_pair(2, 8, "sf5", rounds=5, reps=1, warmup_rounds=2)
+    # min-of-2 per config per round: with reps=1 a single co-tenant burst in
+    # either window swings the paired ratio 40% (observed spread 0.49-0.91);
+    # min-of-2 rejects one-sided bursts before the ratio is formed
+    within = _interleaved_pair(2, 8, "sf5", rounds=4, reps=2, warmup_rounds=1)
     # calibrate what the host actually delivers at 2 vs 8 pure-CPU workers
     # (the vCPUs are hypervisor-shared): engine efficiency normalized to
     # delivered capacity separates OUR scaling from the host's.  Both pairs

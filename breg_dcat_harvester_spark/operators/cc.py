@@ -124,22 +124,25 @@ def build_nodes(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     nodes = subj_nodes.unionByName(obj_nodes).distinct()
 
-    etype = (
-        edges.filter(F.col("pred") == RDF_TYPE)
-        .groupBy(F.col("subj").alias("node_id"))
-        .agg(F.min("obj").alias("entity_type"))
-    )
     from ..schema import DCT, FOAF
 
-    lbl = (
-        edges.filter(F.col("pred").isin(FOAF + "name", DCT + "title"))
+    # one filtered scan + one groupBy for BOTH attributes (the split
+    # two-groupBy + two-join form shuffled twice and re-traversed the edge
+    # DAG per branch when uncached) — same single-pass shape as
+    # link.entity_labels
+    attrs = (
+        edges.filter(F.col("pred").isin(RDF_TYPE, FOAF + "name", DCT + "title"))
         .groupBy(F.col("subj").alias("node_id"))
-        .agg(F.min("obj").alias("label"))
+        .agg(
+            F.min(F.when(F.col("pred") == RDF_TYPE, F.col("obj"))).alias(
+                "entity_type"
+            ),
+            F.min(F.when(F.col("pred") != RDF_TYPE, F.col("obj"))).alias("label"),
+        )
     )
     m = canonical_mapping(labels).withColumnRenamed("canonical_id", "_canon")
     return (
-        nodes.join(etype, "node_id", "left")
-        .join(lbl, "node_id", "left")
+        nodes.join(attrs, "node_id", "left")
         .join(F.broadcast(m), "node_id", "left")
         .select(
             "node_id",

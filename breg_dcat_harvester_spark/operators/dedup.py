@@ -25,7 +25,7 @@ linking (hot boilerplate text floods a bucket; guard + per-bucket metrics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 WORD_SPLIT = "\\s+"
@@ -150,9 +150,16 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", "bk.band_id", "bk.band_hash"
     )
-    sized = banded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
-    ).filter(F.col("bucket_n") <= max_bucket)
+    # skew guard via partial-agg groupBy + anti-join of the (few) oversized
+    # buckets — see link.lsh_candidates for why this beats the window form
+    big = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+    sized = banded.join(
+        big.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti"
+    )
     cands = (
         sized.alias("l")
         .join(sized.alias("r"), ["band_id", "band_hash"])
@@ -172,6 +179,54 @@ def minhash_lsh_pairs(
             F.size(F.array_union("sa", "sb")).cast("long").alias("g_union"),
         )
         .filter(F.col("g_inter") * 1000 >= F.col("g_union") * num)
+    )
+
+
+def canonical_docs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end near-dup curation: one keep/drop decision PER DOCUMENT.
+
+    Pair lists (minhash_lsh_pairs) are evidence, not a decision — a corpus
+    pipeline needs "which copy do I keep?".  Near-dup similarity is not
+    transitive, so pairs are clustered with connected components (cc.py's
+    checkpointed min-propagation; transitive closure is the standard
+    conservative policy) and the smallest doc_id in each cluster is kept.
+
+    Returns every input document: (doc_id, canonical_id, is_canonical).
+    Deterministic at any parallelism — canonical choice is content-ordered,
+    not partition-ordered.  Scale shape: LSH blocking + CC iterations +
+    one broadcast-or-shuffle left join back to the corpus ids.
+    """
+    from .cc import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df,
+        threshold=threshold,
+        n=n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    labels = connected_components(pairs, "a", "b").withColumnRenamed(
+        "node_id", "doc_id"
+    )
+    return (
+        _docs(df, id_col, text_col)
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
     )
 
 

@@ -27,7 +27,7 @@ Scale design:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -44,19 +44,24 @@ DEFAULT_MAX_BUCKET = 64
 
 def entity_labels(edges: DataFrame) -> DataFrame:
     """(node_id, entity_type, label) for every typed entity with a
-    foaf:name or dct:title (label = lexicographic min when multi-valued)."""
-    typed = (
-        edges.filter(F.col("pred") == RDF_TYPE)
-        .groupBy("subj")
-        .agg(F.min("obj").alias("entity_type"))
+    foaf:name or dct:title (label = lexicographic min when multi-valued).
+
+    Single-pass shape: one filtered scan + ONE groupBy computing both
+    conditional mins, then require both present.  The former two-groupBy +
+    self-join form shuffled twice and — worse — traversed the upstream
+    extraction DAG once per branch when the edge frame wasn't cached."""
+    relevant = edges.filter(
+        F.col("pred").isin(RDF_TYPE, FOAF + "name", DCT + "title")
     )
-    labels = (
-        edges.filter(F.col("pred").isin(FOAF + "name", DCT + "title"))
-        .groupBy("subj")
-        .agg(F.min("obj").alias("label"))
-    )
-    return typed.join(labels, "subj").select(
-        F.col("subj").alias("node_id"), "entity_type", "label"
+    return (
+        relevant.groupBy(F.col("subj").alias("node_id"))
+        .agg(
+            F.min(F.when(F.col("pred") == RDF_TYPE, F.col("obj"))).alias(
+                "entity_type"
+            ),
+            F.min(F.when(F.col("pred") != RDF_TYPE, F.col("obj"))).alias("label"),
+        )
+        .filter(F.col("entity_type").isNotNull() & F.col("label").isNotNull())
     )
 
 
@@ -120,12 +125,17 @@ def lsh_candidates(
 
     # skew guard: drop oversize buckets (hot-label floods); they are counted
     # upstream via metrics, and true pairs still meet in other bands.
-    sized = banded.withColumn(
-        "bucket_n",
-        F.count(F.lit(1)).over(
-            Window.partitionBy("entity_type", "band_id", "band_hash")
-        ),
-    ).filter(F.col("bucket_n") <= max_bucket)
+    # Shape: groupBy collapses to DISTINCT BUCKETS with map-side partial agg
+    # (the former window form shuffled+sorted every banded row), then the
+    # handful of oversized buckets anti-joins back (AQE broadcasts it — no
+    # second shuffle of the banded rows).
+    keys = ["entity_type", "band_id", "band_hash"]
+    big = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+    sized = banded.join(big.select(*keys), keys, "left_anti")
 
     left = sized.select("entity_type", "band_id", "band_hash", F.col("node_id").alias("a"))
     right = sized.select("entity_type", "band_id", "band_hash", F.col("node_id").alias("b"))

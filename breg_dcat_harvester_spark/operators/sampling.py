@@ -1,0 +1,88 @@
+"""Deterministic corpus sampling (training-data pipeline operators).
+
+Training mixes are built by sampling strata (language, source, quality band)
+at controlled rates.  At 100 TB the sampler must be:
+
+* **Deterministic** — re-running the pipeline (or resuming a failed run)
+  must select the SAME rows; ``rand()``-based sampling is not reproducible
+  across retries/cluster sizes.  We hash a stable key instead: a row is kept
+  iff ``bucket(key) < rate``, where bucket is sha256-derived.  sha256 (not
+  xxhash64) so any engine can replay the decision bit-exactly — the DuckDB
+  oracle does.
+* **Map-only where possible** — ``stratified_bernoulli`` is a pure filter:
+  no shuffle, full predicate pushdown potential, trivially parallel at any
+  cluster size.
+* **Bounded where required** — ``stratified_fixed_k`` gives exactly
+  min(k, |stratum|) rows per stratum (a distributed analog of per-stratum
+  reservoir sampling): rank rows by the same content hash within each
+  stratum and keep the top k.  One shuffle on the stratum key; skewed
+  strata are fine because the window only ranks (no buffering of values
+  beyond the sort), and k rows survive per stratum regardless.
+
+Reference parity note: the reference has no sampler (it harvests complete
+sources); this family belongs to the "operations a large-scale training-data
+pipeline would need" mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 1000
+
+
+def sample_bucket(key, salt: str = "smpl"):
+    """Deterministic bucket in [0, 1000) from a stable key column.
+
+    First 8 hex chars of sha256("<salt>:<key>") as an integer, mod 1000 —
+    uniform, engine-replayable (DuckDB: ('0x'||substr(sha256(..),1,8))::BIGINT).
+    """
+    h = F.sha2(F.concat_ws(":", F.lit(salt), key.cast("string")), 256)
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS).alias(
+        "bucket"
+    )
+
+
+def stratified_bernoulli(
+    df: DataFrame,
+    rates: dict[str, int],
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+    default_rate: int = 0,
+    salt: str = "smpl",
+) -> DataFrame:
+    """Keep each row iff its bucket < the stratum's rate (per-mille).
+
+    ``rates`` maps stratum value -> keep-rate out of 1000 (e.g. {"en": 100,
+    "de": 500}).  Unlisted strata use ``default_rate``.  Pure map-side
+    filter: zero shuffles, deterministic, idempotent under re-runs.
+    """
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(int(r))).otherwise(rate)
+    return df.withColumn(
+        "bucket", sample_bucket(F.col(key_col), salt=salt)
+    ).filter(F.col("bucket") < rate)
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "smpl",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hash order.
+
+    The hash ranking makes the selection content-deterministic (same rows
+    at any parallelism) and unbiased (sha256 buckets are uniform); ties on
+    bucket break by key for full determinism.  Adds ``bucket`` and
+    ``sample_rank`` columns.
+    """
+    bucketed = df.withColumn("bucket", sample_bucket(F.col(key_col), salt=salt))
+    w = Window.partitionBy(stratum_col).orderBy("bucket", key_col)
+    return (
+        bucketed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

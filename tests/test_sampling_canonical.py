@@ -1,0 +1,109 @@
+"""Deterministic sampling + canonical near-dup curation operators.
+
+Each test checks the Spark operator against an independent DuckDB replay of
+the same definition (the driver's oracle gate in miniature) plus the
+property that actually matters at scale: the result is identical at any
+partitioning.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from breg_dcat_harvester_spark.operators import dedup as ddp
+from breg_dcat_harvester_spark.operators import sampling as smp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def test_sample_bucket_matches_duckdb(spark, docs, duck):
+    """The sha256-derived bucket must replay bit-exactly in another engine
+    (this is what makes the sampling decision auditable)."""
+    got = {
+        r.doc_id: r.bucket
+        for r in docs.select(
+            "doc_id", smp.sample_bucket(F.col("doc_id"))
+        ).collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT doc_id, ('0x' || substr(sha256('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_stratified_bernoulli_rates_and_determinism(spark, docs):
+    rates = {"en": 250, "de": 600}
+    out = smp.stratified_bernoulli(docs.select("doc_id", "lang"), rates)
+    rows = {(r.doc_id, r.lang) for r in out.collect()}
+    # unlisted strata drop entirely (default_rate=0)
+    assert all(lang in rates for _, lang in rows)
+    # every kept bucket is under its stratum rate
+    for r in out.collect():
+        assert r.bucket < rates[r.lang]
+    # identical selection at a different parallelism
+    rows2 = {
+        (r.doc_id, r.lang)
+        for r in smp.stratified_bernoulli(
+            docs.select("doc_id", "lang").repartition(13), rates
+        ).collect()
+    }
+    assert rows2 == rows
+
+
+def test_stratified_fixed_k(spark, docs):
+    k = 5
+    out = smp.stratified_fixed_k(docs.select("doc_id", "lang"), k=k).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append((r.bucket, r.doc_id, r.sample_rank))
+    counts = dict(
+        (r.lang, r["count"])
+        for r in docs.groupBy("lang").count().collect()
+    )
+    for lang, rows in per.items():
+        assert len(rows) == min(k, counts[lang])
+        assert sorted(r[2] for r in rows) == list(range(1, len(rows) + 1))
+        # hash-ordered: ranks follow (bucket, doc_id)
+        assert sorted(rows) == sorted(rows, key=lambda t: t[2])
+    # deterministic under repartition
+    again = smp.stratified_fixed_k(
+        docs.select("doc_id", "lang").repartition(7), k=k
+    ).collect()
+    assert {(r.doc_id, r.sample_rank) for r in again} == {
+        (r.doc_id, r.sample_rank) for r in out
+    }
+
+
+def test_canonical_docs_covers_corpus_and_matches_pairs(spark, docs):
+    decisions = ddp.canonical_docs(docs, threshold=0.8).collect()
+    assert len(decisions) == docs.count()  # one decision per document
+    canon = {r.doc_id: r.canonical_id for r in decisions}
+    # canonical ids are cluster minima and fixpoints
+    for did, c in canon.items():
+        assert c <= did
+        assert canon[c] == c, "canonical doc must map to itself"
+    # pairs imply same cluster; the planted near-dups collapse
+    pairs = ddp.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    assert pairs, "testdata should contain planted near-dups"
+    for p in pairs:
+        assert canon[p.a] == canon[p.b]
+    # is_canonical is consistent
+    for r in decisions:
+        assert r.is_canonical == (r.doc_id == r.canonical_id)
