@@ -193,16 +193,13 @@ def _skew_guarded(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     shares the join's partitioning key, so no extra shuffle materializes."""
     if not max_bucket:
         return banded
-    # partial-agg groupBy + anti-join of the (few) oversized buckets — the
-    # former window form shuffled+sorted every banded row; this shuffles only
-    # distinct buckets (map-side combined) and AQE broadcasts the tiny
-    # oversize list back (see link.lsh_candidates)
-    big = (
-        banded.groupBy("band_id", "bk")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") > max_bucket)
-    )
-    return banded.join(big.select("band_id", "bk"), ["band_id", "bk"], "left_anti")
+    # WINDOW form on purpose: its exchange is reused by every downstream
+    # consumer of the banded frame (sketch computed once, one shuffle); a
+    # groupBy+anti-join guard re-executes the sketch map-work per consumer —
+    # measured slower at sf0.1 (see dedup.minhash_lsh_pairs).
+    return banded.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("band_id", "bk"))
+    ).filter(F.col("_bn") <= max_bucket).drop("_bn")
 
 
 def _dim_or_empty(

@@ -25,7 +25,7 @@ linking (hot boilerplate text floods a bucket; guard + per-bucket metrics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_SPLIT = "\\s+"
@@ -150,16 +150,18 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", "bk.band_id", "bk.band_hash"
     )
-    # skew guard via partial-agg groupBy + anti-join of the (few) oversized
-    # buckets — see link.lsh_candidates for why this beats the window form
-    big = (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n") > max_bucket)
-    )
-    sized = banded.join(
-        big.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti"
-    )
+    # Skew guard: drop oversize buckets via a count window over the bucket
+    # key.  Deliberately the WINDOW form, not groupBy+anti-join: the window's
+    # exchange is REUSED by both sides of the band self-join below (one
+    # shuffle, signatures computed once), whereas the anti-join form
+    # recomputes the 64-hash signature map-work per consumer — measured
+    # 4.8s vs 7.6s at sf0.1 (and an explicit repartition-for-reuse variant
+    # measured 6.9s).  The window's extra per-partition sort is on the
+    # bucket key the join needs anyway.
+    sized = banded.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash")),
+    ).filter(F.col("bucket_n") <= max_bucket)
     cands = (
         sized.alias("l")
         .join(sized.alias("r"), ["band_id", "band_hash"])

@@ -27,7 +27,7 @@ Scale design:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -125,17 +125,16 @@ def lsh_candidates(
 
     # skew guard: drop oversize buckets (hot-label floods); they are counted
     # upstream via metrics, and true pairs still meet in other bands.
-    # Shape: groupBy collapses to DISTINCT BUCKETS with map-side partial agg
-    # (the former window form shuffled+sorted every banded row), then the
-    # handful of oversized buckets anti-joins back (AQE broadcasts it — no
-    # second shuffle of the banded rows).
-    keys = ["entity_type", "band_id", "band_hash"]
-    big = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n") > max_bucket)
-    )
-    sized = banded.join(big.select(*keys), keys, "left_anti")
+    # WINDOW form on purpose: its exchange is reused by both sides of the
+    # band self-join (signatures computed once, one shuffle); a
+    # groupBy+anti-join guard re-executes the signature map-work per
+    # consumer — measured slower at sf0.1 (see dedup.minhash_lsh_pairs).
+    sized = banded.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("entity_type", "band_id", "band_hash")
+        ),
+    ).filter(F.col("bucket_n") <= max_bucket)
 
     left = sized.select("entity_type", "band_id", "band_hash", F.col("node_id").alias("a"))
     right = sized.select("entity_type", "band_id", "band_hash", F.col("node_id").alias("b"))
