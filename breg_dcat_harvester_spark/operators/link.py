@@ -103,11 +103,24 @@ def lsh_candidates(
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    size_ratio_threshold: float | None = None,
 ) -> DataFrame:
     """Candidate pairs (a, b) with a < b sharing >=1 LSH band bucket,
-    restricted to equal entity_type (type is part of the blocking key)."""
+    restricted to equal entity_type (type is part of the blocking key).
+
+    ``size_ratio_threshold``: when set, the gram-count of each side rides
+    along the banded rows (one long, +8 bytes per row) and the jaccard
+    size-ratio prefilter (j >= t requires |A|/|B| in [t, 1/t]) applies
+    INSIDE the band join, before the distinct — cheaper than joining a
+    sizes table against the candidate list afterwards, and it shrinks the
+    distinct's input.
+    """
     grammed = with_grams(labeled)
-    keyed = minhash_signature(grammed, bands * rows_per_band, keep=("entity_type",))
+    keyed = minhash_signature(
+        grammed.withColumn("n_g", F.size("grams")),
+        bands * rows_per_band,
+        keep=("entity_type", "n_g"),
+    )
 
     band_cols = [
         F.struct(
@@ -120,8 +133,8 @@ def lsh_candidates(
         for i in range(bands)
     ]
     banded = keyed.select(
-        "node_id", "entity_type", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("node_id", "entity_type", "bk.band_id", "bk.band_hash")
+        "node_id", "entity_type", "n_g", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("node_id", "entity_type", "n_g", "bk.band_id", "bk.band_hash")
 
     # skew guard: drop oversize buckets (hot-label floods); they are counted
     # upstream via metrics, and true pairs still meet in other bands.
@@ -136,14 +149,21 @@ def lsh_candidates(
         ),
     ).filter(F.col("bucket_n") <= max_bucket)
 
-    left = sized.select("entity_type", "band_id", "band_hash", F.col("node_id").alias("a"))
-    right = sized.select("entity_type", "band_id", "band_hash", F.col("node_id").alias("b"))
-    return (
-        left.join(right, ["entity_type", "band_id", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("entity_type", "a", "b")
-        .distinct()
+    keys = ["entity_type", "band_id", "band_hash"]
+    left = sized.select(
+        *keys, F.col("node_id").alias("a"), F.col("n_g").alias("na")
     )
+    right = sized.select(
+        *keys, F.col("node_id").alias("b"), F.col("n_g").alias("nb")
+    )
+    pairs = left.join(right, keys).filter(F.col("a") < F.col("b"))
+    if size_ratio_threshold is not None:
+        num = int(round(size_ratio_threshold * 1000))
+        pairs = pairs.filter(
+            (F.col("na") * 1000 >= F.col("nb") * num)
+            & (F.col("nb") * 1000 >= F.col("na") * num)
+        )
+    return pairs.select("entity_type", "a", "b").distinct()
 
 
 def _pair_grams(candidates: DataFrame, labeled: DataFrame) -> DataFrame:
@@ -238,18 +258,13 @@ def link_pairs(
     # verification — without the cache the extraction DAG would re-execute
     # once per consumer
     labeled = with_grams(entity_labels(edges)).cache()
-    cands = lsh_candidates(labeled, bands=bands, rows_per_band=rows_per_band)
-    # size-ratio prefilter: jaccard >= t requires |A|/|B| within [t, 1/t]
-    num = int(round(threshold * 1000))
-    sizes = labeled.select("node_id", F.size("grams").alias("n_g"))
-    cands = (
-        cands.join(sizes.withColumnRenamed("node_id", "a").withColumnRenamed("n_g", "na"), "a")
-        .join(sizes.withColumnRenamed("node_id", "b").withColumnRenamed("n_g", "nb"), "b")
-        .filter(
-            (F.col("na") * 1000 >= F.col("nb") * num)
-            & (F.col("nb") * 1000 >= F.col("na") * num)
-        )
-        .select("entity_type", "a", "b")
+    # the jaccard size-ratio prefilter (j >= t needs |A|/|B| in [t, 1/t])
+    # rides inside the band join — no sizes-table joins afterwards
+    cands = lsh_candidates(
+        labeled,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        size_ratio_threshold=threshold,
     )
     scored = score_candidates(cands, labeled, scorer=scorer)
     # integer threshold comparison (g_inter/g_union >= num/1000) — exact, no
