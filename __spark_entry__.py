@@ -28,6 +28,7 @@ from breg_dcat_harvester_spark.operators import dedup as ddp
 from breg_dcat_harvester_spark.operators import labels as lbl
 from breg_dcat_harvester_spark.operators import link as lnk
 from breg_dcat_harvester_spark.operators import multimodal as mm
+from breg_dcat_harvester_spark.operators import curation as cur
 from breg_dcat_harvester_spark.operators import sampling as smp
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import merge_triples
@@ -325,6 +326,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # docs at sf0.01 -> the short-stratum branch is exercised)
     q["sample_fixed_k"] = lambda spark, sf: smp.stratified_fixed_k(
         _documents(spark, sf).select("doc_id", "lang"), k=70
+    )
+
+    # flagship curation composition: dedup -> quality -> sample, one plan,
+    # one auditable decision row per document
+    # thresholds chosen to actually discriminate on this corpus (tokens
+    # 10-99, alpha ratio 0.795-0.855): every gate branch is exercised
+    q["curate_corpus"] = lambda spark, sf: cur.curate_corpus(
+        _documents(spark, sf),
+        SAMPLE_RATES,
+        threshold=0.8,
+        min_tokens=20,
+        min_alpha_per_mille=820,
     )
 
     def _queries_df(spark, sf):
@@ -889,6 +902,48 @@ SELECT doc_id, lang, bucket,
            AS sample_rank
 FROM b QUALIFY sample_rank <= 70
 """
+
+    # curation composition: canonical dedup (recursive CTE over the exact
+    # pair set) + integer-exact quality gate + sha256-bucket sampling —
+    # every decision replayed bit-exactly
+    sql["curate_corpus"] = (
+        "WITH RECURSIVE "
+        + ngram_ctes
+        + f""",
+pairs AS (
+    SELECT pi.a, pi.b FROM pi
+    JOIN sizes sa ON sa.doc_id = pi.a JOIN sizes sb ON sb.doc_id = pi.b
+    WHERE gi * 1000 >= (sa.n + sb.n - gi) * 800
+),
+sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+walk(x, c) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM sym) AS n
+    UNION
+    SELECT s.y, w.c FROM walk w JOIN sym s ON s.x = w.x
+),
+comp AS (SELECT x AS cdoc, min(c) AS canon FROM walk GROUP BY x),
+flagged AS (
+    SELECT d.doc_id, d.lang,
+           CAST(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS BIGINT)
+               AS n_alpha,
+           d.doc_id = coalesce(comp.canon, d.doc_id) AS is_canonical,
+           {bucket_sql} AS bucket,
+           {rate_sql} AS _rate
+    FROM documents d LEFT JOIN comp ON comp.cdoc = d.doc_id
+)
+SELECT doc_id, lang, n_tokens, n_chars, n_alpha, is_canonical,
+       (n_tokens >= 20 AND n_tokens <= 5000 AND n_alpha * 1000 >= n_chars * 820)
+           AS quality_ok,
+       bucket,
+       (is_canonical
+        AND (n_tokens >= 20 AND n_tokens <= 5000 AND n_alpha * 1000 >= n_chars * 820)
+        AND bucket < _rate) AS selected
+FROM flagged
+"""
+    )
 
     # pure-Python xxHash64+SimHash brute-force replay (scripts/make_oracles.py
     # -> data/oracles/; the engine's pigeonhole blocking must lose nothing)

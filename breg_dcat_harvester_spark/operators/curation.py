@@ -1,0 +1,100 @@
+"""End-to-end corpus curation: dedup -> quality -> sampling in ONE plan.
+
+The flagship training-data composition: a real pipeline does not run dedup,
+quality filtering, and mix sampling as separate jobs with intermediate
+materializations — it wants one DataFrame plan per corpus snapshot that
+emits an auditable PER-DOCUMENT decision row (why was this kept/dropped?),
+because at 100 TB "show me why doc X survived" is an operational
+requirement, not a nicety.
+
+``curate_corpus`` composes the already-tested pieces:
+
+* canonical near-dup decision (``dedup.canonical_docs``: MinHash-LSH pairs
+  -> connected components -> keep the min doc_id per cluster),
+* quality gating (``functions.textfns.quality_features``; integer-ratio
+  comparisons so another engine replays the decision exactly),
+* deterministic stratified sampling (``sampling.sample_bucket``: sha256
+  bucket vs a per-language per-mille rate).
+
+Everything stays in one Catalyst plan: quality and sampling are map-side
+expressions over the documents scan; only the dedup stage shuffles.  The
+output keeps EVERY input document with its flags; downstream selects
+``WHERE selected`` (and Parquet/Iceberg stats prune the rest on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textfns as tf
+from .dedup import canonical_docs
+from .sampling import sample_bucket
+
+# quality gate defaults — integer-exact so the DuckDB oracle replays them
+MIN_TOKENS = 5
+MAX_TOKENS = 5000
+MIN_ALPHA_PER_MILLE = 300  # n_alpha / n_chars >= 0.3
+
+
+def curate_corpus(
+    docs: DataFrame,
+    rates: dict[str, int],
+    threshold: float = 0.8,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+    min_alpha_per_mille: int = MIN_ALPHA_PER_MILLE,
+    default_rate: int = 0,
+    salt: str = "smpl",
+) -> DataFrame:
+    """Per-document curation decision row.
+
+    Returns every input document with:
+    (doc_id, lang, n_tokens, n_chars, n_alpha, is_canonical, quality_ok,
+    bucket, selected) where ``selected`` = canonical AND quality AND
+    sampled-into-the-mix.  Deterministic at any parallelism.
+    """
+    qf = tf.quality_features(F.col("text"))
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == value, F.lit(int(r))).otherwise(rate)
+
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        qf["n_tokens"].alias("n_tokens"),
+        qf["n_chars"].alias("n_chars"),
+        qf["n_alpha"].alias("n_alpha"),
+        sample_bucket(F.col("doc_id"), salt=salt),
+        rate.alias("_rate"),
+    ).withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("n_alpha") * 1000 >= F.col("n_chars") * min_alpha_per_mille),
+    )
+
+    decisions = canonical_docs(docs, threshold=threshold).select(
+        "doc_id", "is_canonical"
+    )
+
+    return (
+        flagged.join(decisions, "doc_id")
+        .withColumn(
+            "selected",
+            F.col("is_canonical")
+            & F.col("quality_ok")
+            & (F.col("bucket") < F.col("_rate")),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_chars",
+            "n_alpha",
+            "is_canonical",
+            "quality_ok",
+            "bucket",
+            "selected",
+        )
+    )
