@@ -10,11 +10,13 @@ cc.py's union-find.
 Scale design:
 * Shingling + MinHash signatures are pure Catalyst expressions
   (transform/sequence/xxhash64) — whole-stage codegen, no Python.
-* Banding: explode to (band_id, band_hash) keys and self-join; the join is
-  an equi-join on the band key, so it shuffles once on a well-spread hash.
-* Skew guard: band buckets larger than ``max_bucket`` are dropped (counted,
-  not silently — they re-pair via other bands; a hot label that floods one
-  bucket is exactly the skew the north_rule calls out).
+* Banding: explode to (band_id, band_hash) keys, ONE groupBy collecting
+  each bucket's members, pairs generated in-array — a single shuffle on a
+  well-spread hash, no self-join stage.
+* Skew guard: band buckets larger than ``max_bucket`` are dropped
+  (``size(members) <= max_bucket``; they re-pair via other bands — a hot
+  label that floods one bucket is exactly the skew the north_rule calls
+  out, and an unguarded bucket would emit k^2/2 pairs in one task).
 * Verification is *exact* 3-gram Jaccard, computed two ways (equality
   tested): ``scorer='sql'`` via array_intersect/array_union (JVM) and
   ``scorer='pandas'`` via an Arrow-batched vectorized pandas UDF (the
@@ -27,7 +29,7 @@ Scale design:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -136,27 +138,31 @@ def lsh_candidates(
         "node_id", "entity_type", "n_g", F.explode(F.array(*band_cols)).alias("bk")
     ).select("node_id", "entity_type", "n_g", "bk.band_id", "bk.band_hash")
 
-    # skew guard: drop oversize buckets (hot-label floods); they are counted
-    # upstream via metrics, and true pairs still meet in other bands.
-    # WINDOW form on purpose: its exchange is reused by both sides of the
-    # band self-join (signatures computed once, one shuffle); a
-    # groupBy+anti-join guard re-executes the signature map-work per
-    # consumer — measured slower at sf0.1 (see dedup.minhash_lsh_pairs).
-    sized = banded.withColumn(
-        "bucket_n",
-        F.count(F.lit(1)).over(
-            Window.partitionBy("entity_type", "band_id", "band_hash")
-        ),
-    ).filter(F.col("bucket_n") <= max_bucket)
-
-    keys = ["entity_type", "band_id", "band_hash"]
-    left = sized.select(
-        *keys, F.col("node_id").alias("a"), F.col("n_g").alias("na")
+    # Pair generation: ONE groupBy collects each bucket's (sorted) members
+    # and pairs them in-array — no self-join stage, no window sort, and the
+    # skew guard (hot-label bucket floods) is `size(members) <= max_bucket`
+    # directly.  See dedup.minhash_lsh_pairs for the measured comparison of
+    # this shape against window+self-join and two other guard variants.
+    buckets = (
+        banded.groupBy("entity_type", "band_id", "band_hash")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("node_id", "n_g"))
+            ).alias("members")
+        )
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
     )
-    right = sized.select(
-        *keys, F.col("node_id").alias("b"), F.col("n_g").alias("nb")
-    )
-    pairs = left.join(right, keys).filter(F.col("a") < F.col("b"))
+    pairs = buckets.select(
+        "entity_type",
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (m, i) ->"
+                " transform(slice(members, i + 2, size(members)),"
+                " m2 -> struct(m.node_id as a, m2.node_id as b,"
+                "              m.n_g as na, m2.n_g as nb))))"
+            )
+        ).alias("p"),
+    ).select("entity_type", "p.a", "p.b", "p.na", "p.nb")
     if size_ratio_threshold is not None:
         num = int(round(size_ratio_threshold * 1000))
         pairs = pairs.filter(
