@@ -296,16 +296,29 @@ def simhash_pairs(
     banded = sims.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")
     ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
-    cands = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["chunk_id", "chunk_val"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.simhash").alias("sa"),
-            F.col("r.simhash").alias("sb"),
+    # same in-array pair generation as minhash_lsh_pairs: one groupBy per
+    # chunk bucket, members paired with a nested transform — no self-join
+    buckets = (
+        banded.groupBy("chunk_id", "chunk_val")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "members"
+            )
         )
+        .filter(F.size("members") >= 2)
+    )
+    cands = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m, i) ->"
+                    " transform(slice(members, i + 2, size(members)),"
+                    " m2 -> struct(m.doc_id as a, m2.doc_id as b,"
+                    "              m.simhash as sa, m2.simhash as sb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.sa", "p.sb")
         .distinct()
     )
     return (
