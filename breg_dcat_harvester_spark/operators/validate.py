@@ -66,33 +66,52 @@ def validation_report(edges: DataFrame, shapes: list[Shape] | None = None) -> Da
         "target_class string, path string, min_count int, max_count int, severity string",
     )
 
-    typed = (
-        edges.filter(F.col("pred") == RDF_TYPE)
-        .select(F.col("subj"), F.col("obj").alias("entity_type"))
-        .distinct()
+    # ONE groupBy(subj) computes everything the checks need: the entity's
+    # type set plus a distinct-object count per constrained path (the shape
+    # paths are a small fixed set, so one conditional count_distinct column
+    # each).  The former three-stage form (typed distinct + per-(subj,pred)
+    # counts + subj join) shuffled three times for the same information.
+    paths = sorted({s.path for s in shapes})
+    per_subj = (
+        edges.filter(
+            (F.col("pred") == RDF_TYPE) | F.col("pred").isin(*paths)
+        )
+        .groupBy("subj")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(F.col("pred") == RDF_TYPE, F.col("obj"))
+                    )
+                )
+            ).alias("types"),
+            *[
+                F.count_distinct(
+                    F.when(F.col("pred") == p, F.col("obj"))
+                ).alias(f"_c{i}")
+                for i, p in enumerate(paths)
+            ],
+        )
+        .filter(F.size("types") > 0)
     )
-    # per (entity, pred) distinct-object counts — one shuffle keyed by subj
-    prop_counts = (
-        edges.filter(F.col("pred") != RDF_TYPE)
-        .groupBy("subj", "pred")
-        .agg(F.count_distinct("obj").alias("cnt"))
+    # multi-typed entities get every applicable shape, as before
+    exploded = per_subj.select(
+        "subj", F.explode("types").alias("entity_type"),
+        *[f"_c{i}" for i in range(len(paths))],
     )
-    # entities x applicable shapes (broadcast: shapes are tiny), left join to
-    # actual counts so missing properties count as 0 (min_count breaches).
-    checks = typed.join(
-        F.broadcast(shapes_df), typed["entity_type"] == shapes_df["target_class"]
-    ).join(
-        prop_counts,
-        (typed["subj"] == prop_counts["subj"]) & (shapes_df["path"] == prop_counts["pred"]),
-        "left",
-    ).select(
-        typed["subj"],
-        "entity_type",
-        "path",
-        F.coalesce("cnt", F.lit(0)).alias("count"),
-        "min_count",
-        "max_count",
-        "severity",
+    cnt = F.lit(None).cast("long")
+    for i, p in enumerate(paths):
+        cnt = F.when(F.col("path") == p, F.col(f"_c{i}")).otherwise(cnt)
+    checks = (
+        exploded.join(
+            F.broadcast(shapes_df),
+            exploded["entity_type"] == shapes_df["target_class"],
+        )
+        .withColumn("count", cnt)
+        .select(
+            "subj", "entity_type", "path", "count",
+            "min_count", "max_count", "severity",
+        )
     )
     return checks.filter(
         (F.col("count") < F.col("min_count"))
