@@ -1,8 +1,12 @@
-"""spark-submit entry point (north_rule: "runs via spark-submit --py-files").
+"""CLI for the pipeline (north_rule: "runs via spark-submit --py-files").
 
-Usage (cluster):
+Usage (cluster — spark-submit takes a script, so the thin
+``scripts/submit_harvest.py`` is the submittable entry; the package ships in
+the --py-files zip and is imported from it on driver and executors; the
+submitted --master is respected, see session.get_spark):
     zip -r pipeline.zip breg_dcat_harvester_spark
-    spark-submit --py-files pipeline.zip -m breg_dcat_harvester_spark.cli \\
+    spark-submit --master <cluster> --py-files pipeline.zip \\
+        scripts/submit_harvest.py \\
         harvest --transcripts <path-or-iceberg-table> --out <dir> [--resume RUN_ID]
 
 Local:

@@ -44,7 +44,15 @@ def get_spark(
         )
 
     builder = SparkSession.builder.appName(app_name)
-    if master is None and not os.environ.get("SPARK_GRAFT_IN_CLUSTER"):
+    # Under spark-submit the driver python is launched by PythonRunner and
+    # talks to an already-running gateway (PYSPARK_GATEWAY_PORT is set) whose
+    # conf carries the submitted --master; setting one here would CLOBBER it
+    # (a `--master yarn` job silently running local[*]).  Only default the
+    # master when we own the JVM launch.
+    in_submit = "PYSPARK_GATEWAY_PORT" in os.environ or os.environ.get(
+        "SPARK_GRAFT_IN_CLUSTER"
+    )
+    if master is None and not in_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if master:
