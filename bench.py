@@ -287,6 +287,80 @@ def skew_demo(spark) -> dict:
     return out
 
 
+def triple_pr(spark, transcripts) -> dict:
+    """BASELINE.md headline metric: triple precision/recall vs the reference
+    harvester's mappings (target >= 0.95).  Two anchors:
+
+    * ``rdf_docs``: the reference's OWN sample documents
+      (ontology/sample-01.xml, sample-02.ttl) parsed through the full Spark
+      ingest path vs the hand-transcribed golden of the reference's
+      RDFLib-validated mapping (README ``num_triples: 33`` corpus);
+    * ``transcript_extract``: the production pandas/Arrow extractor vs the
+      independently-written Catalyst-SQL twin over the bench corpus — the
+      dual-implementation cross-check that plays the reference-comparison
+      role for the transcript payload (no reference implementation exists
+      for transcripts; the two extractors were written against the same
+      spec and disagreements count against BOTH precision and recall).
+    """
+    from breg_dcat_harvester_spark.operators.extract import extract_edges
+    from breg_dcat_harvester_spark.operators.merge import merge_triples
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ref_docs = [
+        "/root/reference/api/breg_harvester/ontology/sample-01.xml",
+        "/root/reference/api/breg_harvester/ontology/sample-02.ttl",
+        os.path.join(repo, "data", "rdf_samples", "sample-03.jsonld"),
+    ]
+    golden = os.path.join(repo, "data", "oracles", "rdf_docs_golden.parquet")
+    out = {}
+    if all(os.path.exists(p) for p in ref_docs) and os.path.exists(golden):
+        import duckdb
+
+        from breg_dcat_harvester_spark.sources.rdf_parse import (
+            parse_rdf_docs,
+            read_rdf_documents,
+        )
+
+        cols = ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
+        got = {
+            tuple(r)
+            for r in parse_rdf_docs(
+                read_rdf_documents(spark, ref_docs), id_col="source"
+            )
+            .select(*cols)
+            .distinct()
+            .collect()
+        }
+        ref = {
+            tuple(r)
+            for r in duckdb.query(
+                f"SELECT {', '.join(cols)} FROM read_parquet('{golden}')"
+            ).fetchall()
+        }
+        tp = len(got & ref)
+        out["rdf_docs"] = {
+            "precision": round(tp / len(got), 4) if got else None,
+            "recall": round(tp / len(ref), 4) if ref else None,
+            "n_reference": len(ref),
+            "n_emitted": len(got),
+        }
+
+    ident = ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
+    a = merge_triples(extract_edges(transcripts, impl="pandas")).select(*ident).distinct()
+    b = merge_triples(extract_edges(transcripts, impl="sql")).select(*ident).distinct()
+    n_a, n_b = a.count(), b.count()
+    # NULL-SAFE set intersection: lang/dtype are null for URI objects, and a
+    # join's `=` never matches null to null — exceptAll treats them equal
+    tp = n_a - a.exceptAll(b).count()
+    out["transcript_extract"] = {
+        "precision": round(tp / n_a, 4) if n_a else None,
+        "recall": round(tp / n_b, 4) if n_b else None,
+        "n_pandas": n_a,
+        "n_sql": n_b,
+    }
+    return out
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -405,6 +479,12 @@ def main() -> None:
         harvest = {"error": str(exc)[:200]}
     finally:
         shutil.rmtree(hdir, ignore_errors=True)
+    # BASELINE headline metric: triple P/R vs the reference mappings
+    try:
+        pr = triple_pr(spark, t)
+    except Exception as exc:  # pragma: no cover
+        pr = {"error": str(exc)[:200]}
+
     # fail-soft: the driver needs the one JSON line even if a sub-benchmark
     # dies (co-tenant OOM, subprocess timeout)
     try:
@@ -430,6 +510,7 @@ def main() -> None:
         "turns": n_turns,
         "triples": n_triples,
         "turns_per_sec_extract": round(n_turns / extract_sec, 1),
+        "triple_pr": pr,
         "harvest_end_to_end": harvest,
         "skew_demo": skew,
         "scaling": scaling,
@@ -439,6 +520,17 @@ def main() -> None:
         fh.write("# BENCH\n\nLatest local bench (see bench.py).\n\n```json\n")
         fh.write(json.dumps(result, indent=2))
         fh.write("\n```\n")
+        if isinstance(pr, dict) and "rdf_docs" in pr:
+            d, x = pr["rdf_docs"], pr.get("transcript_extract", {})
+            fh.write(
+                "\nTriple P/R vs reference mappings (BASELINE metric, target "
+                f">= 0.95): reference sample documents P={d['precision']} "
+                f"R={d['recall']} over the {d['n_reference']}-triple "
+                "RDFLib-validated golden; transcript extraction "
+                f"P={x.get('precision')} R={x.get('recall')} (pandas/Arrow "
+                "production extractor vs the independently written "
+                "Catalyst-SQL twin, null-safe set compare).\n"
+            )
         if "error" in skew:
             skew = None
         if "error" in scaling or "within_host_2_to_8" not in scaling:
