@@ -32,6 +32,7 @@ from breg_dcat_harvester_spark.operators import curation as cur
 from breg_dcat_harvester_spark.operators import sampling as smp
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import merge_triples
+from breg_dcat_harvester_spark.plans import sparql as sprq
 from breg_dcat_harvester_spark.operators.validate import (
     DEFAULT_SHAPES,
     validation_report,
@@ -195,6 +196,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_search_datasets"] = lambda spark, sf: srch.search_datasets(
         _merged(spark, sf), SEARCH_FILTERS, limit=0
     )
+
+    # F9→P5-P8/J1-J6 from query TEXT: the reference's verbatim SPARQL through
+    # the plans/sparql compiler instead of the hand-built builders — gates
+    # parse + BGP-join compilation end-to-end against the same oracles.
+    q["kg_sparql_facet_language"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf), sprq.REFERENCE_FACET_QUERIES["language"]
+    )
+
+    def _sparql_search(spark, sf):
+        text = sprq.build_search_query(SEARCH_FILTERS, limit=0)
+        star = sprq.compile_sparql(_merged(spark, sf), text)
+        # browser.py:399-400: set(item[idx_dataset]) over the star rows
+        return star.select("dataset").distinct()
+
+    q["kg_sparql_search"] = _sparql_search
 
     # J7/J8/A5/A6: detail stage over the search result
     def _detail(spark, sf):
@@ -676,6 +692,21 @@ FROM terms t LEFT JOIN lab l ON l.term = t.term
 """
 
     sql["kg_search_datasets"] = _search_core_sql(glob) + "SELECT dataset FROM found"
+
+    # the compiled verbatim J3 template: bindings rows (subject, NULL
+    # predicate, object), deterministic-LIMIT ordered by the bound projected
+    # vars — (subject, object) pairs are unique (edges is a set), so the
+    # ORDER BY has no ties and the LIMIT prefix is stable.
+    sql["kg_sparql_facet_language"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS subject, CAST(NULL AS VARCHAR) AS predicate, p.obj AS object
+FROM edges t JOIN edges p ON t.subj = p.subj
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Catalog"]}'
+  AND p.pred = '{PRED_URIS["language"]}'
+ORDER BY subject, object LIMIT 50
+"""
+
+    sql["kg_sparql_search"] = _search_core_sql(glob) + "SELECT dataset FROM found"
 
     sql["kg_dataset_detail"] = _search_core_sql(glob) + f"""
 , rows_ AS (

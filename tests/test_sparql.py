@@ -1,0 +1,277 @@
+"""SPARQL compiler (plans/sparql.py) — parser units + equality against the
+hand-built facet/search builders on the reference's VERBATIM query text
+(browser.py:167-244 facets, 262-296 detail, 337-405 search templating)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from breg_dcat_harvester_spark.datagen import LANGUAGES, THEMES
+from breg_dcat_harvester_spark.operators import facets as fac
+from breg_dcat_harvester_spark.operators import search as srch
+from breg_dcat_harvester_spark.operators.extract import extract_edges
+from breg_dcat_harvester_spark.operators.merge import merge_triples
+from breg_dcat_harvester_spark.plans import sparql as sp
+from breg_dcat_harvester_spark.schema import CLASS_URIS, EDGES, RDF_TYPE
+
+PREFIXES = """
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    PREFIX dcat: <http://www.w3.org/ns/dcat#>
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    PREFIX dct: <http://purl.org/dc/terms/>
+"""
+
+# browser.py:169-176 verbatim
+FACET_TAXONOMY = """
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    PREFIX dcat: <http://www.w3.org/ns/dcat#>
+    SELECT ?subject ?predicate ?object
+    WHERE {
+        ?subject rdf:type dcat:Catalog .
+        ?subject dcat:themeTaxonomy ?object .
+    } LIMIT 50
+"""
+
+# (class URI, facet pred pname, hand builder) for the 5 endpoints
+FACETS = [
+    ("Catalog", "dcat:themeTaxonomy", fac.catalog_taxonomies),
+    ("Catalog", "dct:spatial", fac.catalog_locations),
+    ("Catalog", "dct:LinguisticSystem", fac.catalog_languages),  # J3 quirk
+    ("Dataset", "dcat:theme", fac.dataset_themes),
+]
+
+
+@pytest.fixture(scope="module")
+def golden_edges(golden_df):
+    return merge_triples(extract_edges(golden_df, emit_provenance=False)).cache()
+
+
+@pytest.fixture(scope="module")
+def merged(small_transcripts):
+    return merge_triples(extract_edges(small_transcripts)).cache()
+
+
+# --- parser ------------------------------------------------------------------
+
+def test_parse_facet_template():
+    q = sp.parse_sparql(FACET_TAXONOMY)
+    assert q.select == ["subject", "predicate", "object"]
+    assert not q.distinct and q.limit == 50
+    assert q.patterns == [
+        (sp.Var("subject"), sp.Uri(RDF_TYPE), sp.Uri("http://www.w3.org/ns/dcat#Catalog")),
+        (sp.Var("subject"), sp.Uri("http://www.w3.org/ns/dcat#themeTaxonomy"), sp.Var("object")),
+    ]
+
+
+def test_parse_terms_literals_and_a():
+    q = sp.parse_sparql(
+        'PREFIX ex: <http://ex.org/> SELECT ?s WHERE { '
+        '?s a ex:T . ?s ex:p "v\\"x"@en . ?s ex:q "3"^^<http://www.w3.org/2001/XMLSchema#int> . }'
+    )
+    assert q.patterns[0][1] == sp.Uri(RDF_TYPE)
+    assert q.patterns[1][2] == sp.Lit('v"x', "en", None)
+    assert q.patterns[2][2] == sp.Lit("3", None, "http://www.w3.org/2001/XMLSchema#int")
+
+
+def test_parse_filter_conjunction_and_optional():
+    q = sp.parse_sparql(
+        PREFIXES
+        + """SELECT ?d ?t WHERE {
+            ?d a dcat:Dataset .
+            OPTIONAL { ?d dct:title ?t } .
+            FILTER (?d IN (<http://a>, <http://b>) && ?t IN ("x"))
+        } ORDER BY DESC(?d) ?t LIMIT 7"""
+    )
+    assert q.optionals == [[(sp.Var("d"), sp.Uri("http://purl.org/dc/terms/title"), sp.Var("t"))]]
+    assert q.filters == [
+        ("d", [sp.Uri("http://a"), sp.Uri("http://b")]),
+        ("t", [sp.Lit("x", None, None)]),
+    ]
+    assert q.order_by == [("d", False), ("t", True)] and q.limit == 7
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "SELECT * WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { { ?s ?p ?o } UNION { ?s ?q ?o } }",
+        "PREFIX ex: <http://e/> SELECT ?s WHERE { ?s ex:p ?o . FILTER regex(?o, 'x') }",
+        "SELECT ?s WHERE { ?s <http://p> ?o } GROUP BY ?s",
+    ],
+)
+def test_unsupported_constructs_raise(text):
+    with pytest.raises(sp.SparqlError):
+        sp.parse_sparql(text)
+
+
+def test_undeclared_prefix_raises():
+    with pytest.raises(sp.SparqlError, match="undeclared prefix"):
+        sp.parse_sparql("SELECT ?s WHERE { ?s dct:title ?o }")
+
+
+# --- compiler vs hand-built builders ----------------------------------------
+
+def test_verbatim_taxonomy_template_matches_builder(golden_edges):
+    rows = sp.compile_sparql(golden_edges, FACET_TAXONOMY).collect()
+    # reference endpoint semantics: set(item[2]) of the template rows
+    got = {r.object for r in rows}
+    want = {r.term for r in fac.catalog_taxonomies(golden_edges).collect()}
+    assert got == want
+    # never-bound ?predicate projects as NULL (SPARQL unbound semantics)
+    assert all(r.predicate is None for r in rows)
+
+
+@pytest.mark.parametrize("cls,pred,builder", FACETS, ids=[f[1] for f in FACETS])
+def test_facet_templates_match_builders(merged, cls, pred, builder):
+    text = PREFIXES + (
+        "SELECT ?subject ?predicate ?object WHERE { "
+        f"?subject rdf:type dcat:{cls} . ?subject {pred} ?object . }}"
+    )
+    got = {r.object for r in sp.compile_sparql(merged, text).collect()}
+    want = {r.term for r in builder(merged, limit=0).collect()}
+    assert got == want and got
+
+
+def test_publisher_type_chain_matches_builder(merged):
+    text = PREFIXES + (
+        "SELECT ?catalog ?publisher ?publisherType WHERE { "
+        "?catalog rdf:type dcat:Catalog . "
+        "?catalog dct:publisher ?publisher . "
+        "?publisher dct:type ?publisherType . }"
+    )
+    got = {r.publisherType for r in sp.compile_sparql(merged, text).collect()}
+    want = {r.term for r in fac.catalog_publisher_types(merged, limit=0).collect()}
+    assert got == want and got
+
+
+def test_search_star_template_matches_builder(merged):
+    filters = {
+        "theme": [THEMES[0], THEMES[1]],
+        "language": [LANGUAGES[0]],
+        "bogusKey": ["dropped"],  # P7 whitelist
+    }
+    compiled = sp.compile_sparql(merged, sp.build_search_query(filters, limit=0))
+    got = {r.dataset for r in compiled.select("dataset").distinct().collect()}
+    want = {r.dataset for r in srch.search_datasets(merged, filters, limit=0).collect()}
+    assert got == want and got
+
+
+def test_reference_facet_queries_compile(merged):
+    for key, text in sp.REFERENCE_FACET_QUERIES.items():
+        df = sp.compile_sparql(merged, text)
+        assert df.count() <= 50, key
+
+
+def test_detail_template_with_optional_matches_builder(merged):
+    """The 12-var detail query (browser.py:262-296) incl. OPTIONAL + FILTER IN:
+    aggregate the compiled bindings the same way dataset_details_flat does and
+    require row-for-row equality."""
+    filters = {"theme": [THEMES[0]], "language": [LANGUAGES[0]]}
+    found = srch.search_datasets(merged, filters, limit=0)
+    uris = sorted(r.dataset for r in found.collect())
+    assert uris
+    text = PREFIXES + """
+        SELECT ?catalog ?dataset ?description ?identifier ?title
+               ?distribution ?distributionURL ?distributionType
+               ?datasetSpatial ?theme ?language ?distributionDescription
+        WHERE {{
+            ?catalog rdf:type dcat:Catalog .
+            ?dataset rdf:type dcat:Dataset .
+            ?catalog dcat:dataset ?dataset .
+            ?dataset dct:description ?description .
+            ?dataset dct:identifier ?identifier .
+            ?dataset dct:title ?title .
+            ?dataset dcat:distribution ?distribution .
+            ?distribution dcat:accessURL ?distributionURL .
+            ?distribution dcat:mediaType ?distributionType .
+            ?dataset dct:spatial ?datasetSpatial .
+            ?dataset dcat:theme ?theme .
+            ?catalog dct:LinguisticSystem ?language .
+            OPTIONAL {{ ?distribution dct:description ?distributionDescription }} .
+            FILTER (?dataset IN ({}))
+        }}
+    """.format(", ".join(f"<{u}>" for u in uris))
+
+    def agg_sorted(col):
+        return F.array_join(F.array_sort(F.collect_set(col)), "|")
+
+    got = (
+        sp.compile_sparql(merged, text)
+        .groupBy("dataset", "distribution")
+        .agg(
+            F.min("catalog").alias("catalog"),
+            agg_sorted("description").alias("descriptions"),
+            agg_sorted("identifier").alias("identifiers"),
+            agg_sorted("title").alias("titles"),
+            agg_sorted("datasetSpatial").alias("locations"),
+            agg_sorted("theme").alias("themes"),
+            agg_sorted("language").alias("languages"),
+            F.min("distributionURL").alias("dist_url"),
+            F.min("distributionType").alias("dist_type"),
+            agg_sorted("distributionDescription").alias("dist_descriptions"),
+        )
+        .orderBy("dataset", "distribution")
+        .collect()
+    )
+    want = srch.dataset_details_flat(merged, found).collect()
+    assert got == want and got
+
+
+# --- semantics on a hand-made graph ------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_edges(spark):
+    rows = [
+        ("s1", RDF_TYPE, CLASS_URIS["Dataset"], "uri", None, None),
+        ("s2", RDF_TYPE, CLASS_URIS["Dataset"], "uri", None, None),
+        ("s1", "http://p/title", "hello", "literal", "en", None),
+        ("s1", "http://p/title", "hello", "literal", None, None),
+        ("s2", "http://p/size", "3", "literal", None, "http://www.w3.org/2001/XMLSchema#int"),
+        # a URI object sharing a literal's lexical form: term equality must
+        # not conflate them
+        ("s2", "http://p/link", "hello", "uri", None, None),
+    ]
+    cols = [f.name for f in EDGES.fields]
+    data = [r + (None,) * (len(cols) - len(r)) for r in rows]
+    return spark.createDataFrame(data, schema=EDGES)
+
+
+def test_literal_term_equality(tiny_edges):
+    base = 'PREFIX p: <http://p/> SELECT ?s WHERE {{ ?s p:title {} . }}'
+    plain = sp.compile_sparql(tiny_edges, base.format('"hello"')).collect()
+    tagged = sp.compile_sparql(tiny_edges, base.format('"hello"@en')).collect()
+    assert [r.s for r in plain] == ["s1"] and [r.s for r in tagged] == ["s1"]
+    typed = sp.compile_sparql(
+        tiny_edges,
+        'PREFIX p: <http://p/> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+        'SELECT ?s WHERE { ?s p:size "3"^^xsd:int . }',
+    ).collect()
+    assert [r.s for r in typed] == ["s2"]
+
+
+def test_uri_object_not_conflated_with_literal(tiny_edges):
+    got = sp.compile_sparql(
+        tiny_edges, 'PREFIX p: <http://p/> SELECT ?s WHERE { ?s p:link <hello> . }'
+    ).collect()
+    assert [r.s for r in got] == ["s2"]
+
+
+def test_optional_unmatched_is_null(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX dcat: <http://www.w3.org/ns/dcat#> "
+        "PREFIX p: <http://p/> "
+        "SELECT ?s ?sz WHERE { ?s rdf:type dcat:Dataset . "
+        "OPTIONAL { ?s p:size ?sz } } ORDER BY ?s",
+    ).collect()
+    assert [(r.s, r.sz) for r in rows] == [("s1", None), ("s2", "3")]
+
+
+def test_deterministic_limit_orders_projected_vars(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX dcat: <http://www.w3.org/ns/dcat#> "
+        "SELECT ?s WHERE { ?s rdf:type dcat:Dataset . } LIMIT 1",
+    ).collect()
+    assert [r.s for r in rows] == ["s1"]
