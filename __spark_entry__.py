@@ -212,6 +212,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_search"] = _sparql_search
 
+    # J7/J8 from query TEXT: the verbatim 12-var detail template incl. the
+    # OPTIONAL pattern, with the same stage-1→IN-list round trip the
+    # reference performs (browser.py:398-402 collects the URIs and templates
+    # them into _get_datasets' FILTER) — the collected list is ≤ the search
+    # LIMIT by construction, never corpus-sized.
+    def _sparql_detail(spark, sf):
+        merged = _merged(spark, sf)
+        found = sprq.compile_sparql(
+            merged, sprq.build_search_query(SEARCH_FILTERS, limit=0)
+        ).select("dataset").distinct()
+        uris = sorted(r.dataset for r in found.collect())
+        return sprq.compile_sparql(merged, sprq.build_detail_query(uris))
+
+    q["kg_sparql_detail"] = _sparql_detail
+
     # J7/J8/A5/A6: detail stage over the search result
     def _detail(spark, sf):
         merged = _merged(spark, sf)
@@ -707,6 +722,31 @@ ORDER BY subject, object LIMIT 50
 """
 
     sql["kg_sparql_search"] = _search_core_sql(glob) + "SELECT dataset FROM found"
+
+    # the compiled detail template's raw binding rows (pre-aggregation),
+    # SPARQL variable names as column names
+    sql["kg_sparql_detail"] = _search_core_sql(glob) + f"""
+SELECT ctt.subj AS catalog, f.dataset AS dataset,
+       d.obj AS description, i.obj AS identifier, ti.obj AS title,
+       di.obj AS distribution, du.obj AS distributionURL,
+       dm.obj AS distributionType, sp.obj AS datasetSpatial,
+       th.obj AS theme, lg.obj AS language,
+       dd.obj AS distributionDescription
+FROM found f
+JOIN edges cd ON cd.obj = f.dataset AND cd.pred = '{DCAT}dataset'
+JOIN edges ctt ON ctt.subj = cd.subj AND ctt.pred = '{RDF_TYPE}' AND ctt.obj = '{CLASS_URIS["Catalog"]}'
+JOIN edges dt ON dt.subj = f.dataset AND dt.pred = '{RDF_TYPE}' AND dt.obj = '{CLASS_URIS["Dataset"]}'
+JOIN edges d ON d.subj = f.dataset AND d.pred = '{DCT}description'
+JOIN edges i ON i.subj = f.dataset AND i.pred = '{DCT}identifier'
+JOIN edges ti ON ti.subj = f.dataset AND ti.pred = '{DCT}title'
+JOIN edges di ON di.subj = f.dataset AND di.pred = '{DCAT}distribution'
+JOIN edges du ON du.subj = di.obj AND du.pred = '{DCAT}accessURL'
+JOIN edges dm ON dm.subj = di.obj AND dm.pred = '{DCAT}mediaType'
+JOIN edges sp ON sp.subj = f.dataset AND sp.pred = '{DCT}spatial'
+JOIN edges th ON th.subj = f.dataset AND th.pred = '{DCAT}theme'
+JOIN edges lg ON lg.subj = cd.subj AND lg.pred = '{PRED_URIS["language"]}'
+LEFT JOIN edges dd ON dd.subj = di.obj AND dd.pred = '{DCT}description'
+"""
 
     sql["kg_dataset_detail"] = _search_core_sql(glob) + f"""
 , rows_ AS (

@@ -392,6 +392,47 @@ def build_search_query(filters: dict[str, list[str]] | None, limit: int = 200) -
     return _FACET_PREFIXES + f"SELECT {select}\nWHERE {{\n{where}\n{query_filter}\n}} {lim}"
 
 
+def build_detail_query(dataset_uris: list[str]) -> str:
+    """The 12-var detail query, verbatim from _get_datasets
+    (browser.py:262-296): inner patterns for catalog/description/identifier/
+    title/distribution/accessURL/mediaType/spatial/theme/language, OPTIONAL
+    distribution description, FILTER restricting ?dataset to the stage-1
+    URIs (the reference templates the collected list into the query text).
+    """
+    in_list = ", ".join(f"<{u}>" for u in dataset_uris)
+    return _FACET_PREFIXES + f"""
+        SELECT
+            ?catalog
+            ?dataset
+            ?description
+            ?identifier
+            ?title
+            ?distribution
+            ?distributionURL
+            ?distributionType
+            ?datasetSpatial
+            ?theme
+            ?language
+            ?distributionDescription
+        WHERE {{
+            ?catalog rdf:type dcat:Catalog .
+            ?dataset rdf:type dcat:Dataset .
+            ?catalog dcat:dataset ?dataset .
+            ?dataset dct:description ?description .
+            ?dataset dct:identifier ?identifier .
+            ?dataset dct:title ?title .
+            ?dataset dcat:distribution ?distribution .
+            ?distribution dcat:accessURL ?distributionURL .
+            ?distribution dcat:mediaType ?distributionType .
+            ?dataset dct:spatial ?datasetSpatial .
+            ?dataset dcat:theme ?theme .
+            ?catalog dct:LinguisticSystem ?language .
+            OPTIONAL {{ ?distribution dct:description ?distributionDescription }} .
+            FILTER (?dataset IN ({in_list}))
+        }}
+    """
+
+
 # ---------------------------------------------------------------------------
 # compiler
 # ---------------------------------------------------------------------------

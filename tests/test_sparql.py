@@ -169,27 +169,7 @@ def test_detail_template_with_optional_matches_builder(merged):
     found = srch.search_datasets(merged, filters, limit=0)
     uris = sorted(r.dataset for r in found.collect())
     assert uris
-    text = PREFIXES + """
-        SELECT ?catalog ?dataset ?description ?identifier ?title
-               ?distribution ?distributionURL ?distributionType
-               ?datasetSpatial ?theme ?language ?distributionDescription
-        WHERE {{
-            ?catalog rdf:type dcat:Catalog .
-            ?dataset rdf:type dcat:Dataset .
-            ?catalog dcat:dataset ?dataset .
-            ?dataset dct:description ?description .
-            ?dataset dct:identifier ?identifier .
-            ?dataset dct:title ?title .
-            ?dataset dcat:distribution ?distribution .
-            ?distribution dcat:accessURL ?distributionURL .
-            ?distribution dcat:mediaType ?distributionType .
-            ?dataset dct:spatial ?datasetSpatial .
-            ?dataset dcat:theme ?theme .
-            ?catalog dct:LinguisticSystem ?language .
-            OPTIONAL {{ ?distribution dct:description ?distributionDescription }} .
-            FILTER (?dataset IN ({}))
-        }}
-    """.format(", ".join(f"<{u}>" for u in uris))
+    text = sp.build_detail_query(uris)
 
     def agg_sorted(col):
         return F.array_join(F.array_sort(F.collect_set(col)), "|")
