@@ -14,10 +14,11 @@ at controlled rates.  At 100 TB the sampler must be:
   cluster size.
 * **Bounded where required** — ``stratified_fixed_k`` gives exactly
   min(k, |stratum|) rows per stratum (a distributed analog of per-stratum
-  reservoir sampling): rank rows by the same content hash within each
-  stratum and keep the top k.  One shuffle on the stratum key; skewed
-  strata are fine because the window only ranks (no buffering of values
-  beyond the sort), and k rows survive per stratum regardless.
+  reservoir sampling) via two-stage top-k: local top-k inside
+  (stratum, hash-split) groups bounds every sort partition at
+  |stratum|/fanout rows, then a global rank over the <= fanout*k
+  survivors per stratum.  A 100 TB corpus that is 90% one language never
+  lands a whole stratum on one reducer (the single-window form would).
 
 Reference parity note: the reference has no sampler (it harvests complete
 sources); this family belongs to the "operations a large-scale training-data
@@ -72,6 +73,7 @@ def stratified_fixed_k(
     key_col: str = "doc_id",
     stratum_col: str = "lang",
     salt: str = "smpl",
+    fanout: int = 64,
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum, chosen by hash order.
 
@@ -79,10 +81,26 @@ def stratified_fixed_k(
     at any parallelism) and unbiased (sha256 buckets are uniform); ties on
     bucket break by key for full determinism.  Adds ``bucket`` and
     ``sample_rank`` columns.
+
+    Two-stage top-k for skew safety: stage 1 ranks inside
+    (stratum, xxhash64(key) % fanout) groups — any row in a stratum's
+    global top k is also in its split's local top k, so keeping local
+    ranks <= k loses nothing while bounding every sort at
+    ~|stratum|/fanout rows.  Stage 2 ranks the <= fanout*k survivors per
+    stratum; a survivor's rank among survivors equals its global rank
+    (all its global predecessors survived stage 1), so the output —
+    including ``sample_rank`` — is identical to the single-window form.
     """
     bucketed = df.withColumn("bucket", sample_bucket(F.col(key_col), salt=salt))
+    split = F.pmod(F.xxhash64(F.col(key_col)), F.lit(fanout))
+    w1 = Window.partitionBy(F.col(stratum_col), split).orderBy("bucket", key_col)
+    survivors = (
+        bucketed.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
     w = Window.partitionBy(stratum_col).orderBy("bucket", key_col)
     return (
-        bucketed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )

@@ -91,6 +91,22 @@ def test_stratified_fixed_k(spark, docs):
     }
 
 
+def test_stratified_fixed_k_fanout_invariant(spark, docs):
+    """The two-stage top-k (skew-safe) must emit exactly the rows and
+    ranks of the degenerate fanout=1 form at any fanout."""
+    base = docs.select("doc_id", "lang")
+    want = {
+        (r.doc_id, r.sample_rank)
+        for r in smp.stratified_fixed_k(base, k=4, fanout=1).collect()
+    }
+    for fanout in (2, 64, 257):
+        got = {
+            (r.doc_id, r.sample_rank)
+            for r in smp.stratified_fixed_k(base, k=4, fanout=fanout).collect()
+        }
+        assert got == want, f"fanout={fanout}"
+
+
 def test_curate_corpus_composition(spark, docs):
     """selected == is_canonical AND quality_ok AND sampled; every doc
     appears exactly once; flags agree with the standalone operators."""
