@@ -1,0 +1,233 @@
+"""Seeded fuzz: random queries in the supported SPARQL subset, rendered to
+text, through tokenizer → parser → compiler → Spark execution, checked
+against an INDEPENDENT naive evaluator (nested-loop binding extension over a
+Python list of triples — no DataFrames, no shared code with the compiler).
+
+The golden/builder-equality tests in test_sparql.py pin the reference's own
+templates; this test hammers the compiler's corners — cross joins (patterns
+sharing no variable), repeated variables inside one pattern, OPTIONAL
+groups, IN filters hitting optional-bound (nullable) variables, unbound
+projected variables, literal term equality (lang/dtype distinguish terms).
+"""
+
+import random
+
+from breg_dcat_harvester_spark.plans import sparql as sp
+
+# --- tiny vocabulary: small enough that joins actually match ---------------
+SUBJ = ["http://x.org/s0", "http://x.org/s1", "http://x.org/s2"]
+PRED = ["http://x.org/p0", "http://x.org/p1", "http://x.org/p2"]
+OBJ_URI = ["http://x.org/s0", "http://x.org/o0", "http://x.org/o1"]
+# same lexical form under different lang/dtype = three DISTINCT RDF terms
+OBJ_LIT = [
+    ("v", None, None),
+    ("v", "en", None),
+    ("v", None, "http://www.w3.org/2001/XMLSchema#string"),
+    ("w x", None, None),
+]
+VARS = ["a", "b", "c", "d"]
+
+
+def gen_edges(rng: random.Random) -> list[dict]:
+    seen, edges = set(), []
+    for _ in range(rng.randint(12, 28)):
+        s = rng.choice(SUBJ)
+        p = rng.choice(PRED)
+        if rng.random() < 0.5:
+            o, kind, lang, dtype = rng.choice(OBJ_URI), "uri", None, None
+        else:
+            lex, lang, dtype = rng.choice(OBJ_LIT)
+            o, kind = lex, "literal"
+        key = (s, p, o, kind, lang, dtype)
+        if key in seen:  # merged edges table is a SET
+            continue
+        seen.add(key)
+        edges.append(
+            dict(subj=s, pred=p, obj=o, obj_kind=kind, lang=lang, dtype=dtype)
+        )
+    return edges
+
+
+def gen_term(rng: random.Random, pos: str, var_bias: float):
+    if rng.random() < var_bias:
+        return sp.Var(rng.choice(VARS))
+    if pos == "subj":
+        return sp.Uri(rng.choice(SUBJ))
+    if pos == "pred":
+        return sp.Uri(rng.choice(PRED))
+    if rng.random() < 0.5:
+        return sp.Uri(rng.choice(OBJ_URI))
+    return sp.Lit(*rng.choice(OBJ_LIT))
+
+
+def gen_query(rng: random.Random) -> sp.Query:
+    patterns = [
+        (
+            gen_term(rng, "subj", 0.7),
+            gen_term(rng, "pred", 0.4),
+            gen_term(rng, "obj", 0.7),
+        )
+        for _ in range(rng.randint(1, 3))
+    ]
+    bound = {t.name for p in patterns for t in p if isinstance(t, sp.Var)}
+
+    optionals = []
+    if bound and rng.random() < 0.6:
+        share = sp.Var(rng.choice(sorted(bound)))
+        group = [(share, gen_term(rng, "pred", 0.3), gen_term(rng, "obj", 0.7))]
+        if rng.random() < 0.4:
+            group.append(
+                (
+                    gen_term(rng, "subj", 0.8),
+                    gen_term(rng, "pred", 0.3),
+                    gen_term(rng, "obj", 0.8),
+                )
+            )
+            gvars = {t.name for p in group for t in p if isinstance(t, sp.Var)}
+            if not (gvars & bound):  # compiler rejects unshared OPTIONAL
+                group[1] = (share, group[1][1], group[1][2])
+        optionals.append(group)
+        bound |= {t.name for p in group for t in p if isinstance(t, sp.Var)}
+
+    filters = []
+    if bound and rng.random() < 0.5:
+        values = [sp.Uri(u) for u in rng.sample(SUBJ + OBJ_URI, rng.randint(1, 3))]
+        if rng.random() < 0.3:
+            values.append(sp.Lit(rng.choice(OBJ_LIT)[0]))
+        filters.append((rng.choice(sorted(bound)), values))
+
+    select = sorted(bound) or ["a"]
+    if rng.random() < 0.2:
+        select = select + ["zz"]  # projected but never bound -> NULL column
+    return sp.Query(
+        select=select,
+        distinct=rng.random() < 0.5,
+        patterns=patterns,
+        optionals=optionals,
+        filters=filters,
+        order_by=[],
+        limit=None,
+    )
+
+
+# --- render the Query back to SPARQL text (exercises the parser) ----------
+def render_term(t) -> str:
+    if isinstance(t, sp.Var):
+        return f"?{t.name}"
+    if isinstance(t, sp.Uri):
+        return f"<{t.value}>"
+    out = '"' + t.lex + '"'
+    if t.lang:
+        out += f"@{t.lang}"
+    elif t.dtype:
+        out += f"^^<{t.dtype}>"
+    return out
+
+
+def render_query(q: sp.Query) -> str:
+    lines = [" ".join(render_term(t) for t in p) + " ." for p in q.patterns]
+    for group in q.optionals:
+        inner = " . ".join(" ".join(render_term(t) for t in p) for p in group)
+        lines.append("OPTIONAL { " + inner + " } .")
+    for var, terms in q.filters:
+        lines.append(
+            f"FILTER (?{var} IN ("
+            + ", ".join(render_term(t) for t in terms)
+            + "))"
+        )
+    sel = " ".join(f"?{v}" for v in q.select)
+    head = "SELECT DISTINCT" if q.distinct else "SELECT"
+    return f"{head} {sel} WHERE {{\n" + "\n".join(lines) + "\n}"
+
+
+# --- independent naive evaluator ------------------------------------------
+def match_pattern(edges, pat, binding):
+    s, p, o = pat
+    out = []
+    for e in edges:
+        b = dict(binding)
+        ok = True
+        for term, col, is_obj in ((s, "subj", False), (p, "pred", False), (o, "obj", True)):
+            v = e[col]
+            if isinstance(term, sp.Var):
+                if term.name in b:
+                    if b[term.name] != v:
+                        ok = False
+                        break
+                else:
+                    b[term.name] = v
+            elif isinstance(term, sp.Uri):
+                if v != term.value or (is_obj and e["obj_kind"] != "uri"):
+                    ok = False
+                    break
+            else:
+                if not (
+                    is_obj
+                    and e["obj_kind"] == "literal"
+                    and v == term.lex
+                    and e["lang"] == term.lang
+                    and e["dtype"] == term.dtype
+                ):
+                    ok = False
+                    break
+        if ok:
+            out.append(b)
+    return out
+
+
+def eval_group(edges, patterns):
+    sols = [{}]
+    for pat in patterns:
+        sols = [b for s in sols for b in match_pattern(edges, pat, s)]
+    return sols
+
+
+def eval_naive(edges, q: sp.Query):
+    sols = eval_group(edges, q.patterns)
+    bound = {t.name for p in q.patterns for t in p if isinstance(t, sp.Var)}
+    for group in q.optionals:
+        gsols = eval_group(edges, group)
+        gvars = {t.name for p in group for t in p if isinstance(t, sp.Var)}
+        shared = sorted(bound & gvars)
+        nxt = []
+        for r in sols:
+            ms = [g for g in gsols if all(g.get(v) == r.get(v) for v in shared)]
+            if ms:
+                nxt.extend({**r, **g} for g in ms)
+            else:
+                nxt.append({**{v: None for v in gvars}, **r})
+        sols = nxt
+        bound |= gvars
+    for var, terms in q.filters:
+        vals = set(sp._in_values(terms))
+        sols = [s for s in sols if s.get(var) is not None and s[var] in vals]
+    rows = [tuple(s.get(v) for v in q.select) for s in sols]
+    if q.distinct:
+        rows = list(set(rows))
+    return rows
+
+
+EDGES_SCHEMA = "subj string, pred string, obj string, obj_kind string, lang string, dtype string"
+
+
+def test_fuzz_compiler_vs_naive(spark):
+    rng = random.Random(20260817)
+    n_nonempty = 0
+    for case in range(60):
+        edges = gen_edges(rng)
+        df = spark.createDataFrame(
+            [tuple(e.values()) for e in edges], schema=EDGES_SCHEMA
+        )
+        for _ in range(3):
+            q = gen_query(rng)
+            text = render_query(q)
+            parsed = sp.parse_sparql(text)
+            got = sorted(
+                tuple(r) for r in sp.compile_sparql(df, parsed).collect()
+            )
+            want = sorted(eval_naive(edges, q))
+            assert got == want, f"case {case}:\n{text}\nspark={got}\nnaive={want}"
+            n_nonempty += bool(want)
+        if case >= 19 and n_nonempty >= 25:
+            break  # enough signal; keep the suite fast
+    assert n_nonempty >= 25  # the generator must actually produce matches

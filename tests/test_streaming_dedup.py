@@ -1,0 +1,61 @@
+"""Streaming ingest-dedup (streaming/dedup.py): bounded-state exact dedup
+via dropDuplicatesWithinWatermark, checkpointed across activations."""
+
+import datetime as dt
+
+from breg_dcat_harvester_spark.schema import TRANSCRIPTS
+from breg_dcat_harvester_spark.streaming.dedup import (
+    dedup_turns,
+    run_dedup_stream,
+)
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _turn(conv, idx, text, minute, role="user"):
+    return (conv, idx, role, text, None, T0 + dt.timedelta(minutes=minute))
+
+
+def test_batch_twin_one_row_per_content(spark):
+    df = spark.createDataFrame(
+        [
+            _turn("a", 0, "same text", 0),
+            _turn("b", 0, "same text", 1),      # dup content, other conv
+            _turn("a", 1, "other text", 2),
+            _turn("c", 0, "same text", 3, role="assistant"),  # role differs -> distinct
+        ],
+        TRANSCRIPTS,
+    )
+    out = dedup_turns(df).collect()
+    assert len(out) == 3
+    assert len({r.content_hash for r in out}) == 3
+
+
+def test_stream_drops_dups_within_watermark_and_across_activations(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    first_batch = spark.createDataFrame(
+        [
+            _turn("a", 0, "hello", 0),
+            _turn("a", 1, "hello", 1),   # dup within the same activation
+            _turn("b", 0, "world", 2),
+        ],
+        TRANSCRIPTS,
+    )
+    first_batch.coalesce(1).write.mode("append").parquet(src)
+    admitted1 = run_dedup_stream(spark, src, ckpt, delay="1 hour")
+    assert sorted((r.conv_id, r.turn_idx) for r in admitted1) == [("a", 0), ("b", 0)]
+
+    # second activation: a re-arrival of "hello" within the watermark window
+    # must be dropped by the CHECKPOINTED state, a new content admitted
+    second_batch = spark.createDataFrame(
+        [
+            _turn("c", 0, "hello", 5),
+            _turn("c", 1, "fresh", 6),
+        ],
+        TRANSCRIPTS,
+    )
+    second_batch.coalesce(1).write.mode("append").parquet(src)
+    admitted2 = run_dedup_stream(spark, src, ckpt, delay="1 hour")
+    assert sorted((r.conv_id, r.turn_idx) for r in admitted2) == [("c", 1)]
