@@ -192,6 +192,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_facet_publisher_enriched"] = _facet_enriched
 
+    # U3: the SPA's five-facet fan-out (app/src/api.js:46-67) as ONE
+    # unioned frame with a facet-key column
+    q["kg_facets_all"] = lambda spark, sf: fac.all_facets(_merged(spark, sf))
+
+    # U2/S11: negative-cache difference — terms whose dereference failed
+    # before (browser.py:81-91 Redis flag) are anti-joined away before the
+    # label lookup; the failed set here is a deterministic sha2 half of the
+    # terms so the oracle replays the same split
+    def _neg_cache(spark, sf):
+        merged = _merged(spark, sf)
+        terms = fac.facet_terms(
+            merged, CLASS_URIS["Catalog"], DCT + "publisher", limit=50
+        )
+        failed = terms.filter(
+            F.conv(F.substring(F.sha2(F.col("term"), 256), 1, 8), 16, 10)
+            .cast("long") % 2 == 0
+        )
+        labels_tbl = lbl.build_labels_table(merged)
+        return lbl.enrich_terms(terms, labels_tbl, failed_terms=failed).select(
+            "term", "label", "label_prop"
+        )
+
+    q["kg_labels_negative_cache"] = _neg_cache
+
     # J6/P6/A4: faceted search stage 1
     q["kg_search_datasets"] = lambda spark, sf: srch.search_datasets(
         _merged(spark, sf), SEARCH_FILTERS, limit=0
@@ -442,10 +466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_features"] = _text_features
 
-    # multimodal plumbing (codec stubbed -> rows-only check): build a
-    # deterministic asset table from documents, extract fake features
-    def _multimodal(spark, sf):
-        assets = _documents(spark, sf).select(
+    # multimodal plumbing (codec stubbed, deterministic fake kernels
+    # replayed bit-exactly by the DuckDB oracles): build a deterministic
+    # asset table from documents
+    def _assets(spark, sf):
+        return _documents(spark, sf).select(
             F.concat(F.lit("asset-"), F.col("doc_id")).alias("asset_id"),
             F.when(F.col("doc_id") % 3 == 0, "image")
             .when(F.col("doc_id") % 3 == 1, "audio")
@@ -457,11 +482,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("int").alias("height"),
             (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
         )
-        return mm.extract_features(assets, decode=mm.fake_decode).select(
+
+    def _multimodal(spark, sf):
+        return mm.extract_features(_assets(spark, sf), decode=mm.fake_decode).select(
             "asset_id", "kind", "n_bytes", F.element_at("feature", 1).alias("f0")
         )
 
     q["multimodal_features"] = _multimodal
+
+    # frame sampling over the video assets (mapInPandas; one row per
+    # sampled timestamp; fake frame kernel = sha256(payload:ts)[:16])
+    def _frames(spark, sf):
+        frames = mm.sample_frames(_assets(spark, sf), every_ms=1000)
+        return frames.select(
+            "asset_id", "ts_ms", F.lower(F.hex("frame")).alias("frame_hex")
+        )
+
+    q["multimodal_frames"] = _frames
 
     # --- generic relational operators on the TPC-H-ish tables --------------
 
@@ -704,6 +741,76 @@ lab AS (
 )
 SELECT t.term, l.label, l.label_prop
 FROM terms t LEFT JOIN lab l ON l.term = t.term
+"""
+
+    # U3: one UNION ALL over the five facet slices, each with its own
+    # deterministic ORDER/LIMIT (the builders' semantics)
+    def _facet_cte(class_uri: str, pred_uri: str) -> str:
+        return f"""(
+    SELECT DISTINCT p.obj AS term
+    FROM edges t JOIN edges p ON t.subj = p.subj
+    WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{class_uri}'
+      AND p.pred = '{pred_uri}'
+    ORDER BY term LIMIT 50
+)"""
+
+    sql["kg_facets_all"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e),
+f_tax AS {_facet_cte(CLASS_URIS["Catalog"], DCAT + "themeTaxonomy")},
+f_loc AS {_facet_cte(CLASS_URIS["Catalog"], DCT + "spatial")},
+f_lang AS {_facet_cte(CLASS_URIS["Catalog"], PRED_URIS["language"])},
+f_theme AS {_facet_cte(CLASS_URIS["Dataset"], DCAT + "theme")},
+f_ptype AS (
+    SELECT DISTINCT pt.obj AS term
+    FROM edges t
+    JOIN edges pub ON pub.subj = t.subj AND pub.pred = '{DCT}publisher'
+    JOIN edges pt ON pt.subj = pub.obj AND pt.pred = '{DCT}type'
+    WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Catalog"]}'
+    ORDER BY term LIMIT 50
+)
+SELECT 'taxonomy' AS facet, term FROM f_tax
+UNION ALL SELECT 'location' AS facet, term FROM f_loc
+UNION ALL SELECT 'language' AS facet, term FROM f_lang
+UNION ALL SELECT 'theme' AS facet, term FROM f_theme
+UNION ALL SELECT 'publisherType' AS facet, term FROM f_ptype
+"""
+
+    # U2/S11: the enriched-facet query minus the deterministic sha2-even
+    # "failed" half (negative-cache anti-join)
+    sql["kg_labels_negative_cache"] = f"""
+WITH edgesx AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang FROM {osql.edges_sql(glob)} AS _e
+),
+terms AS (
+    SELECT DISTINCT p.obj AS term
+    FROM edgesx t JOIN edgesx p ON t.subj = p.subj
+    WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Catalog"]}'
+      AND p.pred = '{DCT}publisher'
+    ORDER BY term LIMIT 50
+),
+kept AS (
+    SELECT term FROM terms
+    WHERE ('0x' || substr(sha256(term), 1, 8))::BIGINT % 2 <> 0
+),
+lab AS (
+    SELECT term, label, label_prop FROM (
+        SELECT subj AS term, obj AS label, pred AS label_prop,
+               row_number() OVER (
+                   PARTITION BY subj
+                   ORDER BY CASE pred WHEN '{skos}prefLabel' THEN 1
+                                      WHEN '{rdfs_label}' THEN 2
+                                      WHEN '{FOAF}name' THEN 3
+                                      WHEN '{DCT}title' THEN 4 END,
+                            CASE WHEN lang = 'en' THEN 0 ELSE 1 END,
+                            obj
+               ) AS rn
+        FROM edgesx
+        WHERE pred IN ('{skos}prefLabel', '{rdfs_label}', '{FOAF}name', '{DCT}title')
+          AND obj_kind = 'literal'
+    ) WHERE rn = 1
+)
+SELECT t.term, l.label, l.label_prop
+FROM kept t LEFT JOIN lab l ON l.term = t.term
 """
 
     sql["kg_search_datasets"] = _search_core_sql(glob) + "SELECT dataset FROM found"
@@ -1120,6 +1227,20 @@ SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
          + ('0x'||substr(h,7,2))::BIGINT * 16777216
        )::DOUBLE / 4294967296 AS REAL) AS f0
 FROM x
+"""
+
+    # frame sampling: bit-exact replay of the fake frame kernel
+    # sha256(payload || ':' || ts)[:16] over the video assets
+    sql["multimodal_frames"] = """
+WITH x AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 2),
+s AS (
+    SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id, text,
+           unnest(generate_series(0, CAST(n_chars AS BIGINT) * 10 - 1, 1000)) AS g
+    FROM x
+)
+SELECT asset_id, CAST(g AS BIGINT) AS ts_ms,
+       lower(substr(sha256(text || ':' || CAST(g AS VARCHAR)), 1, 32)) AS frame_hex
+FROM s
 """
 
     # --- generic relational ops ---------------------------------------------

@@ -118,8 +118,11 @@ def sample_frames(
     )
 
     def default_frame(payload: bytes, ts_ms: int) -> bytes:
-        h = hashlib.sha256(payload + ts_ms.to_bytes(8, "little")).digest()
-        return h[:16]
+        # ":"-delimited ASCII suffix (not raw LE bytes) so any engine can
+        # replay the fake bit-exactly over text payloads — the DuckDB
+        # oracle computes sha256(text || ':' || ts) and gates this.
+        h = hashlib.sha256(payload + b":" + str(ts_ms).encode("ascii"))
+        return h.digest()[:16]
 
     fn = decode_frame or default_frame
 
