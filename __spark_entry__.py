@@ -153,6 +153,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_validation_violations"] = _violations
 
+    # P2/P3: per-entity boolean verdicts, lenient (the reference default —
+    # only Violation-severity results fail, validator.py:46-48) vs strict
+    # (any severity fails) side by side
+    def _conformance(spark, sf):
+        from breg_dcat_harvester_spark.operators.validate import conforms_column
+
+        merged = _merged(spark, sf)
+        lenient = conforms_column(merged, strict=False)
+        strict = conforms_column(merged, strict=True).withColumnRenamed(
+            "conforms", "conforms_strict"
+        )
+        return lenient.join(strict, "subj").select(
+            "subj", "conforms", "conforms_strict"
+        )
+
+    q["kg_conformance_verdicts"] = _conformance
+
     # S2/S4 real-document path: parse the reference's OWN sample RDF files
     # (ontology/sample-01.xml + sample-02.ttl, plus our structurally-
     # equivalent JSON-LD third source standing in for the gist the README's
@@ -688,6 +705,29 @@ JOIN shapes s ON t.entity_type = s.target_class
 LEFT JOIN counts c ON c.subj = t.subj AND c.pred = s.path
 WHERE coalesce(c.cnt, 0) < s.min_count
    OR (s.max_count IS NOT NULL AND coalesce(c.cnt, 0) > s.max_count)
+"""
+
+    sql["kg_conformance_verdicts"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e),
+typed AS (SELECT DISTINCT subj FROM edges WHERE pred = '{RDF_TYPE}'),
+typed_cls AS (SELECT DISTINCT subj, obj AS entity_type FROM edges WHERE pred = '{RDF_TYPE}'),
+counts AS (
+    SELECT subj, pred, count(DISTINCT obj) AS cnt FROM edges
+    WHERE pred <> '{RDF_TYPE}' GROUP BY subj, pred
+),
+shapes(target_class, path, min_count, max_count, severity) AS (VALUES {shapes_rows}),
+viol AS (
+    SELECT t.subj, s.severity
+    FROM typed_cls t
+    JOIN shapes s ON t.entity_type = s.target_class
+    LEFT JOIN counts c ON c.subj = t.subj AND c.pred = s.path
+    WHERE coalesce(c.cnt, 0) < s.min_count
+       OR (s.max_count IS NOT NULL AND coalesce(c.cnt, 0) > s.max_count)
+)
+SELECT t.subj,
+       t.subj NOT IN (SELECT subj FROM viol WHERE severity = 'Violation') AS conforms,
+       t.subj NOT IN (SELECT subj FROM viol) AS conforms_strict
+FROM typed t
 """
 
     sql["kg_harvest_rdf_docs"] = (
