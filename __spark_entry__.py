@@ -553,10 +553,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("revenue")
             )
         )
+        # Two-stage top-k: orderBy+limit compiles to TakeOrdered (per-partition
+        # partial top-20, tiny driver merge) instead of an unpartitioned window
+        # that would rank the whole customer dimension on one reducer; the
+        # row_number window then only ever sees 20 rows.
+        top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
         w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
         return (
-            rev.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+            top.withColumn("rank", F.row_number().over(w))
             .select("rank", "c_custkey", "c_name", "revenue")
         )
 
