@@ -75,6 +75,43 @@ def test_cc_basic_chain(spark):
     }
 
 
+def test_cc_star_matches_min_propagation_random(spark):
+    """large-star/small-star and min-propagation produce identical labels
+    on a seeded random graph (mixed component shapes + singleton pairs)."""
+    import random
+
+    rng = random.Random(7)
+    n = 300
+    edges = [
+        (f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+        for _ in range(260)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a string, b string")
+    want = {
+        (r.node_id, r.canonical_id)
+        for r in ccm.connected_components(pairs, max_iter=100).collect()
+    }
+    got = {
+        (r.node_id, r.canonical_id)
+        for r in ccm.connected_components_star(pairs).collect()
+    }
+    assert got == want
+
+
+def test_cc_star_long_chain_converges_fast(spark):
+    """a 400-node path needs ~400 min-propagation rounds (min moves one hop
+    per round) but collapses in O(log^2 n) star rounds — the documented
+    reason the star variant exists."""
+    chain = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(399)]
+    pairs = spark.createDataFrame(chain, "a string, b string")
+    with pytest.raises(RuntimeError):
+        ccm.connected_components(pairs, max_iter=5)
+    labels = ccm.connected_components_star(pairs, max_iter=15).collect()
+    assert len(labels) == 400
+    assert {r.canonical_id for r in labels} == {"c0000"}
+
+
 def test_canonicalize_idempotent(spark, merged):
     """north_star invariant: running linking+canonicalization twice changes
     nothing (union-find canonicalization idempotence)."""
