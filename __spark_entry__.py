@@ -335,6 +335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_connected_components"] = _cc
 
+    # J11 alternate algorithm: large-star/small-star (O(log^2 n) rounds,
+    # diameter-independent) — must produce the identical canonical mapping,
+    # gated by the same recursive-CTE oracle
+    def _cc_star(spark, sf):
+        return ccm.connected_components_star(_link(spark, sf))
+
+    q["kg_connected_components_star"] = _cc_star
+
     # §2.9 applyInPandas surface: order-dependent per-conversation features
     q["kg_conversation_stats"] = lambda spark, sf: conv.conversation_stats(
         _transcripts(spark, sf)
@@ -999,6 +1007,8 @@ SELECT x AS node_id, min(c) AS canonical_id FROM walk GROUP BY x
     sql["kg_connected_components"] = (
         sql["kg_connected_components"].replace("WITH edges AS", "WITH RECURSIVE edges AS")
     )
+    # the star algorithm must reproduce the exact same canonical mapping
+    sql["kg_connected_components_star"] = sql["kg_connected_components"]
 
     sql["kg_conversation_stats"] = f"""
 WITH t AS (SELECT * FROM read_parquet('{glob}')),
