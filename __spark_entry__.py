@@ -178,8 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/make_rdf_golden.py).  Must reproduce num_triples: 33
     # (reference README.md:104-122).
     def _rdf_docs(spark, sf):
+        from breg_dcat_harvester_spark import fixtures as fx
         from breg_dcat_harvester_spark.sources import rdf_parse as rdfp
 
+        fx.ensure_sample_jsonld()  # data/ is gitignored; rebuild if wiped
         docs = rdfp.read_rdf_documents(spark, RDF_SAMPLE_PATHS)
         edges = rdfp.parse_rdf_docs(docs, id_col="source")
         return merge_triples(edges).select(
@@ -491,6 +493,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_features"] = _text_features
 
+    # Gopher-style within-document repetition numerators (duplicate lines,
+    # most-common bigram) — the published boilerplate/degeneration filters;
+    # pure Column exprs, map-side, zero shuffle
+    def _text_repetition(spark, sf):
+        d = _documents(spark, sf)
+        rf = tf.repetition_features(F.col("text"))
+        return d.select(
+            "doc_id", *[expr.alias(name) for name, expr in rf.items()]
+        )
+
+    q["text_repetition"] = _text_repetition
+
     # multimodal plumbing (codec stubbed, deterministic fake kernels
     # replayed bit-exactly by the DuckDB oracles): build a deterministic
     # asset table from documents
@@ -742,9 +756,11 @@ SELECT t.subj,
 FROM typed t
 """
 
+    from breg_dcat_harvester_spark import fixtures as fx
+
     sql["kg_harvest_rdf_docs"] = (
         "SELECT subj, pred, obj, obj_kind, lang, dtype FROM read_parquet("
-        f"'{os.path.join(_REPO_DIR, 'data', 'oracles', 'rdf_docs_golden.parquet')}')"
+        f"'{fx.ensure_rdf_golden()}')"
     )
 
     sql["kg_facet_taxonomy"] = _facet_sql(glob, CLASS_URIS["Catalog"], DCAT + "themeTaxonomy")
@@ -1177,11 +1193,12 @@ FROM flagged
 """
     )
 
-    # pure-Python xxHash64+SimHash brute-force replay (scripts/make_oracles.py
-    # -> data/oracles/; the engine's pigeonhole blocking must lose nothing)
+    # pure-Python xxHash64+SimHash brute-force replay (fixtures.py
+    # ensure_simhash_oracle; the engine's pigeonhole blocking must lose
+    # nothing)
     sql["dedup_simhash"] = (
         "SELECT a, b, hamming FROM read_parquet("
-        f"'{os.path.join(_REPO_DIR, 'data', 'oracles', 'dedup_simhash_sf0.01.parquet')}')"
+        f"'{fx.ensure_simhash_oracle('sf0.01')}')"
     )
 
     # recall audits: the oracle computes the EXACT side only — every query
@@ -1262,6 +1279,34 @@ SELECT doc_id, n_tokens, n_pieces, n_chars, n_alpha, n_digit, n_punct, n_stopwor
            generate_series(1, greatest(length(lower(text)) - 7, 1)),
            i -> substr(sha256(substr(lower(text), CAST(i AS INTEGER), 8)), 1, 16))) AS fp
 FROM feat
+"""
+
+    sql["text_repetition"] = """
+WITH base AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                       l -> l <> '') AS lines,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+),
+bi AS (
+    SELECT doc_id, lines, toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END AS bigrams
+    FROM base
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(CASE WHEN len(bigrams) > 0
+                 THEN list_max(list_transform(list_distinct(bigrams),
+                               d -> len(list_filter(bigrams, x -> x = d))))
+                 ELSE 0 END AS BIGINT) AS max_bigram_count
+FROM bi
 """
 
     # multimodal: the deterministic fake decoder is sha256-derived, so DuckDB

@@ -344,15 +344,16 @@ def triple_pr(spark, transcripts) -> dict:
     from breg_dcat_harvester_spark.operators.extract import extract_edges
     from breg_dcat_harvester_spark.operators.merge import merge_triples
 
-    repo = os.path.dirname(os.path.abspath(__file__))
+    from breg_dcat_harvester_spark import fixtures as fx
+
     ref_docs = [
         "/root/reference/api/breg_harvester/ontology/sample-01.xml",
         "/root/reference/api/breg_harvester/ontology/sample-02.ttl",
-        os.path.join(repo, "data", "rdf_samples", "sample-03.jsonld"),
+        fx.ensure_sample_jsonld(),  # regenerated if the workspace was wiped
     ]
-    golden = os.path.join(repo, "data", "oracles", "rdf_docs_golden.parquet")
+    golden = fx.ensure_rdf_golden()
     out = {}
-    if all(os.path.exists(p) for p in ref_docs) and os.path.exists(golden):
+    if all(os.path.exists(p) for p in ref_docs):
         import duckdb
 
         from breg_dcat_harvester_spark.sources.rdf_parse import (

@@ -1,0 +1,198 @@
+"""Self-healing oracle fixtures (RDF golden + SimHash replay).
+
+``data/`` is gitignored (generated corpora live there), so everything the
+contract queries need from it must be REGENERABLE on demand — a fresh
+checkout or wiped workspace must not fail the correctness gate.  Round-2
+lesson: the RDF golden + SimHash oracle fixtures existed only as generated
+files and were lost with the workspace; ``kg_harvest_rdf_docs`` and
+``dedup_simhash`` then failed at the harness.  The hand-derived data now
+lives HERE (in-repo, versioned) and the parquet/jsonld artifacts are
+rebuilt lazily by the ``ensure_*`` functions (cheap existence check; the
+builders are deterministic, so a rebuild is byte-stable).
+
+Contents:
+
+* the 33 HAND-TRANSCRIBED golden triples for the RDF-document harvest
+  oracle — transcribed by reading the reference's sample documents
+  (api/breg_harvester/ontology/sample-01.xml, sample-02.ttl; the two
+  sources of the README.md:104-122 ``num_triples: 33`` anecdote), NOT
+  computed by the parsers under test, so the fixture is a genuinely
+  independent oracle.  Quirk preserved on purpose: sample-01.xml writes
+  ``rdf:resource="dcat:Catalog"`` (no entity reference), which resolves as
+  an absolute URI with scheme ``dcat`` — rdflib emits it verbatim, so do
+  we; sample-02.ttl uses real prefixes, so ITS types are full URIs.
+* ``sample-03.jsonld`` — our structurally-equivalent stand-in for the
+  README harvest's third source (a JSON-LD gist not present in the
+  reference repo).
+* the SimHash near-dup oracle: a pure-Python replay
+  (functions/hashing_ref.py) of the public xxHash64 + SimHash definitions
+  over the driver's documents table, brute-forcing ALL pairs (no
+  blocking) — the Spark operator's pigeonhole blocking is lossless by
+  construction, so its output must equal this set exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE_DIR = os.path.join(REPO, "data", "oracles")
+SAMPLE_DIR = os.path.join(REPO, "data", "rdf_samples")
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+DCT = "http://purl.org/dc/terms/"
+DCAT = "http://www.w3.org/ns/dcat#"
+FOAF = "http://xmlns.com/foaf/0.1/"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+DATA = "http://www.fundacionctic.org/breg-data#"
+CORP = "http://publications.europa.eu/resource/authority/corporate-body"
+
+
+def _uri(s, p, o):
+    return (s, p, o, "uri", None, None)
+
+
+def _lit(s, p, o):
+    return (s, p, o, "literal", None, XSD_STRING)
+
+
+#: 33 hand-derived triples: 11 per source document (see module docstring).
+GOLDEN_TRIPLES = [
+    # --- sample-01.xml (note the verbatim prefixed type URIs) -------------
+    _uri(DATA + "sample-catalog", RDF_TYPE, "dcat:Catalog"),
+    _lit(DATA + "sample-catalog", DCT + "description", "Catalog description"),
+    _lit(DATA + "sample-catalog", DCT + "identifier", "Catalog unique ID"),
+    _lit(DATA + "sample-catalog", DCT + "title", "Catalog title"),
+    _uri(DATA + "sample-catalog", DCT + "publisher", DATA + "sample-agent"),
+    _uri(DATA + "sample-catalog", DCAT + "themeTaxonomy", DATA + "sample-scheme"),
+    _uri(DATA + "sample-agent", RDF_TYPE, "foaf:Agent"),
+    _lit(DATA + "sample-agent", FOAF + "name", "Agent name"),
+    _uri(DATA + "sample-agent", SKOS + "inScheme", CORP),
+    _uri(DATA + "sample-scheme", RDF_TYPE, "skos:ConceptScheme"),
+    _lit(DATA + "sample-scheme", DCT + "title", "Scheme title"),
+    # --- sample-02.ttl (full URIs via @prefix) ----------------------------
+    _uri(DATA + "another-catalog", RDF_TYPE, DCAT + "Catalog"),
+    _lit(DATA + "another-catalog", DCT + "description", "Another catalog description"),
+    _lit(DATA + "another-catalog", DCT + "identifier", "Another catalog unique ID"),
+    _lit(DATA + "another-catalog", DCT + "title", "Another catalog title"),
+    _uri(DATA + "another-catalog", DCT + "publisher", DATA + "another-agent"),
+    _uri(DATA + "another-catalog", DCAT + "themeTaxonomy", DATA + "another-scheme"),
+    _uri(DATA + "another-agent", RDF_TYPE, FOAF + "Agent"),
+    _lit(DATA + "another-agent", FOAF + "name", "Another agent name"),
+    _uri(DATA + "another-agent", SKOS + "inScheme", CORP),
+    _uri(DATA + "another-scheme", RDF_TYPE, SKOS + "ConceptScheme"),
+    _lit(DATA + "another-scheme", DCT + "title", "Another scheme title"),
+    # --- sample-03.jsonld (ours; context-expanded full URIs) --------------
+    _uri(DATA + "third-catalog", RDF_TYPE, DCAT + "Catalog"),
+    _lit(DATA + "third-catalog", DCT + "description", "Third catalog description"),
+    _lit(DATA + "third-catalog", DCT + "identifier", "Third catalog unique ID"),
+    _lit(DATA + "third-catalog", DCT + "title", "Third catalog title"),
+    _uri(DATA + "third-catalog", DCT + "publisher", DATA + "third-agent"),
+    _uri(DATA + "third-catalog", DCAT + "themeTaxonomy", DATA + "third-scheme"),
+    _uri(DATA + "third-agent", RDF_TYPE, FOAF + "Agent"),
+    _lit(DATA + "third-agent", FOAF + "name", "Third agent name"),
+    _uri(DATA + "third-agent", SKOS + "inScheme", CORP),
+    _uri(DATA + "third-scheme", RDF_TYPE, SKOS + "ConceptScheme"),
+    _lit(DATA + "third-scheme", DCT + "title", "Third scheme title"),
+]
+
+#: The third harvest source (JSON-LD), structurally parallel to the two
+#: reference samples; parses to exactly the 11 "third-*" golden triples.
+SAMPLE_JSONLD = """{
+  "@context": {
+    "dcat": "http://www.w3.org/ns/dcat#",
+    "dct": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "breg": "http://www.fundacionctic.org/breg-data#"
+  },
+  "@graph": [
+    {
+      "@id": "breg:third-catalog",
+      "@type": "dcat:Catalog",
+      "dct:description": "Third catalog description",
+      "dct:identifier": "Third catalog unique ID",
+      "dct:title": "Third catalog title",
+      "dct:publisher": {"@id": "breg:third-agent"},
+      "dcat:themeTaxonomy": {"@id": "breg:third-scheme"}
+    },
+    {
+      "@id": "breg:third-agent",
+      "@type": "foaf:Agent",
+      "foaf:name": "Third agent name",
+      "skos:inScheme": {"@id": "http://publications.europa.eu/resource/authority/corporate-body"}
+    },
+    {
+      "@id": "breg:third-scheme",
+      "@type": "skos:ConceptScheme",
+      "dct:title": "Third scheme title"
+    }
+  ]
+}
+"""
+
+
+def ensure_sample_jsonld() -> str:
+    """Write data/rdf_samples/sample-03.jsonld if missing; return its path."""
+    path = os.path.join(SAMPLE_DIR, "sample-03.jsonld")
+    if not os.path.exists(path):
+        os.makedirs(SAMPLE_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(SAMPLE_JSONLD)
+    return path
+
+
+def ensure_rdf_golden() -> str:
+    """Write data/oracles/rdf_docs_golden.parquet if missing; return path."""
+    import duckdb
+
+    path = os.path.join(ORACLE_DIR, "rdf_docs_golden.parquet")
+    if not os.path.exists(path):
+        assert len(GOLDEN_TRIPLES) == 33, len(GOLDEN_TRIPLES)
+        assert len({t[:3] for t in GOLDEN_TRIPLES}) == 33
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE g (subj VARCHAR, pred VARCHAR, obj VARCHAR,"
+            " obj_kind VARCHAR, lang VARCHAR, dtype VARCHAR)"
+        )
+        con.executemany("INSERT INTO g VALUES (?, ?, ?, ?, ?, ?)", GOLDEN_TRIPLES)
+        con.execute(f"COPY g TO '{path}' (FORMAT PARQUET)")
+        con.close()
+    return path
+
+
+def ensure_simhash_oracle(sf: str = "sf0.01", max_hamming: int = 3) -> str:
+    """Write data/oracles/dedup_simhash_<sf>.parquet if missing; return path.
+
+    Pure-Python brute-force replay over /root/testdata/<sf>/documents.parquet
+    (all O(N^2) pairs — the independence from the Spark operator is the
+    point; at oracle scale N is small).
+    """
+    import duckdb
+
+    from .functions.hashing_ref import simhash64_ref
+
+    path = os.path.join(ORACLE_DIR, f"dedup_simhash_{sf}.parquet")
+    if not os.path.exists(path):
+        src = f"/root/testdata/{sf}/documents.parquet"
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{src}') ORDER BY doc_id"
+        ).fetchall()
+        sims = [(doc_id, simhash64_ref(text)) for doc_id, text in docs]
+        pairs = []
+        for i in range(len(sims)):
+            a, ha = sims[i]
+            for j in range(i + 1, len(sims)):
+                b, hb = sims[j]
+                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    pairs.append((a, b, d))
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        con.execute("CREATE TABLE p (a BIGINT, b BIGINT, hamming BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", pairs)
+        con.execute(f"COPY p TO '{path}' (FORMAT PARQUET)")
+        con.close()
+    return path

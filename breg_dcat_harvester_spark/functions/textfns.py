@@ -71,6 +71,54 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1.2): duplicate-line and most-common-
+    bigram numerators, the standard filters for boilerplate / degenerate
+    generations in training-corpus curation.
+
+    Exact integer numerators only (ratios left to the caller — same
+    convention as ``quality_features``), all pure Column expressions:
+    map-side, whole-stage codegen, zero shuffle, SQL-oracle-able.
+    The per-row bigram count is O(tokens x distinct bigrams) in the worst
+    case but runs inside the row (no explode/groupBy state); for the
+    typical document sizes corpus filters see, that beats shuffling
+    |tokens| rows per document by far.
+    """
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    toks = tokens(text)
+    empty = F.slice(toks, 1, 0)  # typed empty array<string>
+    # guard: Spark's sequence(1, size-1) DESCENDS when size < 2
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(empty)
+    max_bigram = F.when(
+        F.size(bigrams) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_distinct_lines": F.size(F.array_distinct(lines)).cast("long"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "n_bigrams": F.size(bigrams).cast("long"),
+        "max_bigram_count": max_bigram.cast("long"),
+    }
+
+
 def fingerprint(text: Column, k: int = 8, prefix_len: int = 16) -> Column:
     """min over k-gram sha256 prefixes — a winnowing-lite rolling fingerprint."""
     lower = F.lower(text)

@@ -226,11 +226,10 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             lang = toks[j][1][1:]
             j += 1
         elif j < n and toks[j][0] == "dtype_sep":
-            val, kind, _, _ = *term(*toks[j + 1])[:1], toks[j + 1][0], None, None
-            if kind not in ("iri", "pname"):
+            if toks[j + 1][0] not in ("iri", "pname"):
                 raise ParseRdfError("turtle: datatype must be an IRI")
             dtype = term(*toks[j + 1])[0]
-            j += 1 + 1
+            j += 2
         _, _, o, k, lg, dt = _literal(lex, lang, dtype)
         return (o, k, lg, dt), j
 

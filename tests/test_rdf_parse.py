@@ -20,11 +20,14 @@ from breg_dcat_harvester_spark.sources.rdf_parse import (
     read_rdf_documents,
 )
 
+from breg_dcat_harvester_spark import fixtures as fx
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_XML = "/root/reference/api/breg_harvester/ontology/sample-01.xml"
 REF_TTL = "/root/reference/api/breg_harvester/ontology/sample-02.ttl"
-OUR_JSONLD = os.path.join(REPO, "data", "rdf_samples", "sample-03.jsonld")
-GOLDEN = os.path.join(REPO, "data", "oracles", "rdf_docs_golden.parquet")
+# data/ is gitignored — fixtures.py regenerates both deterministically
+OUR_JSONLD = fx.ensure_sample_jsonld()
+GOLDEN = fx.ensure_rdf_golden()
 
 needs_reference = pytest.mark.skipif(
     not os.path.exists(REF_XML), reason="reference repo not mounted"
@@ -105,6 +108,7 @@ PREFIX dc: <http://purl.org/dc/terms/>
 <thing> a ex:Widget, ex:Gadget ;
   dc:title "A title"@en ;
   ex:count 42 ;
+  ex:size "5"^^<http://www.w3.org/2001/XMLSchema#int> ;
   ex:ratio 3.14 ;
   ex:flag true ;
   ex:rel <other>, ex:third ;  # trailing comment
@@ -118,6 +122,8 @@ _:b ex:refs <thing> .
     assert (s, "http://purl.org/dc/terms/title", "A title", "literal", "en", XSD_STRING) in ts
     assert (s, "http://ex/ns#count", "42", "literal", None,
             "http://www.w3.org/2001/XMLSchema#integer") in ts
+    assert (s, "http://ex/ns#size", "5", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#int") in ts
     assert (s, "http://ex/ns#ratio", "3.14", "literal", None,
             "http://www.w3.org/2001/XMLSchema#decimal") in ts
     assert (s, "http://ex/ns#flag", "true", "literal", None,

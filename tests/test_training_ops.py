@@ -215,6 +215,35 @@ def test_text_functions(spark):
     assert fp2 == by_id[1].fp
 
 
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [
+            # 3 non-empty lines, one duplicated; "spam spam" bigram x3
+            (1, "spam spam spam spam\n\nspam spam spam spam\nok then"),
+            (2, "all distinct words here"),
+            (3, "one"),          # no bigrams
+            (4, ""),             # degenerate empty doc
+        ],
+        "doc_id long, text string",
+    )
+    rf = tf.repetition_features(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[e.alias(n) for n, e in rf.items()]
+        ).collect()
+    }
+    r1 = rows[1]
+    assert (r1.n_lines, r1.n_distinct_lines) == (3, 2)
+    # tokens: spam x8 + ok + then -> 10 tokens, 3 distinct, 9 bigrams;
+    # "spam spam" appears 7x (3 inside each spam-line + the line boundary,
+    # since tokenization splits on ALL whitespace incl. newlines)
+    assert (r1.n_distinct_tokens, r1.n_bigrams, r1.max_bigram_count) == (3, 9, 7)
+    assert rows[2].max_bigram_count == 1 and rows[2].n_distinct_lines == 1
+    assert (rows[3].n_bigrams, rows[3].max_bigram_count) == (0, 0)
+    assert (rows[4].n_lines, rows[4].n_bigrams, rows[4].max_bigram_count) == (0, 0, 0)
+
+
 def test_multimodal_plumbing(spark, docs):
     assets = docs.limit(20).select(
         F.concat(F.lit("a-"), F.col("doc_id")).alias("asset_id"),
