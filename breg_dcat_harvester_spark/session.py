@@ -72,6 +72,14 @@ def get_spark(
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
     }
+    # S5 straggler guard, cluster half: re-launch suspiciously slow tasks on
+    # another executor (the reference bounds per-source work with request/
+    # parse timeouts, scheduler.py; our in-task half is the max_doc_chars
+    # fail-fast in sources/rdf_parse.parse_rdf_docs).  Only under
+    # spark-submit — in local mode every "copy" shares the same JVM and
+    # speculation just duplicates work.
+    if in_submit:
+        conf["spark.speculation"] = "true"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

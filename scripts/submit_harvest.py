@@ -29,4 +29,9 @@ if __name__ == "__main__":
     active = SparkSession.getActiveSession()
     if active is not None:
         print(f"spark.master={active.sparkContext.master}", file=sys.stderr)
+        print(
+            "spark.speculation="
+            f"{active.conf.get('spark.speculation', 'false')}",
+            file=sys.stderr,
+        )
     sys.exit(rc)

@@ -87,3 +87,5 @@ def test_spark_submit_pyfiles_harvest(tmp_path):
     # (PythonRunner merges the python child's stderr into spark-submit's
     # stdout, so the echo lands there)
     assert "spark.master=local[2]" in proc.stdout
+    # S5 cluster half: speculative execution is on under spark-submit
+    assert "spark.speculation=true" in proc.stdout
