@@ -101,9 +101,11 @@ def _one_run(cores: int, sf: str, reps: int = 2) -> dict:
     # capture_output's EOF wait until the timeout even though the run
     # finished (observed: a 2-minute run "timing out" at 900 s).
     #
-    # The run itself takes <60 s; timeout at 300 and RETRY once rather than
-    # burning 900 s on a wedged python-worker socket (seen once: worker stuck
-    # in tcp_sendmsg, executor epoll-waiting — unrecoverable without a kill).
+    # A quiet n2@sf5 run (warm-up + min-of-2) is ~200 s; 480 s covers a
+    # contended host and a RETRY beats burning 900 s on a wedged
+    # python-worker socket (seen once: worker stuck in tcp_sendmsg, executor
+    # epoll-waiting — unrecoverable without a kill; also seen: 300 s was not
+    # enough under sustained co-tenant load and the whole protocol aborted).
     # start_new_session lets the timeout kill the whole JVM+worker tree, not
     # just the child python.
     import signal
@@ -121,14 +123,14 @@ def _one_run(cores: int, sf: str, reps: int = 2) -> dict:
                 start_new_session=True,
             )
             try:
-                proc.wait(timeout=300)
+                proc.wait(timeout=480)
             except subprocess.TimeoutExpired:
                 try:
                     os.killpg(proc.pid, signal.SIGKILL)
                 except ProcessLookupError:
                     pass
                 proc.wait()
-                last_err = f"scaling run (cores={cores}, {sf}) timed out at 300 s"
+                last_err = f"scaling run (cores={cores}, {sf}) timed out at 480 s"
                 continue
             out.seek(0)
             lines = [l for l in out.read().splitlines() if l.startswith("{")]
@@ -180,30 +182,50 @@ def _interleaved_pair(
     the end — sustained co-tenant load changes between rounds), yielding a
     per-round host-normalized efficiency next to each raw ratio."""
     best: dict[int, dict] = {}
+    warm_ratios: list[float] = []
     ratios: list[float] = []
     norm_ratios: list[float] = []
+    dropped: list[str] = []
     for i in range(warmup_rounds + rounds):
         rnd: dict[int, dict] = {}
         # ABBA alternation: flip the order each round so a linear drift in
         # co-tenant load cancels out of the paired ratio
         order = (n_small, n_big) if i % 2 == 0 else (n_big, n_small)
-        for c in order:
-            r = _one_run(
-                c, sf, reps=(reps_big or reps) if c == n_big else reps
-            )
-            rnd[c] = r
-            if c not in best or r["seconds"] < best[c]["seconds"]:
-                best[c] = r
-        ratios.append(rnd[n_big]["rows_per_sec"] / (4 * rnd[n_small]["rows_per_sec"]))
-        if probe_capacity and i >= warmup_rounds:
+        try:
+            for c in order:
+                r = _one_run(
+                    c, sf, reps=(reps_big or reps) if c == n_big else reps
+                )
+                rnd[c] = r
+                if c not in best or r["seconds"] < best[c]["seconds"]:
+                    best[c] = r
+        except RuntimeError as ex:
+            # one wedged/timed-out child must not abort the whole protocol:
+            # drop THIS round's ratio (its pair is incomplete) and keep
+            # going — the median over surviving rounds is still sound
+            dropped.append(f"round {i}: {ex}")
+            continue
+        ratio = rnd[n_big]["rows_per_sec"] / (4 * rnd[n_small]["rows_per_sec"])
+        if i < warmup_rounds:
+            warm_ratios.append(ratio)
+            continue
+        ratios.append(ratio)
+        if probe_capacity:
             host_eff = machine_capacity(n_big, n=6_000_000) / (
                 4 * machine_capacity(n_small, n=6_000_000)
             )
-            norm_ratios.append(ratios[-1] / host_eff)
+            norm_ratios.append(ratio / host_eff)
+    if len(ratios) < 2:
+        raise RuntimeError(
+            f"scaling pair n{n_small}->n{n_big}: fewer than 2 complete "
+            f"measured rounds ({'; '.join(dropped)})"
+        )
     out = {f"n{n_small}": best[n_small], f"n{n_big}": best[n_big]}
-    out["warmup_round_efficiency"] = [round(x, 3) for x in ratios[:warmup_rounds]]
-    out["per_round_efficiency"] = [round(x, 3) for x in ratios[warmup_rounds:]]
-    out["efficiency_n_to_4n"] = round(_median(ratios[warmup_rounds:]), 3)
+    if dropped:
+        out["dropped_rounds"] = dropped
+    out["warmup_round_efficiency"] = [round(x, 3) for x in warm_ratios]
+    out["per_round_efficiency"] = [round(x, 3) for x in ratios]
+    out["efficiency_n_to_4n"] = round(_median(ratios), 3)
     if norm_ratios:
         out["per_round_efficiency_host_normalized"] = [
             round(x, 3) for x in norm_ratios
@@ -224,6 +246,15 @@ def run_scaling(sf_capped: str = SCALING_SF) -> dict:
       below with pure-CPU multiprocessing) — reported raw and normalized.
     """
     out: dict = {}
+
+    # generate the scaling corpora OUTSIDE the timed/killable children: on a
+    # fresh workspace the first child would otherwise spend its timeout
+    # budget on datagen (and a timeout kill mid-write used to leave a
+    # truncated cache file behind)
+    from breg_dcat_harvester_spark.datagen import ensure_transcripts
+
+    ensure_transcripts("sf5")
+    ensure_transcripts(sf_capped)
 
     # min-of-2 per config per round: with reps=1 a single co-tenant burst in
     # either window swings the paired ratio 40% (observed spread 0.49-0.91);

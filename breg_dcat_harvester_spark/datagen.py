@@ -357,8 +357,15 @@ ARROW_SCHEMA = pa.schema(
 def write_transcripts_parquet(df: pd.DataFrame, path: str) -> str:
     os.makedirs(path, exist_ok=True)
     table = pa.Table.from_pandas(df, schema=ARROW_SCHEMA, preserve_index=False)
-    # bounded row groups -> the single file still splits across Spark tasks
-    pq.write_table(table, os.path.join(path, "part-00000.parquet"), row_group_size=50_000)
+    # bounded row groups -> the single file still splits across Spark tasks.
+    # Write tmp + atomic rename: the file doubles as ensure_transcripts'
+    # done-marker, so a process killed mid-write must not leave a truncated
+    # file that existence-checks as complete (bench scaling children run
+    # under a kill-on-timeout).
+    final = os.path.join(path, "part-00000.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp, row_group_size=50_000)
+    os.replace(tmp, final)
     return path
 
 
