@@ -29,6 +29,7 @@ from breg_dcat_harvester_spark.operators import labels as lbl
 from breg_dcat_harvester_spark.operators import link as lnk
 from breg_dcat_harvester_spark.operators import multimodal as mm
 from breg_dcat_harvester_spark.operators import curation as cur
+from breg_dcat_harvester_spark.operators import decontam as dctm
 from breg_dcat_harvester_spark.operators import sampling as smp
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import merge_triples
@@ -421,6 +422,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_tokens=20,
         min_alpha_per_mille=820,
     )
+
+    # benchmark decontamination (GPT-3/Pile-style n-gram collision): the
+    # "eval set" is a deterministic 3% sha256-bucket slice of the corpus
+    # (salt "bench" — replayable in DuckDB), so contamination is guaranteed
+    # non-trivial; n=8 keeps random 8-gram collisions discriminative on the
+    # short synthetic docs
+    def _decontam(spark, sf):
+        docs = _documents(spark, sf)
+        bench = docs.withColumn(
+            "bucket", smp.sample_bucket(F.col("doc_id"), salt="bench")
+        ).filter(F.col("bucket") < 30)
+        return dctm.contamination_report(docs, bench, n=8, min_hits=1)
+
+    q["decontaminate"] = _decontam
 
     def _queries_df(spark, sf):
         emb = _embeddings(spark, sf)
@@ -1149,6 +1164,37 @@ SELECT doc_id, lang, bucket,
        CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS BIGINT)
            AS sample_rank
 FROM b QUALIFY sample_rank <= 70
+"""
+
+    # benchmark decontamination: replay the n=8 shingles and the sha256
+    # "bench" bucket split, then the same collide -> per-doc distinct counts
+    bench_bucket_sql = (
+        "(('0x' || substr(sha256('bench:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 1000)"
+    )
+    sql["decontaminate"] = f"""
+WITH toks8 AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+),
+shl8 AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 8
+                THEN list_transform(generate_series(1, len(t) - 7),
+                     i -> array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' '))
+                ELSE [array_to_string(t, ' ')] END AS sl
+    FROM toks8
+),
+grams8 AS (SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shl8),
+bench AS (
+    SELECT DISTINCT shingle, doc_id AS bench_id FROM grams8
+    WHERE {bench_bucket_sql} < 30
+)
+SELECT g.doc_id,
+       CAST(count(DISTINCT g.shingle) AS BIGINT) AS n_hit_ngrams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM grams8 g JOIN bench b ON b.shingle = g.shingle
+GROUP BY g.doc_id
+HAVING count(DISTINCT g.shingle) >= 1
 """
 
     # curation composition: canonical dedup (recursive CTE over the exact

@@ -265,3 +265,37 @@ def test_multimodal_plumbing(spark, docs):
         mm.extract_features(assets).collect()
     frames = mm.sample_frames(assets, every_ms=1000)
     assert frames.count() == 20 * 4  # 0,1000,2000,3000
+
+
+def test_decontamination_planted(spark):
+    from breg_dcat_harvester_spark.operators import decontam as dctm
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            # shares the full benchmark 8-gram window -> contaminated
+            (1, "intro words " + bench_text + " trailing words"),
+            # shares only 5 consecutive benchmark words -> clean at n=8
+            (2, "alpha beta gamma delta epsilon nope x y z w q r s t"),
+            # unrelated -> clean
+            (3, "completely different content with no overlap at all here ok"),
+            # verbatim copy -> contaminated
+            (4, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    report = {r.doc_id: r for r in dctm.contamination_report(docs, bench, n=8).collect()}
+    assert set(report) == {1, 4}
+    # doc 1 contains words 1-8 and 2-9 and 3-10 of the 10-word benchmark
+    assert report[1].n_hit_ngrams == 3 and report[1].n_bench_docs == 1
+    assert report[4].n_hit_ngrams == 3
+
+    clean = dctm.decontaminate(docs, bench, n=8)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {2, 3}
+
+    # empty benchmark -> nothing flagged, corpus passes through
+    empty_bench = bench.filter(F.lit(False))
+    assert dctm.contamination_report(docs, empty_bench, n=8).count() == 0
+    assert dctm.decontaminate(docs, empty_bench, n=8).count() == 4
