@@ -423,6 +423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_alpha_per_mille=820,
     )
 
+    # training-mix planning report: per-(lang, source) doc/token/byte
+    # shares of the corpus (integer per-mille — replayed exactly)
+    q["corpus_mixture"] = lambda spark, sf: cur.corpus_mixture(_documents(spark, sf))
+
     # benchmark decontamination (GPT-3/Pile-style n-gram collision): the
     # "eval set" is a deterministic 3% sha256-bucket slice of the corpus
     # (salt "bench" — replayable in DuckDB), so contamination is guaranteed
@@ -1164,6 +1168,28 @@ SELECT doc_id, lang, bucket,
        CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS BIGINT)
            AS sample_rank
 FROM b QUALIFY sample_rank <= 70
+"""
+
+    # mixture report: whitespace-token replay + integer per-mille shares
+    sql["corpus_mixture"] = """
+WITH base AS (
+    SELECT lang, source,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_toks,
+           CAST(length(text) AS BIGINT) AS nc
+    FROM documents
+),
+agg AS (
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars
+    FROM base GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, n_tokens, n_chars,
+       CAST((n_docs * 1000) // sum(n_docs) OVER () AS BIGINT) AS doc_share_pm,
+       CAST((n_tokens * 1000) // sum(n_tokens) OVER () AS BIGINT) AS token_share_pm
+FROM agg
 """
 
     # benchmark decontamination: replay the n=8 shingles and the sha256

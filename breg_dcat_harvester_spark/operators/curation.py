@@ -24,7 +24,7 @@ output keeps EVERY input document with its flags; downstream selects
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns as tf
@@ -97,4 +97,47 @@ def curate_corpus(
             "bucket",
             "selected",
         )
+    )
+
+
+def corpus_mixture(
+    docs: DataFrame,
+    strata: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix planning report: per-stratum shares of the corpus.
+
+    Before building a mix (``sampling.stratified_bernoulli`` rates), a
+    pipeline needs to know what it HAS: docs, whitespace tokens, and bytes
+    per (lang, source) stratum, plus each stratum's integer per-mille share
+    of the corpus doc and token budgets.
+
+    Plan shape: one map-side-partial aggregation over the corpus scan (the
+    only corpus-sized stage), then the shares are a window over the
+    aggregated stratum rows — thousands at most, never the corpus.  Shares
+    use integer division so any engine replays them bit-exactly.
+    """
+    toks = tf.tokens(F.col(text_col))
+    agg = docs.groupBy(*[F.col(s) for s in strata]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        *strata,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.expr("n_docs * 1000").cast("long").alias("_d"),
+        F.expr("n_tokens * 1000").cast("long").alias("_t"),
+        F.sum("n_docs").over(w).alias("_td"),
+        F.sum("n_tokens").over(w).alias("_tt"),
+    ).select(
+        *strata,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.expr("_d DIV _td").alias("doc_share_pm"),
+        F.expr("_t DIV _tt").alias("token_share_pm"),
     )

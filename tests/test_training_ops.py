@@ -299,3 +299,21 @@ def test_decontamination_planted(spark):
     empty_bench = bench.filter(F.lit(False))
     assert dctm.contamination_report(docs, empty_bench, n=8).count() == 0
     assert dctm.decontaminate(docs, empty_bench, n=8).count() == 4
+
+
+def test_corpus_mixture_shares(spark, docs):
+    from breg_dcat_harvester_spark.operators import curation as cur
+
+    rows = cur.corpus_mixture(docs).collect()
+    assert len(rows) > 1
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == docs.count()
+    # integer floor shares: sum in (1000 - n_strata, 1000]
+    ds = sum(r.doc_share_pm for r in rows)
+    ts = sum(r.token_share_pm for r in rows)
+    assert 1000 - len(rows) < ds <= 1000
+    assert 1000 - len(rows) < ts <= 1000
+    # deterministic across runs
+    again = {tuple(r[:2]): (r.n_tokens, r.token_share_pm)
+             for r in cur.corpus_mixture(docs).collect()}
+    assert all(again[(r.lang, r.source)] == (r.n_tokens, r.token_share_pm) for r in rows)
