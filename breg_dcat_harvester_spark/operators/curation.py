@@ -46,6 +46,8 @@ def curate_corpus(
     min_alpha_per_mille: int = MIN_ALPHA_PER_MILLE,
     default_rate: int = 0,
     salt: str = "smpl",
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 8,
 ) -> DataFrame:
     """Per-document curation decision row.
 
@@ -53,6 +55,10 @@ def curate_corpus(
     (doc_id, lang, n_tokens, n_chars, n_alpha, is_canonical, quality_ok,
     bucket, selected) where ``selected`` = canonical AND quality AND
     sampled-into-the-mix.  Deterministic at any parallelism.
+
+    When ``benchmark`` is given, a ``contaminated`` flag (decontam.py
+    eval-set n-gram collision, broadcast — no extra corpus shuffle) is
+    added and folded into ``selected``.
     """
     qf = tf.quality_features(F.col("text"))
     rate = F.lit(default_rate)
@@ -78,25 +84,36 @@ def curate_corpus(
         "doc_id", "is_canonical"
     )
 
-    return (
-        flagged.join(decisions, "doc_id")
-        .withColumn(
-            "selected",
-            F.col("is_canonical")
-            & F.col("quality_ok")
-            & (F.col("bucket") < F.col("_rate")),
+    out = flagged.join(decisions, "doc_id").withColumn(
+        "selected",
+        F.col("is_canonical")
+        & F.col("quality_ok")
+        & (F.col("bucket") < F.col("_rate")),
+    )
+    extra: list[str] = []
+    if benchmark is not None:
+        from .decontam import contamination_report
+
+        hits = contamination_report(docs, benchmark, n=decontam_ngram).select(
+            "doc_id", F.lit(True).alias("contaminated")
         )
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "n_chars",
-            "n_alpha",
-            "is_canonical",
-            "quality_ok",
-            "bucket",
-            "selected",
+        out = (
+            out.join(F.broadcast(hits), "doc_id", "left")
+            .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+            .withColumn("selected", F.col("selected") & ~F.col("contaminated"))
         )
+        extra = ["contaminated"]
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_chars",
+        "n_alpha",
+        "is_canonical",
+        "quality_ok",
+        "bucket",
+        *extra,
+        "selected",
     )
 
 

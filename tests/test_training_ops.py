@@ -317,3 +317,23 @@ def test_corpus_mixture_shares(spark, docs):
     again = {tuple(r[:2]): (r.n_tokens, r.token_share_pm)
              for r in cur.corpus_mixture(docs).collect()}
     assert all(again[(r.lang, r.source)] == (r.n_tokens, r.token_share_pm) for r in rows)
+
+
+def test_curate_corpus_with_decontamination(spark, docs):
+    from breg_dcat_harvester_spark.operators import curation as cur
+    from breg_dcat_harvester_spark.operators.sampling import sample_bucket
+
+    rates = {"en": 1000, "de": 1000, "fr": 1000, "es": 1000, "zh": 1000}
+    bench = docs.withColumn(
+        "bucket", sample_bucket(F.col("doc_id"), salt="bench")
+    ).filter(F.col("bucket") < 50).drop("bucket")
+
+    base = {r.doc_id: r for r in cur.curate_corpus(docs, rates).collect()}
+    with_dc = {r.doc_id: r for r in
+               cur.curate_corpus(docs, rates, benchmark=bench).collect()}
+    assert set(base) == set(with_dc)
+    flagged = {i for i, r in with_dc.items() if r.contaminated}
+    # the bench slice contaminates at least itself
+    assert flagged >= {r.doc_id for r in bench.select("doc_id").collect()}
+    for i, r in with_dc.items():
+        assert r.selected == (base[i].selected and not r.contaminated)
