@@ -138,8 +138,16 @@ def ensure_sample_jsonld() -> str:
     path = os.path.join(SAMPLE_DIR, "sample-03.jsonld")
     if not os.path.exists(path):
         os.makedirs(SAMPLE_DIR, exist_ok=True)
-        with open(path, "w") as f:
+        # write-then-rename: these ensure_* writers run inside bench children
+        # that may be SIGKILLed on timeout; a kill mid-write must not leave a
+        # truncated file that passes the exists() check forever after (same
+        # fix as datagen.write_transcripts_parquet).  The pid suffix also
+        # makes concurrent regeneration race-free (last rename wins, both
+        # writers produce identical bytes).
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             f.write(SAMPLE_JSONLD)
+        os.replace(tmp, path)
     return path
 
 
@@ -152,14 +160,19 @@ def ensure_rdf_golden() -> str:
         assert len(GOLDEN_TRIPLES) == 33, len(GOLDEN_TRIPLES)
         assert len({t[:3] for t in GOLDEN_TRIPLES}) == 33
         os.makedirs(ORACLE_DIR, exist_ok=True)
+        # COPY to a temp name + atomic rename: a SIGKILL mid-COPY (bench
+        # child timeout) must not leave a truncated parquet behind the
+        # exists() check (see ensure_sample_jsonld)
+        tmp = f"{path}.tmp.{os.getpid()}"
         con = duckdb.connect()
         con.execute(
             "CREATE TABLE g (subj VARCHAR, pred VARCHAR, obj VARCHAR,"
             " obj_kind VARCHAR, lang VARCHAR, dtype VARCHAR)"
         )
         con.executemany("INSERT INTO g VALUES (?, ?, ?, ?, ?, ?)", GOLDEN_TRIPLES)
-        con.execute(f"COPY g TO '{path}' (FORMAT PARQUET)")
+        con.execute(f"COPY g TO '{tmp}' (FORMAT PARQUET)")
         con.close()
+        os.replace(tmp, path)
     return path
 
 
@@ -191,8 +204,10 @@ def ensure_simhash_oracle(sf: str = "sf0.01", max_hamming: int = 3) -> str:
                 if d <= max_hamming:
                     pairs.append((a, b, d))
         os.makedirs(ORACLE_DIR, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"  # atomic: see ensure_rdf_golden
         con.execute("CREATE TABLE p (a BIGINT, b BIGINT, hamming BIGINT)")
         con.executemany("INSERT INTO p VALUES (?, ?, ?)", pairs)
-        con.execute(f"COPY p TO '{path}' (FORMAT PARQUET)")
+        con.execute(f"COPY p TO '{tmp}' (FORMAT PARQUET)")
         con.close()
+        os.replace(tmp, path)
     return path

@@ -107,24 +107,30 @@ def connected_components_star(
     propagation stays preferable for the near-clique link graphs entity
     linking emits (fewer shuffles per round, ~2 rounds total there).
     """
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # all_nodes comes from the RAW pairs, BEFORE the self-loop filter: a node
+    # appearing only as (a, a) still owes an identity row, matching
+    # connected_components' contract (the filtered edge list would drop it)
+    all_nodes = raw.select(F.col("u").alias("node_id")).unionByName(
+        raw.select(F.col("v").alias("node_id"))
+    ).distinct().localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # every node that must appear in the output (roots drop out of the edge
-    # list only if isolated, which distinct pairs can't produce, but the
-    # final left-join keeps the contract obvious and future-proof)
-    all_nodes = edges.select(F.col("u").alias("node_id")).unionByName(
-        edges.select(F.col("v").alias("node_id"))
-    ).distinct().localCheckpoint(eager=True)
 
     def _checksum(df: DataFrame):
+        # (hash-sum, count) pair: star rounds are NOT monotone (unlike
+        # min-propagation's labels), so the order-insensitive hash sum alone
+        # could collide between two different consecutive edge sets; equal
+        # counts must also hold before we declare convergence.  Same single
+        # aggregation, one extra long.
         row = df.agg(
-            F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("c")
+            F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("c"),
+            F.count(F.lit(1)).alias("n"),
         ).head()
-        return row.c or 0
+        return (row.c or 0, row.n)
 
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

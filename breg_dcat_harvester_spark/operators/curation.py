@@ -57,8 +57,9 @@ def curate_corpus(
     sampled-into-the-mix.  Deterministic at any parallelism.
 
     When ``benchmark`` is given, a ``contaminated`` flag (decontam.py
-    eval-set n-gram collision, broadcast — no extra corpus shuffle) is
-    added and folded into ``selected``.
+    eval-set n-gram collision) is added and folded into ``selected``; the
+    join strategy is left to AQE (the hit list is corpus-bounded, so a
+    forced broadcast could OOM on a heavily contaminated corpus).
     """
     qf = tf.quality_features(F.col("text"))
     rate = F.lit(default_rate)
@@ -97,8 +98,12 @@ def curate_corpus(
         hits = contamination_report(docs, benchmark, n=decontam_ngram).select(
             "doc_id", F.lit(True).alias("contaminated")
         )
+        # no broadcast hint: hits is bounded by the CORPUS (every doc that
+        # overlaps the benchmark), not by the benchmark — a heavily
+        # contaminated 100 TB corpus makes it arbitrarily large.  AQE picks
+        # broadcast at runtime when the report actually is small.
         out = (
-            out.join(F.broadcast(hits), "doc_id", "left")
+            out.join(hits, "doc_id", "left")
             .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
             .withColumn("selected", F.col("selected") & ~F.col("contaminated"))
         )

@@ -99,6 +99,26 @@ def test_cc_star_matches_min_propagation_random(spark):
     assert got == want
 
 
+def test_cc_star_self_loop_only_nodes(spark):
+    """a node appearing ONLY in self-loop pairs (a, a) still gets an
+    identity row from BOTH algorithms — the 'identical canonical mapping'
+    contract must hold on such inputs too."""
+    pairs = spark.createDataFrame(
+        [("solo", "solo"), ("a", "b"), ("b", "b")], "a string, b string"
+    )
+    want = {("solo", "solo"), ("a", "a"), ("b", "a")}
+    got_min = {
+        (r.node_id, r.canonical_id)
+        for r in ccm.connected_components(pairs).collect()
+    }
+    got_star = {
+        (r.node_id, r.canonical_id)
+        for r in ccm.connected_components_star(pairs).collect()
+    }
+    assert got_min == want
+    assert got_star == want
+
+
 def test_cc_star_long_chain_converges_fast(spark):
     """a 400-node path needs ~400 min-propagation rounds (min moves one hop
     per round) but collapses in O(log^2 n) star rounds — the documented

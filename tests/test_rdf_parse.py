@@ -25,9 +25,12 @@ from breg_dcat_harvester_spark import fixtures as fx
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_XML = "/root/reference/api/breg_harvester/ontology/sample-01.xml"
 REF_TTL = "/root/reference/api/breg_harvester/ontology/sample-02.ttl"
-# data/ is gitignored — fixtures.py regenerates both deterministically
-OUR_JSONLD = fx.ensure_sample_jsonld()
-GOLDEN = fx.ensure_rdf_golden()
+
+# data/ is gitignored — fixtures.py regenerates both deterministically.
+# Lazy (called inside tests, not at import): merely COLLECTING this file
+# must not write under data/ when the tests are skipped or deselected.
+def _our_jsonld() -> str:
+    return fx.ensure_sample_jsonld()
 
 needs_reference = pytest.mark.skipif(
     not os.path.exists(REF_XML), reason="reference repo not mounted"
@@ -43,7 +46,8 @@ def _golden_set():
     return {
         tuple(r)
         for r in duckdb.query(
-            f"SELECT subj, pred, obj, obj_kind, lang, dtype FROM read_parquet('{GOLDEN}')"
+            "SELECT subj, pred, obj, obj_kind, lang, dtype FROM read_parquet("
+            f"'{fx.ensure_rdf_golden()}')"
         ).fetchall()
     }
 
@@ -51,7 +55,7 @@ def _golden_set():
 @needs_reference
 def test_sample_files_match_hand_golden():
     got = set()
-    for path, fmt in ((REF_XML, "xml"), (REF_TTL, "turtle"), (OUR_JSONLD, "json-ld")):
+    for path, fmt in ((REF_XML, "xml"), (REF_TTL, "turtle"), (_our_jsonld(), "json-ld")):
         triples = parse_rdf_text(open(path).read(), fmt, base="file://" + path,
                                  doc_id=path)
         assert len(triples) == 11, (path, len(triples))
@@ -62,7 +66,7 @@ def test_sample_files_match_hand_golden():
 @needs_reference
 def test_rdf_doc_harvest_num_triples_33(spark):
     """README.md:104-122 parity: the 3-source harvest yields 33 triples."""
-    docs = read_rdf_documents(spark, [REF_XML, REF_TTL, OUR_JSONLD])
+    docs = read_rdf_documents(spark, [REF_XML, REF_TTL, _our_jsonld()])
     edges = parse_rdf_docs(docs, id_col="source")  # sniff_format routing
     assert num_triples(merge_triples(edges)) == 33
     # the XML quirk survives the Spark path: rdf:resource="dcat:Catalog" is
@@ -245,14 +249,14 @@ def test_full_harvest_plan_over_rdf_docs(spark, tmp_path):
     from breg_dcat_harvester_spark.plans.harvest import HarvestConfig, run_harvest
 
     cfg = HarvestConfig(out_dir=str(tmp_path / "kg"), source_kind="rdf_docs")
-    res = run_harvest(spark, [REF_XML, REF_TTL, OUR_JSONLD], cfg, run_id="rdf-a")
+    res = run_harvest(spark, [REF_XML, REF_TTL, _our_jsonld()], cfg, run_id="rdf-a")
     assert res["num_triples"] == 33  # README.md:104-122 parity
     assert [s["stage"] for s in res["stages"]] == [
         "edges_raw", "triples", "valid_triples", "links", "cc_labels",
         "edges", "nodes",
     ]
     # resume is a no-op
-    res2 = run_harvest(spark, [REF_XML, REF_TTL, OUR_JSONLD], cfg, run_id="rdf-a")
+    res2 = run_harvest(spark, [REF_XML, REF_TTL, _our_jsonld()], cfg, run_id="rdf-a")
     assert res2["num_triples"] == 33 and res2["stages"] == []
 
 
