@@ -1084,11 +1084,16 @@ FROM t GROUP BY 1, 2, 3
 
     # --- training-data ops ---------------------------------------------------
 
+    # bounded per-group output (count + canonical + 8-sample), matching
+    # operators/dedup.exact_dup_groups' degenerate-duplicate guard
     sql["dedup_exact"] = """
-SELECT sha256(text) AS text_hash,
+WITH d AS (SELECT sha256(text) AS text_hash, CAST(doc_id AS VARCHAR) AS did
+           FROM documents)
+SELECT text_hash,
        CAST(count(*) AS BIGINT) AS n_docs,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
-FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+       min(did) AS canonical_id,
+       array_to_string(list_sort(list(did))[1:8], ',') AS sample_ids
+FROM d GROUP BY text_hash HAVING count(*) > 1
 """
 
     ngram_ctes = """toks AS (

@@ -5,7 +5,8 @@ pipeline needs textual near-dup detection.  All operators run on a generic
 (id, text) projection — the ``documents`` table or transcript turns.
 
 * ``exact_dup_groups``     — sha256(text) hash-groupBy (one shuffle, partial
-  agg map-side; the canonical exact dedup at any scale).
+  agg map-side; the canonical exact dedup at any scale).  Per-group output
+  is bounded (count + canonical + k-sample), never a full member list.
 * ``ngram_jaccard_pairs``  — exact word-n-gram jaccard via shingle self-join
   (the brute-force baseline and the oracle shape).
 * ``minhash_lsh_pairs``    — banded-MinHash blocking + exact-jaccard verify:
@@ -35,17 +36,57 @@ def _docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
 
-def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids)."""
-    return (
-        _docs(df, id_col, text_col)
-        .groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+def exact_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_k: int = 8,
+    fanout: int = 64,
+) -> DataFrame:
+    """Groups of byte-identical texts:
+    (text_hash, n_docs, canonical_id, sample_ids).
+
+    Every per-group value is BOUNDED: ``canonical_id`` is the
+    lexicographically smallest (string-cast) doc_id, ``sample_ids`` the
+    ``sample_k`` smallest, comma-joined.  A degenerate corpus (billions of
+    empty/boilerplate docs sharing one hash) previously produced a
+    gigabytes-long concatenation of every member id in one aggregation
+    value; now the group row is O(sample_k) regardless of group size.
+
+    The sample uses the same two-stage top-k as sampling.stratified_fixed_k:
+    stage 1 ranks inside (text_hash, xxhash64(doc_id) % fanout) splits —
+    any id in the group's global top ``sample_k`` is also in its split's
+    local top ``sample_k`` — bounding every sort at ~|group|/fanout rows;
+    stage 2 aggregates the <= fanout*sample_k survivors per hash.  The
+    count/min aggregation stays a plain map-side-partial hash agg.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(df, id_col, text_col).select(
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    counts = (
+        docs.groupBy("text_hash")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",").alias("doc_ids"),
+            F.min("doc_id").alias("canonical_id"),
         )
         .filter(F.col("n_docs") > 1)
     )
+    split = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(fanout))
+    w1 = Window.partitionBy(F.col("text_hash"), split).orderBy("doc_id")
+    survivors = (
+        docs.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= sample_k)
+        .drop("_r1")
+    )
+    sample = survivors.groupBy("text_hash").agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, sample_k), ","
+        ).alias("sample_ids")
+    )
+    return counts.join(sample, "text_hash")
 
 
 def shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:

@@ -27,6 +27,33 @@ def test_exact_dup_of_duplicated_docs(spark, docs):
     groups = ddp.exact_dup_groups(doubled)
     assert groups.count() == docs.count()
     assert groups.agg(F.max("n_docs")).head()[0] == 2
+    row = groups.orderBy("text_hash").head()
+    # canonical is the lexicographically-smallest id and leads the sample
+    assert row.sample_ids.split(",")[0] == row.canonical_id
+
+
+def test_exact_dup_group_output_is_bounded(spark):
+    """A 10^4-member duplicate group must yield an O(sample_k) row, not a
+    concatenation of every member id (the degenerate-boilerplate corpus
+    case: one aggregation value used to grow with group size)."""
+    n = 10_000
+    dup = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text").alias("text")
+    )
+    uniq = spark.range(3).select(
+        (F.col("id") + n).alias("doc_id"),
+        F.concat(F.lit("unique "), F.col("id").cast("string")).alias("text"),
+    )
+    rows = ddp.exact_dup_groups(dup.unionByName(uniq), sample_k=8).collect()
+    assert len(rows) == 1
+    (g,) = rows
+    assert g.n_docs == n
+    assert g.canonical_id == "0"
+    ids = g.sample_ids.split(",")
+    assert len(ids) == 8, "sample must be capped at sample_k"
+    # the 8 lexicographically-smallest string ids of 0..9999
+    assert ids == sorted((str(i) for i in range(n)))[:8]
+    assert len(g.sample_ids) < 200, "row size must not scale with group size"
 
 
 def test_minhash_lsh_equals_bruteforce(spark, docs):
