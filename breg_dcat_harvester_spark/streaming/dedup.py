@@ -55,20 +55,17 @@ def dedup_turns(
     return hashed.dropDuplicates(["content_hash"])
 
 
-def run_dedup_stream(
+def _run_available_now(
     spark: SparkSession,
     transcripts_dir: str,
     checkpoint_dir: str,
-    delay: str = DEFAULT_DELAY,
-) -> list:
-    """Drain available files through the streaming dedup (AvailableNow) and
-    return the admitted rows; dedup state persists in the checkpoint across
-    activations (a re-run does not re-admit already-seen content)."""
-    rows: list = []
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows.extend(batch_df.collect())
-
+    delay: str,
+    sink,
+) -> None:
+    """Shared activation shape: drain available files through the dedup
+    (AvailableNow trigger) into ``sink``; dedup state persists in the
+    checkpoint across activations (a re-run does not re-admit already-seen
+    content)."""
     stream = (
         dedup_turns(
             spark.readStream.schema(TRANSCRIPTS).parquet(transcripts_dir),
@@ -81,4 +78,45 @@ def run_dedup_stream(
         .start()
     )
     stream.awaitTermination()
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    transcripts_dir: str,
+    checkpoint_dir: str,
+    delay: str = DEFAULT_DELAY,
+) -> list:
+    """TEST DRAIN ONLY: collect the admitted rows to the driver.  Production
+    jobs use ``run_dedup_stream_to_table`` — this variant exists so tests can
+    assert on exact admitted rows without reading a sink back."""
+    rows: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows.extend(batch_df.collect())
+
+    _run_available_now(spark, transcripts_dir, checkpoint_dir, delay, sink)
     return rows
+
+
+def run_dedup_stream_to_table(
+    spark: SparkSession,
+    transcripts_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = DEFAULT_DELAY,
+) -> None:
+    """Production sink: append admitted turns to a parquet table.
+
+    ``foreachBatch`` + append parquet keeps everything executor-side (no
+    driver collect); exactly-once lands via the streaming checkpoint's batch
+    ids — a replayed micro-batch after a crash re-appends, and downstream
+    readers dedup on content_hash (already emitted per row), the standard
+    at-least-once parquet sink contract.  For an Iceberg catalog the same
+    ``foreachBatch`` body swaps to ``batch_df.writeTo(...).append()`` which
+    upgrades this to exactly-once via table-level atomic commits
+    (storage.IcebergTable is the batch-side analog)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    _run_available_now(spark, transcripts_dir, checkpoint_dir, delay, sink)

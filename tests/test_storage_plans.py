@@ -83,3 +83,73 @@ def test_harvest_run_and_resume(spark, tmp_path, small_transcripts):
     # stable turn ordering invariant (W5): edges sorted within partitions
     edges = LocalSnapshotTable(os.path.join(cfg.out_dir, "edges")).read(spark)
     assert edges.count() >= res1["num_triples"]
+
+
+def test_iceberg_branch_selected_and_writer_calls(spark):
+    """Plan-level coverage of the Iceberg-native backend (no runtime jar in
+    this sandbox, so the DataFrameWriterV2 is stubbed at the seam): the
+    'iceberg:' uri must route to IcebergTable, write(mode=...) must drive the
+    append vs createOrReplace branch, and read(snapshot_id=...) must set the
+    snapshot-id option before .table()."""
+    import breg_dcat_harvester_spark.storage as st
+
+    t = st.table_for("iceberg:cat.db.tbl")
+    assert isinstance(t, st.IcebergTable)
+    assert t.identifier == "cat.db.tbl"
+    assert isinstance(st.table_for("/tmp/x"), st.LocalSnapshotTable)
+
+    calls = []
+
+    class FakeWriter:
+        def append(self):
+            calls.append("append")
+
+        def createOrReplace(self):
+            calls.append("createOrReplace")
+
+    class FakeSession:
+        def sql(self, q):
+            calls.append(("sql", q))
+
+            class _R:
+                @staticmethod
+                def head():
+                    return ["snap-1"]
+
+            return _R()
+
+    class FakeDF:
+        sparkSession = FakeSession()
+
+        def writeTo(self, identifier):
+            calls.append(("writeTo", identifier))
+            return FakeWriter()
+
+    assert t.write(FakeDF(), mode="append") == "snap-1"
+    assert calls[0] == ("writeTo", "cat.db.tbl")
+    assert calls[1] == "append"
+    assert calls[2][0] == "sql" and "cat.db.tbl.snapshots" in calls[2][1]
+
+    calls.clear()
+    t.write(FakeDF(), mode="overwrite")
+    assert calls[1] == "createOrReplace"
+
+    reads = []
+
+    class FakeReader:
+        def option(self, k, v):
+            reads.append(("option", k, v))
+            return self
+
+        def table(self, identifier):
+            reads.append(("table", identifier))
+            return "DF"
+
+    class FakeReadSession:
+        read = FakeReader()
+
+    assert t.read(FakeReadSession(), snapshot_id="123") == "DF"
+    assert reads == [("option", "snapshot-id", "123"), ("table", "cat.db.tbl")]
+    reads.clear()
+    assert t.read(FakeReadSession()) == "DF"
+    assert reads == [("table", "cat.db.tbl")]

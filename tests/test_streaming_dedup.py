@@ -7,6 +7,7 @@ from breg_dcat_harvester_spark.schema import TRANSCRIPTS
 from breg_dcat_harvester_spark.streaming.dedup import (
     dedup_turns,
     run_dedup_stream,
+    run_dedup_stream_to_table,
 )
 
 T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
@@ -59,3 +60,42 @@ def test_stream_drops_dups_within_watermark_and_across_activations(spark, tmp_pa
     second_batch.coalesce(1).write.mode("append").parquet(src)
     admitted2 = run_dedup_stream(spark, src, ckpt, delay="1 hour")
     assert sorted((r.conv_id, r.turn_idx) for r in admitted2) == [("c", 1)]
+
+
+def test_stream_to_table_writes_parquet_and_resumes(spark, tmp_path):
+    """Production sink: admitted rows land in a parquet table (no driver
+    collect), and a second activation on the same checkpoint does not
+    re-admit content already seen by the persisted state."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [
+            _turn("a", 0, "hello", 0),
+            _turn("a", 1, "hello", 1),
+            _turn("b", 0, "world", 2),
+        ],
+        TRANSCRIPTS,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_dedup_stream_to_table(spark, src, out, ckpt, delay="1 hour")
+    got1 = spark.read.parquet(out)
+    assert sorted((r.conv_id, r.turn_idx) for r in got1.collect()) == [
+        ("a", 0), ("b", 0),
+    ]
+    assert "content_hash" in got1.columns
+
+    # second activation, same checkpoint: "hello" re-arrival must be dropped
+    # by the persisted state; only the new content is appended
+    spark.createDataFrame(
+        [
+            _turn("c", 0, "hello", 5),
+            _turn("c", 1, "fresh", 6),
+        ],
+        TRANSCRIPTS,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_dedup_stream_to_table(spark, src, out, ckpt, delay="1 hour")
+    got2 = spark.read.parquet(out)
+    assert sorted((r.conv_id, r.turn_idx) for r in got2.collect()) == [
+        ("a", 0), ("b", 0), ("c", 1),
+    ]
