@@ -71,6 +71,9 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
+        # keep stdout/stderr clean: the bench contract is machine-parsed JSON
+        # lines, and \r-progress spam can push them out of a log tail
+        "spark.ui.showConsoleProgress": "false",
     }
     # S5 straggler guard, cluster half: re-launch suspiciously slow tasks on
     # another executor (the reference bounds per-source work with request/
