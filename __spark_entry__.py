@@ -236,6 +236,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_labels_negative_cache"] = _neg_cache
 
+    # S3 end-to-end (browser.py:94-149 dereference-then-preferredLabel): the
+    # publisher facet enriched from a directory of fetched TERM DOCUMENTS —
+    # format-sniffed distributed parse of one small RDF document per term,
+    # then the preferredLabel window, then the broadcast enrich join.  Terms
+    # whose document is missing (every 4th agent — the dereference-failure
+    # analog) stay null.  Oracle: pure-Python preferredLabel replay over the
+    # same label tuples the Turtle docs are rendered from (fixtures.py).
+    def _doc_labels(spark, sf):
+        import glob as _glob
+
+        from breg_dcat_harvester_spark import fixtures as fx
+        from breg_dcat_harvester_spark.sources import rdf_parse as rdfp
+
+        docs_dir, _ = fx.ensure_term_docs()
+        merged = _merged(spark, sf)
+        terms = fac.facet_terms(
+            merged, CLASS_URIS["Catalog"], DCT + "publisher", limit=50
+        )
+        docs = rdfp.read_rdf_documents(
+            spark, sorted(_glob.glob(os.path.join(docs_dir, "*.ttl")))
+        )
+        doc_labels = lbl.build_labels_from_documents(docs)
+        return lbl.enrich_terms(terms, doc_labels).select(
+            "term", "label", "label_prop"
+        )
+
+    q["kg_facet_publisher_doc_labels"] = _doc_labels
+
     # J6/P6/A4: faceted search stage 1
     q["kg_search_datasets"] = lambda spark, sf: srch.search_datasets(
         _merged(spark, sf), SEARCH_FILTERS, limit=0
@@ -828,6 +856,20 @@ lab AS (
 )
 SELECT t.term, l.label, l.label_prop
 FROM terms t LEFT JOIN lab l ON l.term = t.term
+"""
+
+    _td_golden = fx.ensure_term_docs()[1]
+    sql["kg_facet_publisher_doc_labels"] = f"""
+WITH edgesx AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e),
+terms AS (
+    SELECT DISTINCT p.obj AS term
+    FROM edgesx t JOIN edgesx p ON t.subj = p.subj
+    WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Catalog"]}'
+      AND p.pred = '{DCT}publisher'
+    ORDER BY term LIMIT 50
+)
+SELECT t.term, g.label, g.label_prop
+FROM terms t LEFT JOIN read_parquet('{_td_golden}') g ON g.term = t.term
 """
 
     # U3: one UNION ALL over the five facet slices, each with its own

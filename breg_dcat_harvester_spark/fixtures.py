@@ -211,3 +211,131 @@ def ensure_simhash_oracle(sf: str = "sf0.01", max_hamming: int = 3) -> str:
         con.close()
         os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Term-document dereference fixture (S2+S3+J9+W4 end-to-end)
+
+#: Agents with ``i % 4 == 3`` have NO document — the dereference-failure
+#: analog of the reference's negative cache (browser.py:81-91); the doc-label
+#: join must leave their labels null.
+N_TERM_DOCS = 256
+
+_TD_WORDS = [
+    "alder", "birch", "cedar", "dogwood", "elm", "fir", "ginkgo", "hazel",
+    "juniper", "laurel", "maple", "oak", "pine", "rowan", "spruce", "willow",
+]
+
+
+def _term_doc_labels(i: int) -> list[tuple[str, str, str | None]]:
+    """(label_prop, label, lang) tuples for documented agent ``i`` — the
+    SINGLE source both the Turtle writer and the golden replay consume.
+
+    The mix is chosen so the preferredLabel rule's every clause is load-
+    bearing on some term: predicate priority beats language (a German
+    skos:prefLabel must win over an English rdfs:label), the requested
+    language wins within a predicate, and ties fall back to the
+    lexicographically smallest label (W4 determinism)."""
+    w1 = _TD_WORDS[i % len(_TD_WORDS)]
+    w2 = _TD_WORDS[(i * 7 + 3) % len(_TD_WORDS)]
+    nn = f"{i:04d}"
+    out: list[tuple[str, str, str | None]] = []
+    skos = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#label"
+    foaf = "http://xmlns.com/foaf/0.1/name"
+    dct = "http://purl.org/dc/terms/title"
+    if i % 3 != 1:  # has skos:prefLabel ...
+        if i % 5 != 2:
+            out.append((skos, f"{w1} registry {nn}", "en"))
+            if i % 11 == 0:  # en tie -> lexicographic tie-break decides
+                out.append((skos, f"{w2} registry {nn}", "en"))
+        out.append((skos, f"{w1} registeramt {nn}", "de"))
+    if i % 2 == 0:
+        out.append((rdfs, f"{w2} bureau {nn}", "en"))
+    out.append((foaf, f"{w1} {w2} office {nn}", None))
+    if i % 7 == 0:
+        out.append((dct, f"{w2} title {nn}", "en"))
+    return out
+
+
+def _preferred_label(
+    cands: list[tuple[str, str, str | None]], lang: str = "en"
+) -> tuple[str, str]:
+    """Pure-Python replay of build_labels_table's preference rule
+    (browser.py:140-142 via rdflib preferredLabel): predicate priority,
+    then requested-language-first, then lexicographic label."""
+    prio = [
+        "http://www.w3.org/2004/02/skos/core#prefLabel",
+        "http://www.w3.org/2000/01/rdf-schema#label",
+        "http://xmlns.com/foaf/0.1/name",
+        "http://purl.org/dc/terms/title",
+    ]
+    best = min(
+        cands,
+        key=lambda c: (prio.index(c[0]), 0 if c[2] == lang else 1, c[1]),
+    )
+    return best[1], best[0]
+
+
+def ensure_term_docs() -> tuple[str, str]:
+    """Write data/term_docs/agent-NNNN.ttl (one RDF document per publisher
+    term, the HTTP-dereference response analog of browser.py:94-111) and the
+    data/oracles/term_doc_labels.parquet golden (term, label, label_prop);
+    return (docs_dir, golden_path).
+
+    The Spark path re-derives the golden end-to-end: read the Turtle bytes ->
+    distributed parse (sources/rdf_parse.py) -> preferredLabel window
+    (operators/labels.py); the golden is computed here WITHOUT any of that
+    code, from the same label tuples the Turtle text is rendered from."""
+    import duckdb
+
+    docs_dir = os.path.join(REPO, "data", "term_docs")
+    golden = os.path.join(ORACLE_DIR, "term_doc_labels.parquet")
+    done = os.path.join(docs_dir, ".complete")
+    if not (os.path.exists(done) and os.path.exists(golden)):
+        os.makedirs(docs_dir, exist_ok=True)
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        breg = "http://www.fundacionctic.org/breg-data#"
+        rows = []
+        for i in range(N_TERM_DOCS):
+            if i % 4 == 3:
+                continue  # dereference failure: no document, no golden row
+            term = f"{breg}agent-{i:04d}"
+            cands = _term_doc_labels(i)
+            lines = [
+                "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .",
+                "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+                "@prefix foaf: <http://xmlns.com/foaf/0.1/> .",
+                "@prefix dct: <http://purl.org/dc/terms/> .",
+                "@prefix breg: <http://www.fundacionctic.org/breg-data#> .",
+                "",
+                f"<{term}> a foaf:Agent ;",
+                "    skos:inScheme breg:agent-scheme .",
+                # a label on a DIFFERENT subject in the same fetched graph:
+                # preferredLabel must not pick it up for the term
+                'breg:agent-scheme rdfs:label "agent scheme"@en .',
+            ]
+            for prop, label, lg in cands:
+                tag = f"@{lg}" if lg else ""
+                lines.append(f'<{term}> <{prop}> "{label}"{tag} .')
+            path = os.path.join(docs_dir, f"agent-{i:04d}.ttl")
+            tmp = f"{path}.tmp.{os.getpid()}"  # atomic: see ensure_rdf_golden
+            with open(tmp, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.replace(tmp, path)
+            label, prop = _preferred_label(cands)
+            rows.append((term, label, prop))
+        tmp = f"{golden}.tmp.{os.getpid()}"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE g (term VARCHAR, label VARCHAR, label_prop VARCHAR)")
+        con.executemany("INSERT INTO g VALUES (?, ?, ?)", rows)
+        con.execute(f"COPY g TO '{tmp}' (FORMAT PARQUET)")
+        con.close()
+        os.replace(tmp, golden)
+        # the .complete marker commits the doc set LAST: a kill mid-loop
+        # leaves no marker, so the next call regenerates everything
+        tmp = f"{done}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(f"{N_TERM_DOCS}\n")
+        os.replace(tmp, done)
+    return docs_dir, golden

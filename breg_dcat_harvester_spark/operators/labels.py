@@ -63,6 +63,29 @@ def build_labels_table(edges: DataFrame, lang: str = "en") -> DataFrame:
     )
 
 
+def build_labels_from_documents(
+    docs: DataFrame, lang: str = "en", id_col: str = "source"
+) -> DataFrame:
+    """S3 end-to-end: labels table from a batch of fetched TERM DOCUMENTS.
+
+    The reference dereferences each term URI over HTTP, parses the response
+    into a per-term graph (browser.py:94-111 ``fetch_remote_graph``) and asks
+    that graph for ``preferredLabel(term, lang="en")`` (browser.py:140-142).
+    At 10^12 terms the fetch layer is a bulk crawl landing documents in
+    object storage; this operator is everything after it: distributed
+    format-sniffed parse (sources/rdf_parse.py, the same path as S2) then the
+    first-preferred-label window.  Terms whose document is missing from
+    ``docs`` simply have no row — ``enrich_terms``'s left join yields null,
+    the analog of the reference's negative cache (browser.py:81-91).
+
+    ``docs`` is ``read_rdf_documents`` output: (id_col, content, format?).
+    """
+    from ..sources.rdf_parse import parse_rdf_docs
+
+    edges = parse_rdf_docs(docs, id_col=id_col)
+    return build_labels_table(edges, lang=lang)
+
+
 def enrich_terms(
     terms: DataFrame,
     labels: DataFrame,

@@ -99,3 +99,36 @@ def test_detail_optional_distribution_description(spark, merged):
     nested = srch.dataset_details_nested(merged, found)
     row = nested.head()
     assert isinstance(row.distribution, dict) and len(row.distribution) >= 1
+
+
+def test_labels_from_term_documents(spark):
+    """S3 dereference analog end-to-end: Turtle term documents -> distributed
+    parse -> preferredLabel window; golden = the fixture's pure-Python
+    preferredLabel replay (fixtures._preferred_label over the same tuples)."""
+    import glob
+    import os
+
+    from breg_dcat_harvester_spark import fixtures as fx
+    from breg_dcat_harvester_spark.sources import rdf_parse as rdfp
+
+    docs_dir, _ = fx.ensure_term_docs()
+    paths = sorted(glob.glob(os.path.join(docs_dir, "*.ttl")))[:40]
+    docs = rdfp.read_rdf_documents(spark, paths)
+    got = {
+        r["term"]: (r["label"], r["label_prop"])
+        for r in lbl.build_labels_from_documents(docs).collect()
+    }
+    checked = 0
+    for i in range(60):
+        term = f"{BREG_NS}agent-{i:04d}"
+        if i % 4 == 3:
+            assert term not in got  # no document -> no label row
+            continue
+        if term not in got:
+            continue  # beyond the 40-doc slice
+        assert got[term] == fx._preferred_label(fx._term_doc_labels(i)), i
+        checked += 1
+    assert checked >= 25
+    # the scheme node's label must not leak onto any agent term, but IS
+    # resolvable for the scheme URI itself
+    assert got.get(f"{BREG_NS}agent-scheme", (None,))[0] == "agent scheme"
