@@ -101,27 +101,43 @@ def machine_capacity(workers: int, n: int = 20_000_000, reps: int = 2) -> float:
 # persistent scaling workers
 
 _WORKER_CODE = """
-import json, sys, time
+import glob, json, os, sys, time
 sys.path.insert(0, {repo!r})
 from breg_dcat_harvester_spark.session import get_spark
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import merge_triples
+
+# Strong-scaling input: the SAME ~{parts}-way partitioning at every
+# parallelism, carved at the SCAN by sizing maxPartitionBytes to
+# filesize/{parts} — a repartition() here would bottleneck startup on a
+# 2-3-split read of the single corpus file plus a full 10M-row shuffle
+# (~4 min of untimed-but-budgeted setup), for the identical cached layout.
+_bytes = sum(os.path.getsize(p) for p in glob.glob(os.path.join({path!r}, "*.parquet")))
+split = str(max(1 << 20, _bytes // {parts}))
+
+# 4N executors on a real cluster carry 4x the aggregate heap; mirror that
+# by scaling the local-mode JVM heap with the core count (a flat heap makes
+# the wide config GC-bound at exactly the concurrency being measured).
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = str(max(8, {cores})) + "g"
 
 spark = get_spark(
     master="local[{cores}]", app_name="scaling-{cores}",
     shuffle_partitions="{parts}",
     extra_conf={{
         "spark.sql.execution.arrow.maxRecordsPerBatch": "{arrow}",
+        "spark.sql.files.maxPartitionBytes": split,
+        "spark.sql.files.openCostInBytes": "0",
         # scaling children measure compute scaling; keep AQE from
         # re-coalescing the fixed strong-scaling partitioning mid-pair
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }},
 )
-t = spark.read.parquet({path!r}).repartition({parts})
+t = spark.read.parquet({path!r})
 n_turns = t.cache().count()  # pin the corpus in memory: reps time COMPUTE
 job = lambda: merge_triples(extract_edges(t, impl="pandas")).count()
 n_triples = job()  # warm-up: spawns every python UDF worker once
 print(json.dumps({{"ready": True, "cores": {cores}, "turns": n_turns,
+                   "parts": t.rdd.getNumPartitions(),
                    "triples": n_triples}}), flush=True)
 for line in sys.stdin:
     cmd = line.strip()

@@ -220,6 +220,26 @@ def extract_triples_pandas_batch(
     if len(pdf) == 0:
         return pd.DataFrame(columns=_EDGE_COLS)
 
+    # Arrow-side prefilter: most turns carry no mention block at all (60% of
+    # the synthetic corpus; free-text chatter dominates real transcripts
+    # too).  pc.match_substring is a C++ SIMD substring scan — orders of
+    # magnitude cheaper than running the capture-group regex over every
+    # text — so the regex + frame machinery below only touches candidate
+    # rows.  "[[" cannot appear inside a block body (grammar forbids '['),
+    # so the filter is exact, not approximate.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cand = pc.fill_null(
+        pc.match_substring(
+            pa.array(pdf["text"], type=pa.string(), from_pandas=True), "[["
+        ),
+        False,
+    ).to_numpy(zero_copy_only=False)
+    if not cand.any():
+        return pd.DataFrame(columns=_EDGE_COLS)
+    pdf = pdf.loc[cand]
+
     base = pdf[["conv_id", "turn_idx", "role", "tool"]].reset_index(drop=True)
     found = pdf["text"].reset_index(drop=True).str.extractall(BLOCK_RE)
     if len(found) == 0:
@@ -229,7 +249,10 @@ def extract_triples_pandas_batch(
         base, left_on="level_0", right_index=True, how="left", copy=False
     ).rename(columns={0: "block"})
 
-    blocks["tag"] = blocks["block"].str.split("|").str[0]
+    # split once; the tag is field 0 and the kv fields ([1:]) are reused by
+    # the property-extraction path below instead of re-splitting
+    blocks["_fields"] = blocks["block"].str.split("|")
+    blocks["tag"] = blocks["_fields"].str[0]
     blocks["local"] = blocks["block"].str.extract(r"(?:^|\|)id=([^|]*)", expand=False)
     blocks["class_uri"] = blocks["tag"].map(CLASS_URIS)
     blocks = blocks[blocks["class_uri"].notna() & blocks["local"].fillna("").ne("")]
@@ -270,8 +293,8 @@ def extract_triples_pandas_batch(
         _mk(blocks, RDF_TYPE, blocks["class_uri"].values, "uri", None, None)
     ]
 
-    kv = blocks[["subj", "conv_id", "turn_idx", "block"]].copy()
-    kv["kv"] = kv["block"].str.split("|").str[1:]
+    kv = blocks[["subj", "conv_id", "turn_idx"]].copy()
+    kv["kv"] = blocks["_fields"].str[1:]
     kv = kv.explode("kv", ignore_index=True)
     kv = kv[kv["kv"].notna()]
     kv["key"] = kv["kv"].str.extract(r"^([^=]*)=", expand=False)
@@ -325,13 +348,20 @@ def extract_triples_pandas_batch(
 
 
 def extract_edges_pandas(transcripts: DataFrame, emit_provenance: bool = True) -> DataFrame:
-    """mapInPandas extraction — Arrow-batched, zero per-row Python."""
+    """mapInPandas extraction — Arrow-batched, zero per-row Python.
+
+    mapInPandas is a black box to Catalyst: every input column is shipped to
+    the python workers, so columns the extractor never reads (ts, and any
+    extras a caller's wider table carries) are projected away here — column
+    pruning the optimizer can't do for us.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield extract_triples_pandas_batch(pdf, emit_provenance=emit_provenance)
 
-    return transcripts.mapInPandas(run, schema=EDGES)
+    used = ["conv_id", "turn_idx", "role", "tool", "text"]
+    return transcripts.select(*used).mapInPandas(run, schema=EDGES)
 
 
 def extract_edges(
