@@ -97,6 +97,42 @@ def machine_capacity(workers: int, n: int = 20_000_000, reps: int = 2) -> float:
     return workers * n / best
 
 
+def _stream(mb: int) -> float:
+    """Per-worker memory-streaming kernel: numpy ops over a working set far
+    beyond L2, so throughput is bound by the memory subsystem, not the ALUs."""
+    import numpy as np
+
+    a = np.arange(mb * 131072, dtype=np.float64)  # mb MiB of float64
+    b = np.empty_like(a)
+    iters = 40  # ~1-2s per worker: long enough that all workers overlap
+    t0 = time.time()
+    for _ in range(iters):
+        np.multiply(a, 1.000001, out=b)
+        np.add(b, a, out=b)
+    return mb * iters * 3 / (time.time() - t0)  # MiB moved (r+r+w) per second
+
+
+def memstream_capacity(workers: int, mb: int = 48, reps: int = 2) -> float:
+    """Aggregate memory-bandwidth MiB/s the host delivers at this worker
+    count.  The extract job streams columnar buffers (text in, triples out),
+    so ITS ceiling is this one, not the ALU ceiling ``machine_capacity``
+    measures: on shared hosts bandwidth typically stops scaling well before
+    32 workers.  Reported next to the pure-CPU probe so raw scaling
+    efficiency can be read against the capacity class the job actually
+    consumes."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    best = None
+    with ProcessPoolExecutor(workers) as ex:
+        list(ex.map(_stream, [mb] * workers))  # warm: spawn + first faults
+        for _ in range(reps):
+            # workers all re-run concurrently in a warm pool, so the
+            # per-worker rates overlap and their sum is the aggregate
+            agg = sum(ex.map(_stream, [mb] * workers))
+            best = agg if best is None or agg > best else best
+    return best
+
+
 # ---------------------------------------------------------------------------
 # persistent scaling workers
 
@@ -336,7 +372,25 @@ def run_scaling_pair1(deadline: float) -> dict:
     within["efficiency_vs_host_capacity"] = round(
         within["efficiency_n_to_4n"] / host_eff_28, 3
     )
+    _add_memstream(within, 2, 8)
     return within
+
+
+def _add_memstream(pair: dict, n_small: int, n_big: int) -> None:
+    """Memory-bandwidth host calibration for a scaling pair (the extract job
+    streams columnar buffers, so this — not the ALU probe — is the capacity
+    class it consumes; fail-soft because it's context, not a measurement of
+    the engine)."""
+    try:
+        ms = memstream_capacity(n_small)
+        mb = memstream_capacity(n_big)
+        pair[f"host_memstream_ratio_{n_small}_to_{n_big}"] = round(mb / ms, 3)
+        pair["host_memstream_efficiency_n_to_4n"] = round(mb / (4 * ms), 3)
+        pair["efficiency_vs_memstream_capacity"] = round(
+            pair["efficiency_n_to_4n"] / (mb / (4 * ms)), 3
+        )
+    except Exception:  # pragma: no cover
+        pass
 
 
 def run_scaling_pair2(deadline: float) -> dict:
@@ -353,6 +407,7 @@ def run_scaling_pair2(deadline: float) -> dict:
     capped["efficiency_vs_host_capacity"] = (
         round(capped["efficiency_n_to_4n"] / host_eff, 3) if host_eff else None
     )
+    _add_memstream(capped, 8, 32)
     return capped
 
 
@@ -563,7 +618,11 @@ def write_bench_md(result: dict) -> None:
                     f"on these hypervisor-shared vCPUs (host efficiency "
                     f"{w.get('host_efficiency_n_to_4n')}); engine efficiency "
                     "normalized to delivered host capacity = "
-                    f"{w.get('efficiency_vs_host_capacity')}\n"
+                    f"{w.get('efficiency_vs_host_capacity')}; memory-bandwidth "
+                    f"calibration: {w.get('host_memstream_ratio_2_to_8')}x "
+                    "delivered from 2->8 workers, engine efficiency vs "
+                    "delivered bandwidth = "
+                    f"{w.get('efficiency_vs_memstream_capacity')}\n"
                 )
             c = scaling.get("host_capped_8_to_32")
             if c:
@@ -585,7 +644,14 @@ def write_bench_md(result: dict) -> None:
                     "8->32 workers here (hypervisor-shared vCPUs, host "
                     f"efficiency {c.get('host_efficiency_n_to_4n')}); engine "
                     "efficiency normalized to delivered host capacity = "
-                    f"{c.get('efficiency_vs_host_capacity')}.\n"
+                    f"{c.get('efficiency_vs_host_capacity')}."
+                    "  Memory-bandwidth calibration (the capacity class a "
+                    "columnar extract job actually consumes): streaming "
+                    f"bandwidth scales {c.get('host_memstream_ratio_8_to_32')}"
+                    "x from 8->32 workers (host memstream efficiency "
+                    f"{c.get('host_memstream_efficiency_n_to_4n')}); engine "
+                    "efficiency vs delivered bandwidth = "
+                    f"{c.get('efficiency_vs_memstream_capacity')}.\n"
                 )
             fh.write(
                 "\nThe RAW medians are the headline numbers.  Normalized "
@@ -647,6 +713,11 @@ def _compact(result: dict) -> dict:
         )
         if hc is not None:
             r[f"{short}_host_capacity_x"] = hc
+        ms = p.get("host_memstream_ratio_2_to_8") or p.get(
+            "host_memstream_ratio_8_to_32"
+        )
+        if ms is not None:
+            r[f"{short}_memstream_x"] = ms
         big = p.get("n8") if key == "within_host_2_to_8" else p.get("n32")
         if big:
             r[f"{short}_rows_per_sec_4n"] = round(big["rows_per_sec"], 1)

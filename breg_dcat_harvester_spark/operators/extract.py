@@ -28,7 +28,10 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -227,9 +230,6 @@ def extract_triples_pandas_batch(
     # text — so the regex + frame machinery below only touches candidate
     # rows.  "[[" cannot appear inside a block body (grammar forbids '['),
     # so the filter is exact, not approximate.
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     cand = pc.fill_null(
         pc.match_substring(
             pa.array(pdf["text"], type=pa.string(), from_pandas=True), "[["
@@ -347,8 +347,232 @@ def extract_triples_pandas_batch(
     return out[_EDGE_COLS]
 
 
+# pyarrow-native implementation — identical semantics, C++ kernels
+# ---------------------------------------------------------------------------
+#
+# The pandas batch above is "vectorized" at the API level, but pandas string
+# ops on object dtype are C loops over per-row *python str objects*: every
+# extractall/split/extract allocates millions of PyObjects per batch.  At 32
+# concurrent workers that allocation traffic saturates memory bandwidth long
+# before the CPUs saturate (measured: aggregate task-seconds double from 8 to
+# 32 local cores).  This twin runs the whole hot path through pyarrow compute
+# kernels — RE2 regex, SIMD substring scans, columnar buffers, zero PyObjects
+# — and is what ``extract_edges(impl='pandas')`` executes per Arrow batch.
+# The pure-pandas reference stays as the exact-multiplicity fallback (rows
+# with >1 block opener, absent from real transcripts) and as the
+# equality-tested second implementation.
+
+_BLOCK_RE_NAMED = r"\[\[(?P<b>[^\[\]]+)\]\]"
+_ID_RE_NAMED = r"(?:^|\|)id=(?P<v>[^|]*)"
+_CLASS_KEYS = pa.array(list(CLASS_URIS.keys()), type=pa.string())
+_CLASS_VALS = pa.array(list(CLASS_URIS.values()), type=pa.string())
+_PRED_KEYS = pa.array(list(PRED_URIS.keys()), type=pa.string())
+_PRED_VALS = pa.array(list(PRED_URIS.values()), type=pa.string())
+_EN_KEYS_ARR = pa.array(list(EN_KEYS), type=pa.string())
+
+
+def _const(value: str | None, n: int) -> pa.Array:
+    if value is None:
+        return pa.nulls(n, pa.string())
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value])
+    ).cast(pa.string())
+
+
+def _edge_part(subj, pred, obj, obj_kind, lang, dtype, conv_id, turn_idx):
+    n = len(subj)
+    as_arr = lambda c: c if isinstance(c, pa.Array) else _const(c, n)  # noqa: E731
+    return pa.table(
+        {
+            "subj": subj,
+            "pred": as_arr(pred),
+            "obj": as_arr(obj),
+            "obj_kind": as_arr(obj_kind),
+            "lang": as_arr(lang),
+            "dtype": as_arr(dtype),
+            "conv_id": conv_id,
+            "turn_idx": pc.cast(turn_idx, pa.int32(), safe=False),
+        }
+    )
+
+
+def extract_triples_arrow_batch(
+    pdf: pd.DataFrame, emit_provenance: bool = True
+) -> pd.DataFrame:
+    """pyarrow-compute extraction of one Arrow batch (see block comment).
+
+    Semantics are byte-identical to ``extract_triples_pandas_batch``
+    (hypothesis-fuzzed in tests/test_extract_fuzz.py), including python-re
+    quirks the RE2 kernels don't share: ``$`` matching before one trailing
+    newline in the value pattern is reproduced by an explicit strip+reject,
+    and rows with more than one ``[[`` opener (several blocks, impossible
+    under the datagen grammar but legal input) take the pandas path.
+    """
+    empty = pd.DataFrame(columns=_EDGE_COLS)
+    if len(pdf) == 0:
+        return empty
+
+    text = pa.array(pdf["text"], type=pa.string(), from_pandas=True)
+    n_open = pc.fill_null(pc.count_substring(text, "[["), 0)
+
+    extra = None
+    multi = pc.greater(n_open, 1)
+    if pc.any(multi).as_py():
+        extra = extract_triples_pandas_batch(
+            pdf.loc[multi.to_numpy(zero_copy_only=False)],
+            emit_provenance=emit_provenance,
+        )
+
+    single = pc.equal(n_open, 1)
+    parts: list[pa.Table] = []
+    if pc.any(single).as_py():
+        conv = pa.array(pdf["conv_id"], type=pa.string(), from_pandas=True)
+        turn = pa.array(pdf["turn_idx"], from_pandas=True)
+        role = pa.array(pdf["role"], type=pa.string(), from_pandas=True)
+        tool = pa.array(pdf["tool"], type=pa.string(), from_pandas=True)
+        text1 = text.filter(single)
+        conv, turn, role, tool = (a.filter(single) for a in (conv, turn, role, tool))
+
+        body = pc.struct_field(pc.extract_regex(text1, _BLOCK_RE_NAMED), 0)
+        tag_fields = pc.split_pattern(body, "|")
+        tag = pc.list_element(tag_fields, 0) if len(body) else body
+        class_uri = pc.take(_CLASS_VALS, pc.index_in(tag, value_set=_CLASS_KEYS))
+        local = pc.struct_field(pc.extract_regex(body, _ID_RE_NAMED), 0)
+        keep = pc.and_(
+            pc.and_(pc.is_valid(class_uri), pc.is_valid(local)),
+            pc.not_equal(pc.fill_null(local, ""), ""),
+        )
+        keep = pc.fill_null(keep, False)
+        fields, class_uri, local, conv, turn, role, tool = (
+            a.filter(keep)
+            for a in (tag_fields, class_uri, local, conv, turn, role, tool)
+        )
+
+        if len(local):
+            subj = pc.binary_join_element_wise(BREG_NS, local, "")
+            is_b = pc.starts_with(local, "_:")
+            if pc.any(is_b).as_py():
+                # skolem mint (sha256 isn't an arrow kernel) on the rare
+                # blank-node subset only — same shape as the pandas twin
+                s = subj.to_numpy(zero_copy_only=False).copy()
+                bm = is_b.to_numpy(zero_copy_only=False)
+                cv = conv.to_numpy(zero_copy_only=False)
+                tn = turn.to_numpy(zero_copy_only=False)
+                lc = local.to_numpy(zero_copy_only=False)
+                for i in np.nonzero(bm)[0]:
+                    payload = f"{cv[i]}|{tn[i]}|{lc[i]}"
+                    s[i] = SKOLEM_NS + hashlib.sha256(
+                        payload.encode("utf-8")
+                    ).hexdigest()
+                subj = pa.array(s, type=pa.string())
+
+            parts.append(
+                _edge_part(subj, RDF_TYPE, class_uri, "uri", None, None, conv, turn)
+            )
+
+            kvlists = pc.list_slice(fields, 1)
+            parent = pc.list_parent_indices(kvlists)
+            flat = pc.list_flatten(kvlists)
+            if len(flat):
+                eq = pc.split_pattern(flat, "=", max_splits=1)
+                two = pc.equal(pc.list_value_length(eq), 2)
+                eq, parent = eq.filter(two), parent.filter(two)
+                key = pc.list_element(eq, 0)
+                # python-re `(.*)$` semantics: strip at most ONE trailing
+                # newline, reject any value still containing one
+                val = pc.replace_substring_regex(
+                    pc.list_element(eq, 1), r"\n$", ""
+                )
+                pred = pc.take(_PRED_VALS, pc.index_in(key, value_set=_PRED_KEYS))
+                keep2 = pc.and_(
+                    pc.and_(pc.is_valid(pred), pc.not_equal(val, "")),
+                    pc.invert(pc.match_substring(val, "\n")),
+                )
+                keep2 = pc.fill_null(keep2, False)
+                key, val, pred, parent = (
+                    a.filter(keep2) for a in (key, val, pred, parent)
+                )
+                if len(val):
+                    is_frag = pc.starts_with(val, "#")
+                    is_uri = pc.or_(
+                        pc.or_(is_frag, pc.starts_with(val, "http://")),
+                        pc.or_(
+                            pc.starts_with(val, "https://"),
+                            pc.starts_with(val, "urn:"),
+                        ),
+                    )
+                    obj = pc.if_else(
+                        is_frag,
+                        pc.binary_join_element_wise(
+                            BREG_NS, pc.utf8_slice_codeunits(val, 1), ""
+                        ),
+                        val,
+                    )
+                    literal = pc.invert(is_uri)
+                    obj_kind = pc.if_else(
+                        is_uri, pa.scalar("uri"), pa.scalar("literal")
+                    )
+                    lang = pc.if_else(
+                        pc.and_(literal, pc.is_in(key, value_set=_EN_KEYS_ARR)),
+                        pa.scalar("en"),
+                        pa.scalar(None, pa.string()),
+                    )
+                    dtype = pc.if_else(
+                        literal, pa.scalar(XSD_STRING), pa.scalar(None, pa.string())
+                    )
+                    parts.append(
+                        _edge_part(
+                            subj.take(parent),
+                            pred,
+                            obj,
+                            obj_kind,
+                            lang,
+                            dtype,
+                            conv.take(parent),
+                            turn.take(parent),
+                        )
+                    )
+
+            if emit_provenance:
+                for col, pred_uri, ns in (
+                    (role, PROV_ROLE, ROLE_NS),
+                    (tool, PROV_TOOL, TOOL_NS),
+                ):
+                    has = pc.is_valid(col)
+                    if pc.any(has).as_py():
+                        parts.append(
+                            _edge_part(
+                                subj.filter(has),
+                                pred_uri,
+                                pc.binary_join_element_wise(ns, col.filter(has), ""),
+                                "uri",
+                                None,
+                                None,
+                                conv.filter(has),
+                                turn.filter(has),
+                            )
+                        )
+
+    frames = [p for p in (extra,) if p is not None and len(p)]
+    if parts:
+        out = pa.concat_tables(parts).to_pandas()
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        frames.insert(0, out[_EDGE_COLS])
+    if not frames:
+        return empty
+    if len(frames) == 1:
+        return frames[0]
+    out = pd.concat(frames, ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out[_EDGE_COLS]
+
+
 def extract_edges_pandas(transcripts: DataFrame, emit_provenance: bool = True) -> DataFrame:
     """mapInPandas extraction — Arrow-batched, zero per-row Python.
+
+    Each batch runs through the pyarrow-compute kernel path
+    (``extract_triples_arrow_batch``); the pure-pandas twin remains the
+    multi-block fallback inside it.
 
     mapInPandas is a black box to Catalyst: every input column is shipped to
     the python workers, so columns the extractor never reads (ts, and any
@@ -358,7 +582,7 @@ def extract_edges_pandas(transcripts: DataFrame, emit_provenance: bool = True) -
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield extract_triples_pandas_batch(pdf, emit_provenance=emit_provenance)
+            yield extract_triples_arrow_batch(pdf, emit_provenance=emit_provenance)
 
     used = ["conv_id", "turn_idx", "role", "tool", "text"]
     return transcripts.select(*used).mapInPandas(run, schema=EDGES)

@@ -97,3 +97,54 @@ def test_fuzz_three_way_equality(spark):
         f"oracle-only: {list(expected - got_spo)[:3]}"
     )
     assert len(expected) > 100, "fuzz corpus should produce a real triple set"
+
+
+def test_fuzz_arrow_vs_pandas_batch():
+    """Batch-level twin equality INCLUDING lineage columns (the spark-level
+    fuzz compares triple identity only).  JVM-free, so this can afford many
+    more rows; exercises the multi-block pandas fallback, null text, and
+    trailing-newline value semantics the RE2 kernels must reproduce."""
+    import pandas as pd
+
+    from breg_dcat_harvester_spark.operators.extract import (
+        extract_triples_arrow_batch,
+        extract_triples_pandas_batch,
+    )
+
+    rng = random.Random(20260818)
+    texts = []
+    for i in range(3000):
+        t = _rand_text(rng)
+        if rng.random() < 0.05:
+            t = None
+        elif rng.random() < 0.1:
+            t += "|title=v\n"  # trailing newline inside a non-block tail
+        texts.append(t)
+    # explicit adversarial rows for the RE2/python-re seams
+    texts += [
+        "[[Agent|id=a|name=v\n]]x",      # value with ONE trailing newline
+        "[[Agent|id=a|name=v\n\n]]x",    # two newlines -> dropped value
+        "[[Agent|id=a|name=v\nw]]",      # interior newline -> dropped value
+        "[[[Agent|id=a|name=n]]",        # overlapping openers, one match
+        "[[Agent|id=a]] [[Dataset|id=d|title=T]] [[Agent|id=_:b|name=N]]",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 13}" for i in range(len(texts))],
+            "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+            "role": [random.Random(i).choice(["user", "asst", None]) for i in range(len(texts))],
+            "tool": [random.Random(i + 1).choice(["search", None]) for i in range(len(texts))],
+            "text": texts,
+        }
+    )
+    for ep in (True, False):
+        a = extract_triples_pandas_batch(pdf, emit_provenance=ep)
+        b = extract_triples_arrow_batch(pdf, emit_provenance=ep)
+        key = lambda df: sorted(  # noqa: E731
+            map(tuple, df.fillna("«null»").itertuples(index=False))
+        )
+        assert key(a) == key(b), (
+            f"emit_provenance={ep}: pandas {len(a)} rows vs arrow {len(b)}"
+        )
+        assert str(b["turn_idx"].dtype) == "int32"
+    assert len(a) > 500
