@@ -886,51 +886,6 @@ def main() -> None:
             result["triple_pr"] = {"error": str(exc)[:200]}
         emit(result)
 
-    # north_rule scaling: stop the 32-thread main session first so the
-    # children measure a quiet JVM-free host
-    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") or (
-        "scaling" not in sections
-    )
-    if not skip_scaling:
-        # corpora are generated OUTSIDE the killable children (a timeout
-        # kill mid-datagen used to leave a truncated cache file)
-        try:
-            ensure_transcripts("sf5")
-            ensure_transcripts(SCALING_SF)
-        except Exception:
-            pass
-        spark.stop()
-        scaling: dict = {}
-        result["scaling"] = scaling
-        # reserve ~220s after pair 1 for pair 2's fixed setup; pair 2 is
-        # dropped entirely when the budget can't fit its setup + 1 round
-        if remaining() > 120:
-            try:
-                scaling["within_host_2_to_8"] = run_scaling_pair1(
-                    deadline=T0 + BUDGET - (320 if remaining() > 620 else 40)
-                )
-                w = scaling["within_host_2_to_8"]
-                scaling["efficiency_n_to_4n"] = w["efficiency_n_to_4n"]
-                scaling["efficiency_n_to_4n_host_normalized"] = w[
-                    "efficiency_vs_host_capacity"
-                ]
-            except Exception as exc:
-                scaling["within_host_2_to_8"] = {"error": str(exc)[:200]}
-            emit(result)
-        if remaining() > 300:
-            try:
-                scaling["host_capped_8_to_32"] = run_scaling_pair2(
-                    deadline=T0 + BUDGET - 60
-                )
-            except Exception as exc:
-                scaling["host_capped_8_to_32"] = {"error": str(exc)[:200]}
-            emit(result)
-        spark = get_spark(
-            master=f"local[{CPUS}]",
-            app_name="bench",
-            shuffle_partitions=str(int(CPUS) * 2),
-        )
-
     # end-to-end staged harvest (extract -> merge -> validate -> link -> cc
     # -> materialize, with snapshot commits): single run, fresh out dir —
     # evidences that link+CC execute once per run (r1 perf-weak #3)
@@ -967,7 +922,53 @@ def main() -> None:
             result["skew_demo"] = {"error": str(exc)[:200]}
         emit(result)
 
-    spark.stop()
+    # north_rule scaling LAST: it is the only section with an open-ended
+    # wall-clock (rounds stop on the deadline), so everything cheap is
+    # already emitted before it starts.  Stop the 32-thread main session
+    # first so the children measure a quiet JVM-free host.
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") or (
+        "scaling" not in sections
+    )
+    if skip_scaling:
+        spark.stop()
+    else:
+        # corpora are generated OUTSIDE the killable children (a timeout
+        # kill mid-datagen used to leave a truncated cache file)
+        try:
+            ensure_transcripts("sf5")
+            ensure_transcripts(SCALING_SF)
+        except Exception:
+            pass
+        spark.stop()
+        scaling: dict = {}
+        result["scaling"] = scaling
+        # split the remaining budget between the two pairs: pair 2 (the
+        # driver-visible 8->32 configuration) needs ~150s of child setup on
+        # the sf10 corpus plus ~60s/round, so reserve ~420s for it whenever
+        # the budget allows; pair 2 is dropped entirely only when the
+        # leftover can't fit its setup + 1 round
+        if remaining() > 120:
+            try:
+                scaling["within_host_2_to_8"] = run_scaling_pair1(
+                    deadline=T0 + BUDGET - (420 if remaining() > 760 else 40)
+                )
+                w = scaling["within_host_2_to_8"]
+                scaling["efficiency_n_to_4n"] = w["efficiency_n_to_4n"]
+                scaling["efficiency_n_to_4n_host_normalized"] = w[
+                    "efficiency_vs_host_capacity"
+                ]
+            except Exception as exc:
+                scaling["within_host_2_to_8"] = {"error": str(exc)[:200]}
+            emit(result)
+        if remaining() > 280:
+            try:
+                scaling["host_capped_8_to_32"] = run_scaling_pair2(
+                    deadline=T0 + BUDGET - 30
+                )
+            except Exception as exc:
+                scaling["host_capped_8_to_32"] = {"error": str(exc)[:200]}
+            emit(result)
+
     emit(result)  # final line == the complete cumulative result
 
 

@@ -179,3 +179,54 @@ def table_for(uri: str):
     if uri.startswith("iceberg:"):
         return IcebergTable(uri.split(":", 1)[1])
     return LocalSnapshotTable(uri)
+
+
+# ---------------------------------------------------------------------------
+# bucketed triple layout (co-located joins at cluster scale)
+
+
+def write_bucketed_triples(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    key: str = "subj",
+    path: str | None = None,
+) -> None:
+    """Persist a triples table bucketed (and sorted) on ``key``.
+
+    Every hot join in the query surface is keyed on ``subj``: the 2-pattern
+    facet self-joins (J1-J4), the 3-hop chain (J5), the 9-pattern star
+    (J6/J7) and the SPARQL compiler's pattern joins all probe triples
+    against triples on the subject.  At 100 TB those joins shuffle the whole
+    fact table per query; hash-bucketing the stored layout on ``subj`` makes
+    them ZERO-shuffle (bucket-aligned SortMergeJoin without Exchange) for
+    every query forever after — one shuffle at write time, amortized across
+    all reads.  ``sortBy`` additionally drops the per-task Sort before the
+    merge join when bucketSorting kicks in.
+
+    Bucketed tables need the session catalog (parquet ``save()`` can't
+    record bucket metadata), hence ``saveAsTable``; ``path`` pins the data
+    under an explicit directory (external table) so tests stay in tmp dirs.
+
+    Reference anchor: the Virtuoso sink (store.py:43-54) has no layout
+    control at all — this is the Spark-native upgrade, same data model.
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle boundaries (Exchange operators) in df's SPARK plan.
+
+    Used by tests and the plan audit to assert bucket co-location: a
+    subj-keyed self-join of a table bucketed on subj must plan 0 exchanges,
+    while the same join over plain parquet plans 2 (one per side).
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
