@@ -56,9 +56,11 @@ def exact_dup_groups(
     The sample uses the same two-stage top-k as sampling.stratified_fixed_k:
     stage 1 ranks inside (text_hash, xxhash64(doc_id) % fanout) splits —
     any id in the group's global top ``sample_k`` is also in its split's
-    local top ``sample_k`` — bounding every sort at ~|group|/fanout rows;
-    stage 2 aggregates the <= fanout*sample_k survivors per hash.  The
-    count/min aggregation stays a plain map-side-partial hash agg.
+    local top ``sample_k`` — bounding every sort at ~|group|/fanout rows.
+    The group COUNT rides the same window exchange (whole-partition count,
+    summed via the rank-1 representative of each split), so the whole
+    operator is ONE scan and TWO exchanges: the split window (full data)
+    and the final per-hash agg over the <= fanout*sample_k survivors.
     """
     from pyspark.sql import Window
 
@@ -66,27 +68,31 @@ def exact_dup_groups(
         F.sha2(F.col("text"), 256).alias("text_hash"),
         F.col("doc_id").cast("string").alias("doc_id"),
     )
-    counts = (
-        docs.groupBy("text_hash")
+    docs = docs.withColumn(
+        "_split", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(fanout))
+    )
+    w_part = Window.partitionBy("text_hash", "_split")
+    w_ord = w_part.orderBy("doc_id")
+    survivors = (
+        docs.withColumn("_r1", F.row_number().over(w_ord))
+        .withColumn("_split_n", F.count(F.lit(1)).over(w_part))
+        .filter(F.col("_r1") <= sample_k)
+    )
+    return (
+        survivors.groupBy("text_hash")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_r1") == 1, F.col("_split_n")))
+            .cast("long")
+            .alias("n_docs"),
             F.min("doc_id").alias("canonical_id"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, sample_k),
+                ",",
+            ).alias("sample_ids"),
         )
         .filter(F.col("n_docs") > 1)
+        .select("text_hash", "n_docs", "canonical_id", "sample_ids")
     )
-    split = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(fanout))
-    w1 = Window.partitionBy(F.col("text_hash"), split).orderBy("doc_id")
-    survivors = (
-        docs.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= sample_k)
-        .drop("_r1")
-    )
-    sample = survivors.groupBy("text_hash").agg(
-        F.array_join(
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, sample_k), ","
-        ).alias("sample_ids")
-    )
-    return counts.join(sample, "text_hash")
 
 
 def shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:

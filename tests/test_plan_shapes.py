@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: the shuffle/Python-boundary budgets that
+PLANS.md documents are enforced here so they can't silently regress.
+
+Two invariants:
+
+* NO query ever plans a per-row Python op (``BatchEvalPython``) — the
+  input_hint requires Arrow-batched boundaries only; a stray row-at-a-time
+  UDF is a 10-100x regression at 100 TB and invisible to result checks.
+* Cache-independent queries keep their documented exchange budget (counts
+  for the merged-graph-cached kg_* queries shift with InMemoryTableScan
+  boundaries across a shared session, so those are audited out-of-process
+  by scripts/plan_audit.py instead).
+
+Plans are built at sf0.001 — plan shape is scale-invariant; data never
+executes (explain only).
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ops(df) -> list[str]:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return re.findall(
+        r"^\(\d+\) (\w[\w ]*?)\s*(?:\[codegen id : \d+\])?\s*$",
+        buf.getvalue(),
+        re.MULTILINE,
+    )
+
+
+# query -> max allowed Exchange count (shuffles; BroadcastExchange excluded).
+# These are cache-independent plans: map-only ops, relational queries over
+# the driver parquet, and the extract->merge head of the harvest.
+EXCHANGE_BUDGET = {
+    "kg_harvest_triples": 1,  # the set-union dedup groupBy; extract is map-only
+    "multimodal_frames": 0,  # frame sampling must never shuffle
+    "multimodal_features": 1,
+    "text_features": 0,  # pure Column exprs over the documents scan
+    "text_repetition": 0,
+    "sample_stratified": 0,  # Bernoulli sha-bucket filter: map-side only
+    "rel_events_sessionize": 1,  # one window partitioning
+    "rel_pricing_summary": 1,  # single groupBy
+    "dedup_exact": 2,  # group hash + two-stage sample top-k
+}
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_exchange_budget(spark, queries, name):
+    ops = _ops(queries[name](spark, SF_DIR))
+    n_ex = sum(1 for o in ops if o == "Exchange")
+    assert n_ex <= EXCHANGE_BUDGET[name], (
+        f"{name}: {n_ex} exchanges (budget {EXCHANGE_BUDGET[name]}) — a new "
+        f"shuffle crept into the plan; ops={ops}"
+    )
+
+
+def test_no_per_row_python_anywhere(spark, queries):
+    """input_hint invariant: every Python boundary is Arrow-batched."""
+    offenders = {}
+    for name, fn in queries.items():
+        try:
+            ops = _ops(fn(spark, SF_DIR))
+        except Exception as exc:  # pragma: no cover — surface as failure
+            offenders[name] = f"plan build failed: {exc}"
+            continue
+        if any(o == "BatchEvalPython" for o in ops):
+            offenders[name] = "BatchEvalPython in plan"
+    assert not offenders, offenders
