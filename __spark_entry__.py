@@ -117,7 +117,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: harvest the sf0.001 transcripts via the pandas/Arrow path
     (north-star mandated) and return the merged distinct-triple graph."""
     t = spark.read.parquet(ensure_transcripts("sf0.001"))
-    return merge_triples(extract_edges(t, impl="pandas"))
+    return merge_triples(extract_edges(t, impl="arrow"))
 
 
 # each entry: name -> callable(spark, sf_dir) -> DataFrame

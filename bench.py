@@ -170,7 +170,7 @@ spark = get_spark(
 )
 t = spark.read.parquet({path!r})
 n_turns = t.cache().count()  # pin the corpus in memory: reps time COMPUTE
-job = lambda: merge_triples(extract_edges(t, impl="pandas")).count()
+job = lambda: merge_triples(extract_edges(t, impl="arrow")).count()
 n_triples = job()  # warm-up: spawns every python UDF worker once
 print(json.dumps({{"ready": True, "cores": {cores}, "turns": n_turns,
                    "parts": t.rdd.getNumPartitions(),
@@ -287,8 +287,8 @@ def _persistent_pair(
     from breg_dcat_harvester_spark.datagen import ensure_transcripts
 
     path = ensure_transcripts(sf)
-    ws = _Worker(n_small, path, SCALING_PARTS, SCALING_ARROW)
-    wb = _Worker(n_big, path, SCALING_PARTS, SCALING_ARROW)
+    ws: _Worker | None = None
+    wb: _Worker | None = None
     best: dict[int, dict] = {}
     warm_ratios: list[float] = []
     ratios: list[float] = []
@@ -296,15 +296,20 @@ def _persistent_pair(
     dropped: list[str] = []
     round_cost = 60.0
     try:
-        # children warm up CONCURRENTLY (startup isn't timed; n_small+n_big
-        # threads may briefly exceed the cores — harmless, not measured).
-        # Setup is DEADLINE-GUARDED: under heavy co-tenant load the cache+
-        # warm-up can exceed any fixed timeout, and a blown setup must fail
-        # fast enough to leave budget for a retry in a quieter window.
+        # children warm up STAGGERED (startup isn't timed): the wide config's
+        # warm-up job alone saturates every core, and two concurrent
+        # warm-ups (n_small+n_big threads) contended so badly under
+        # co-tenant load that an 8+32 pair blew a 500s setup window (r3
+        # bench run).  Serial setup is bounded: JVM boot + corpus cache +
+        # one warm extract per child, each with the whole host to itself.
+        # Setup is DEADLINE-GUARDED: a blown setup must fail fast enough to
+        # leave budget for a retry in a quieter window.
         setup_cap = max(60.0, min(rep_timeout * 3, deadline - time.time()))
         t_setup = time.time()
         try:
+            ws = _Worker(n_small, path, SCALING_PARTS, SCALING_ARROW)
             ws.wait_ready(timeout=setup_cap)
+            wb = _Worker(n_big, path, SCALING_PARTS, SCALING_ARROW)
             wb.wait_ready(timeout=max(10.0, setup_cap - (time.time() - t_setup)))
         except queue.Empty:
             raise RuntimeError(
@@ -348,8 +353,10 @@ def _persistent_pair(
                     norm_ratios.append(ratio / host_eff)
             round_cost = max(round_cost * 0.5, time.time() - t_round)
     finally:
-        ws.close()
-        wb.close()
+        if ws is not None:
+            ws.close()
+        if wb is not None:
+            wb.close()
     if len(ratios) < 1:
         raise RuntimeError(
             f"scaling pair n{n_small}->n{n_big}: no complete measured rounds "
@@ -545,7 +552,7 @@ def triple_pr(spark, transcripts) -> dict:
         }
 
     ident = ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
-    a = merge_triples(extract_edges(transcripts, impl="pandas")).select(*ident).distinct()
+    a = merge_triples(extract_edges(transcripts, impl="arrow")).select(*ident).distinct()
     b = merge_triples(extract_edges(transcripts, impl="sql")).select(*ident).distinct()
     n_a, n_b = a.count(), b.count()
     # NULL-SAFE set intersection: lang/dtype are null for URI objects, and a
@@ -884,10 +891,10 @@ def main() -> None:
     n_triples = 0
     for _ in range(2):
         t0 = time.time()
-        n_triples = merge_triples(extract_edges(t, impl="pandas")).count()
+        n_triples = merge_triples(extract_edges(t, impl="arrow")).count()
         dt = time.time() - t0
         extract_sec = dt if extract_sec is None or dt < extract_sec else extract_sec
-    timings["kg_extract_pandas_full"] = round(extract_sec, 3)
+    timings["kg_extract_arrow_full"] = round(extract_sec, 3)
 
     result.update(
         {
@@ -921,7 +928,7 @@ def main() -> None:
         try:
             t0 = time.time()
             hres = run_harvest(
-                spark, path, HarvestConfig(out_dir=hdir, extract_impl="pandas"),
+                spark, path, HarvestConfig(out_dir=hdir, extract_impl="arrow"),
                 run_id="bench-harvest",
             )
             result["harvest_end_to_end"] = {

@@ -164,6 +164,9 @@ def _band_key_udf(planes: list[list[float]], bits_per_band: int):
     def band_keys(vecs):
         import pandas as pd
 
+        from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+
+        pin_native_threads()
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         x = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)

@@ -23,6 +23,9 @@ STATS_SCHEMA = (
 
 
 def _stats_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+    pin_native_threads()
+
     pdf = pdf.sort_values("turn_idx")  # W5: stable turn ordering
     roles = pdf["role"]
     mentions = pdf["text"].str.count(r"\[\[").fillna(0)

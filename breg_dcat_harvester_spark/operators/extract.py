@@ -9,13 +9,18 @@ provenance predicates (``prov:wasAttributedTo`` / ``prov:wasGeneratedBy``)
 and ``(conv_id, turn_idx)`` kept as per-triple lineage columns (replacing the
 reference's per-source provenance dicts, harvest.py:59 / models.py:73-79).
 
-Two interchangeable implementations, equality-tested in tests/test_extract.py:
+Three interchangeable implementations, equality-tested in tests/test_extract.py
+and hypothesis-fuzzed in tests/test_extract_fuzz.py:
 
 * ``impl='sql'``    — pure Catalyst expressions (regexp_extract_all + explode
-  + map lookups).  100% JVM-side / whole-stage codegen; the fast path.
-* ``impl='pandas'`` — ``mapInPandas`` with vectorized pandas string ops over
-  Arrow batches (the north-star-mandated path — this is where a real NLP
-  mention detector would plug in; no per-row Python anywhere).
+  + map lookups).  100% JVM-side / whole-stage codegen.
+* ``impl='arrow'``  — ``mapInArrow`` over the pyarrow-compute kernel: raw
+  ``pa.RecordBatch`` in/out, zero pandas, zero PyObjects.  The PRODUCTION
+  python-boundary path (the north-star-mandated place a real NLP mention
+  detector would plug in; no per-row Python anywhere), with a JVM-side
+  ``contains('[[')`` prefilter so non-block turns never cross the boundary.
+* ``impl='pandas'`` — ``mapInPandas`` twin of the same kernel (pandas frames
+  at the boundary); kept as the equality-tested second surface.
 
 Scale notes: extraction is embarrassingly parallel (no shuffle); output
 partitioning is inherited from the scan, so a 100 TB input runs as one
@@ -357,10 +362,12 @@ def extract_triples_pandas_batch(
 # before the CPUs saturate (measured: aggregate task-seconds double from 8 to
 # 32 local cores).  This twin runs the whole hot path through pyarrow compute
 # kernels — RE2 regex, SIMD substring scans, columnar buffers, zero PyObjects
-# — and is what ``extract_edges(impl='pandas')`` executes per Arrow batch.
-# The pure-pandas reference stays as the exact-multiplicity fallback (rows
-# with >1 block opener, absent from real transcripts) and as the
-# equality-tested second implementation.
+# — shared by ``extract_edges(impl='arrow')`` (raw RecordBatches via
+# mapInArrow — the production path) and ``impl='pandas'`` (the mapInPandas
+# twin, which pays a pandas conversion at the boundary).  The pure-pandas
+# reference stays as the exact-multiplicity fallback (rows with >1 block
+# opener, absent from real transcripts) and as the equality-tested second
+# implementation.
 
 _BLOCK_RE_NAMED = r"\[\[(?P<b>[^\[\]]+)\]\]"
 _ID_RE_NAMED = r"(?:^|\|)id=(?P<v>[^|]*)"
@@ -396,10 +403,35 @@ def _edge_part(subj, pred, obj, obj_kind, lang, dtype, conv_id, turn_idx):
     )
 
 
-def extract_triples_arrow_batch(
-    pdf: pd.DataFrame, emit_provenance: bool = True
-) -> pd.DataFrame:
-    """pyarrow-compute extraction of one Arrow batch (see block comment).
+_EDGE_PA_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("obj_kind", pa.string()),
+        ("lang", pa.string()),
+        ("dtype", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+    ]
+)
+
+
+def _extract_arrow_core(
+    text: pa.Array,
+    conv: pa.Array,
+    turn: pa.Array,
+    role: pa.Array,
+    tool: pa.Array,
+    emit_provenance: bool = True,
+) -> pa.Table:
+    """pyarrow-compute extraction over raw Arrow columns -> Arrow table.
+
+    The whole hot path runs through pyarrow compute kernels — RE2 regex,
+    SIMD substring scans, columnar buffers, zero PyObjects.  Shared by the
+    ``mapInArrow`` production path (arrays in, arrays out, no pandas
+    round-trip at all) and the ``mapInPandas``/unit-test wrapper
+    ``extract_triples_arrow_batch``.
 
     Semantics are byte-identical to ``extract_triples_pandas_batch``
     (hypothesis-fuzzed in tests/test_extract_fuzz.py), including python-re
@@ -408,28 +440,34 @@ def extract_triples_arrow_batch(
     and rows with more than one ``[[`` opener (several blocks, impossible
     under the datagen grammar but legal input) take the pandas path.
     """
-    empty = pd.DataFrame(columns=_EDGE_COLS)
-    if len(pdf) == 0:
-        return empty
+    if len(text) == 0:
+        return _EDGE_PA_SCHEMA.empty_table()
 
-    text = pa.array(pdf["text"], type=pa.string(), from_pandas=True)
     n_open = pc.fill_null(pc.count_substring(text, "[["), 0)
 
-    extra = None
+    extra: pa.Table | None = None
     multi = pc.greater(n_open, 1)
     if pc.any(multi).as_py():
-        extra = extract_triples_pandas_batch(
-            pdf.loc[multi.to_numpy(zero_copy_only=False)],
-            emit_provenance=emit_provenance,
+        multi_pdf = pa.table(
+            {
+                "conv_id": conv.filter(multi),
+                "turn_idx": turn.filter(multi),
+                "role": role.filter(multi),
+                "tool": tool.filter(multi),
+                "text": text.filter(multi),
+            }
+        ).to_pandas()
+        extra_pdf = extract_triples_pandas_batch(
+            multi_pdf, emit_provenance=emit_provenance
         )
+        if len(extra_pdf):
+            extra = pa.Table.from_pandas(
+                extra_pdf, schema=_EDGE_PA_SCHEMA, preserve_index=False
+            )
 
     single = pc.equal(n_open, 1)
     parts: list[pa.Table] = []
     if pc.any(single).as_py():
-        conv = pa.array(pdf["conv_id"], type=pa.string(), from_pandas=True)
-        turn = pa.array(pdf["turn_idx"], from_pandas=True)
-        role = pa.array(pdf["role"], type=pa.string(), from_pandas=True)
-        tool = pa.array(pdf["tool"], type=pa.string(), from_pandas=True)
         text1 = text.filter(single)
         conv, turn, role, tool = (a.filter(single) for a in (conv, turn, role, tool))
 
@@ -553,18 +591,58 @@ def extract_triples_arrow_batch(
                             )
                         )
 
-    frames = [p for p in (extra,) if p is not None and len(p)]
-    if parts:
-        out = pa.concat_tables(parts).to_pandas()
-        out["turn_idx"] = out["turn_idx"].astype("int32")
-        frames.insert(0, out[_EDGE_COLS])
-    if not frames:
-        return empty
-    if len(frames) == 1:
-        return frames[0]
-    out = pd.concat(frames, ignore_index=True)
-    out["turn_idx"] = out["turn_idx"].astype("int32")
-    return out[_EDGE_COLS]
+    tables = [p.cast(_EDGE_PA_SCHEMA) for p in parts]
+    if extra is not None:
+        tables.append(extra)
+    if not tables:
+        return _EDGE_PA_SCHEMA.empty_table()
+    return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+
+
+def _as_array(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def extract_triples_arrow_batch(
+    pdf: pd.DataFrame, emit_provenance: bool = True
+) -> pd.DataFrame:
+    """pandas-frame wrapper over ``_extract_arrow_core`` (tests + the
+    ``mapInPandas`` twin).  The production path is ``extract_edges_arrow``,
+    which feeds the same core raw Arrow batches with no pandas round-trip.
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=_EDGE_COLS)
+    out = _extract_arrow_core(
+        pa.array(pdf["text"], type=pa.string(), from_pandas=True),
+        pa.array(pdf["conv_id"], type=pa.string(), from_pandas=True),
+        pa.array(pdf["turn_idx"], from_pandas=True),
+        pa.array(pdf["role"], type=pa.string(), from_pandas=True),
+        pa.array(pdf["tool"], type=pa.string(), from_pandas=True),
+        emit_provenance=emit_provenance,
+    )
+    pdf_out = out.to_pandas()
+    pdf_out["turn_idx"] = pdf_out["turn_idx"].astype("int32")
+    return pdf_out[_EDGE_COLS]
+
+
+def _python_boundary_input(transcripts: DataFrame) -> DataFrame:
+    """Project + prefilter the rows shipped across the Python boundary.
+
+    Column pruning: mapInPandas/mapInArrow are black boxes to Catalyst, so
+    columns the extractor never reads (ts, caller extras) are dropped here.
+
+    Row pruning: a turn without a ``[[`` opener can emit NO triple — the
+    subject exists only when a block parses, and even provenance edges hang
+    off that subject — so the JVM-side ``contains`` filter (whole-stage
+    codegen, ~50M rows/s/core) keeps those rows out of the Arrow exchange
+    entirely.  On this corpus only ~40% of turns carry a block: boundary
+    traffic (the measured scaling bottleneck — JVM->python serialize +
+    socket memcpy) drops 2.5x before a single Python byte moves.  Null
+    texts are dropped by the same predicate (null contains -> null ->
+    filtered), matching the kernels' behavior.
+    """
+    used = ["conv_id", "turn_idx", "role", "tool", "text"]
+    return transcripts.select(*used).filter(F.col("text").contains("[["))
 
 
 def extract_edges_pandas(transcripts: DataFrame, emit_provenance: bool = True) -> DataFrame:
@@ -581,11 +659,48 @@ def extract_edges_pandas(transcripts: DataFrame, emit_provenance: bool = True) -
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+
+        pin_native_threads()
         for pdf in batches:
             yield extract_triples_arrow_batch(pdf, emit_provenance=emit_provenance)
 
-    used = ["conv_id", "turn_idx", "role", "tool", "text"]
-    return transcripts.select(*used).mapInPandas(run, schema=EDGES)
+    return _python_boundary_input(transcripts).mapInPandas(run, schema=EDGES)
+
+
+def extract_edges_arrow(
+    transcripts: DataFrame, emit_provenance: bool = True
+) -> DataFrame:
+    """mapInArrow extraction — the production Python-boundary path.
+
+    ``mapInPandas`` converts every Arrow batch to a pandas frame before the
+    UDF sees it: object-dtype string columns materialize one PyObject per
+    value, and the kernel immediately converts them BACK to Arrow.  At high
+    worker counts that double conversion dominates (allocation traffic
+    scales with workers; measured at local[32] on a cached 10M-turn corpus:
+    extract-only 1.78M rows/s via mapInPandas vs the bare kernel's 6.3M
+    rows/s at the same concurrency).  ``mapInArrow`` hands the UDF the raw
+    ``pa.RecordBatch`` — the kernel runs arrays-in/arrays-out with zero
+    pandas, zero PyObjects (outside the rare multi-block fallback rows).
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+
+        pin_native_threads()
+        for b in batches:
+            out = _extract_arrow_core(
+                _as_array(b.column("text")),
+                _as_array(b.column("conv_id")),
+                _as_array(b.column("turn_idx")),
+                _as_array(b.column("role")),
+                _as_array(b.column("tool")),
+                emit_provenance=emit_provenance,
+            )
+            if out.num_rows:
+                yield from out.combine_chunks().to_batches()
+
+    return _python_boundary_input(transcripts).mapInArrow(run, schema=EDGES)
 
 
 def extract_edges(
@@ -593,6 +708,8 @@ def extract_edges(
 ) -> DataFrame:
     if impl == "sql":
         return extract_edges_sql(transcripts, emit_provenance)
+    if impl == "arrow":
+        return extract_edges_arrow(transcripts, emit_provenance)
     if impl == "pandas":
         return extract_edges_pandas(transcripts, emit_provenance)
     raise ValueError(f"unknown extract impl: {impl}")

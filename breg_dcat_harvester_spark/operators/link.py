@@ -193,6 +193,9 @@ def jaccard_pandas(grams_a: pd.Series, grams_b: pd.Series) -> pd.Series:
 
     import numpy as np
 
+    from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+
+    pin_native_threads()
     n = len(grams_a)
     if n == 0:
         return pd.Series([], dtype="float64")

@@ -82,6 +82,9 @@ def extract_features(
     """Arrow-batched feature extraction; projects the payload away."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+        pin_native_threads()
+
         for pdf in batches:
             feats = [
                 decode(p if p is not None else b"", k).tolist()
@@ -127,6 +130,9 @@ def sample_frames(
     fn = decode_frame or default_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+        pin_native_threads()
+
         for pdf in batches:
             rows = {"asset_id": [], "ts_ms": [], "frame": []}
             vids = pdf[pdf["kind"] == "video"]

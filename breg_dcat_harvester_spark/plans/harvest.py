@@ -43,7 +43,7 @@ from .jobs import MetricsLog, RunLog
 @dataclass
 class HarvestConfig:
     out_dir: str
-    extract_impl: str = "pandas"  # north-star default path
+    extract_impl: str = "arrow"  # mapInArrow production path (pandas/sql twins stay gated)
     emit_provenance: bool = True
     link_threshold: float = 0.8
     strict_validation: bool = False

@@ -536,6 +536,9 @@ def parse_rdf_docs(docs, id_col: str = "doc_id", content_col: str = "content",
     )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+        pin_native_threads()
+
         for pdf in batches:
             rows = []
             for doc_id, source, content, fmt in pdf.itertuples(index=False):

@@ -49,6 +49,9 @@ OUTPUT_SCHEMA = StructType(
 def _update(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    from breg_dcat_harvester_spark.functions.workerenv import pin_native_threads
+
+    pin_native_threads()
     n_turns, n_mentions, max_idx = (
         state.get if state.exists else (0, 0, -1)
     )

@@ -37,7 +37,8 @@ def summarize(name: str, text: str, simple: str) -> str:
     def n(op):
         return sum(1 for o in ops if o == op)
 
-    n_py = n("ArrowEvalPython") + n("MapInPandas") + n("FlatMapGroupsInPandas")
+    n_py = (n("ArrowEvalPython") + n("MapInPandas") + n("MapInArrow")
+            + n("FlatMapGroupsInPandas"))
     codegen_spans = len(set(re.findall(r"\*\((\d+)\)", simple)))
     partial_agg = "partial_" in text
     pushed = sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", text)))[:4]

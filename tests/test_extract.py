@@ -28,7 +28,7 @@ def test_sql_vs_pandas_impl_equality(spark, small_transcripts):
     assert len(sql_t) > 100
 
 
-@pytest.mark.parametrize("impl", ["sql", "pandas"])
+@pytest.mark.parametrize("impl", ["sql", "pandas", "arrow"])
 def test_parity_vs_oracle(spark, small_transcripts, impl):
     """P/R >= 0.95 target (BASELINE.json); exact equality expected."""
     got = _triples(extract_edges(small_transcripts, impl=impl))

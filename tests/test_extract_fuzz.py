@@ -86,6 +86,11 @@ def test_fuzz_three_way_equality(spark):
         f"sql-only: {list(got_sql - got_pandas)[:3]} "
         f"pandas-only: {list(got_pandas - got_sql)[:3]}"
     )
+    got_arrow = triple_set(extract_edges(df, impl="arrow"))
+    assert got_sql == got_arrow, (
+        f"sql-only: {list(got_sql - got_arrow)[:3]} "
+        f"arrow-only: {list(got_arrow - got_sql)[:3]}"
+    )
 
     expected = set()
     for conv_id, turn_idx, role, text, tool, _ts in rows:
