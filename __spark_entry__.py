@@ -32,7 +32,10 @@ from breg_dcat_harvester_spark.operators import curation as cur
 from breg_dcat_harvester_spark.operators import decontam as dctm
 from breg_dcat_harvester_spark.operators import sampling as smp
 from breg_dcat_harvester_spark.operators.extract import extract_edges
-from breg_dcat_harvester_spark.operators.merge import merge_triples
+from breg_dcat_harvester_spark.operators.merge import (
+    merge_triples,
+    merge_triples_transcripts,
+)
 from breg_dcat_harvester_spark.plans import sparql as sprq
 from breg_dcat_harvester_spark.operators.validate import (
     DEFAULT_SHAPES,
@@ -128,6 +131,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_harvest_triples"] = lambda spark, sf: _merged(spark, sf).select(
         "subj", "pred", "obj", "obj_kind", "lang", "dtype"
     )
+
+    # The fused coded-boundary harvest (extract.py coded notes /
+    # merge.merge_triples_transcripts): pred crosses the python boundary and
+    # the dedup shuffle as an int32 code; obj_kind/lang/dtype are rebuilt
+    # JVM-side after the agg.  Gated against the SAME oracle as
+    # kg_harvest_triples — the two plans must be value-identical.
+    q["kg_harvest_triples_coded"] = lambda spark, sf: merge_triples_transcripts(
+        _transcripts(spark, sf)
+    ).select("subj", "pred", "obj", "obj_kind", "lang", "dtype")
 
     # A1: the reference's one job metric (harvest.py:58)
     q["kg_num_triples"] = lambda spark, sf: _merged(spark, sf).select(
@@ -748,6 +760,9 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_harvest_triples"] = (
         f"SELECT subj, pred, obj, obj_kind, lang, dtype FROM {osql.triples_sql(glob)} AS t"
     )
+    # same oracle as kg_harvest_triples: the coded-boundary plan must be
+    # value-identical to the general one
+    sql["kg_harvest_triples_coded"] = sql["kg_harvest_triples"]
     sql["kg_num_triples"] = (
         f"SELECT count(*) AS num_triples FROM "
         f"(SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e) AS t"

@@ -140,8 +140,7 @@ _WORKER_CODE = """
 import glob, json, os, sys, time
 sys.path.insert(0, {repo!r})
 from breg_dcat_harvester_spark.session import get_spark
-from breg_dcat_harvester_spark.operators.extract import extract_edges
-from breg_dcat_harvester_spark.operators.merge import merge_triples
+from breg_dcat_harvester_spark.operators.merge import merge_triples_transcripts
 
 # Strong-scaling input: the SAME ~{parts}-way partitioning at every
 # parallelism, carved at the SCAN by sizing maxPartitionBytes to
@@ -170,7 +169,7 @@ spark = get_spark(
 )
 t = spark.read.parquet({path!r})
 n_turns = t.cache().count()  # pin the corpus in memory: reps time COMPUTE
-job = lambda: merge_triples(extract_edges(t, impl="arrow")).count()
+job = lambda: merge_triples_transcripts(t).count()
 n_triples = job()  # warm-up: spawns every python UDF worker once
 print(json.dumps({{"ready": True, "cores": {cores}, "turns": n_turns,
                    "parts": t.rdd.getNumPartitions(),

@@ -92,6 +92,19 @@ def test_fuzz_three_way_equality(spark):
         f"arrow-only: {list(got_arrow - got_sql)[:3]}"
     )
 
+    # fused coded-boundary harvest must be row-identical to the general
+    # merge over the arrow extract (incl. the JVM-side re-derivation of
+    # obj_kind/lang/dtype from (pred_code, obj))
+    from breg_dcat_harvester_spark.operators.merge import (
+        merge_triples,
+        merge_triples_transcripts,
+    )
+
+    fused = merge_triples_transcripts(df)
+    general = merge_triples(extract_edges(df, impl="arrow"))
+    d = fused.exceptAll(general).count() + general.exceptAll(fused).count()
+    assert d == 0, f"fused coded harvest diverges from general merge by {d} rows"
+
     expected = set()
     for conv_id, turn_idx, role, text, tool, _ts in rows:
         for t in oracle.extract_row(conv_id, turn_idx, role, text, tool):

@@ -42,6 +42,7 @@ def _ops(df) -> list[str]:
 # the driver parquet, and the extract->merge head of the harvest.
 EXCHANGE_BUDGET = {
     "kg_harvest_triples": 1,  # the set-union dedup groupBy; extract is map-only
+    "kg_harvest_triples_coded": 1,  # same dedup shuffle, coded boundary
     "multimodal_frames": 0,  # frame sampling must never shuffle
     "multimodal_features": 1,
     "text_features": 0,  # pure Column exprs over the documents scan
