@@ -30,6 +30,7 @@ from breg_dcat_harvester_spark.operators import link as lnk
 from breg_dcat_harvester_spark.operators import multimodal as mm
 from breg_dcat_harvester_spark.operators import curation as cur
 from breg_dcat_harvester_spark.operators import decontam as dctm
+from breg_dcat_harvester_spark.operators import packing as pkg
 from breg_dcat_harvester_spark.operators import sampling as smp
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import (
@@ -435,6 +436,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keep the min doc_id per cluster; every doc gets a row
     q["dedup_canonical_docs"] = lambda spark, sf: ddp.canonical_docs(
         _documents(spark, sf), threshold=0.8, bands=32, rows_per_band=2
+    )
+
+    # span-level boilerplate removal (C4/RefinedWeb-style): chunks of 3
+    # tokens shared by >= 5 docs are stripped; chunking is map-side
+    # (sequence+slice), the hot set broadcasts (packing/dedup module notes)
+    q["dedup_boilerplate"] = lambda spark, sf: ddp.remove_boilerplate(
+        _documents(spark, sf), chunk_tokens=3, min_docs=5
+    )
+
+    # LM sequence packing: concatenate-and-cut placement per doc via the
+    # distributed prefix sum (packing.py) — proven identical to the
+    # single-window form the oracle uses
+    q["pack_sequences"] = lambda spark, sf: pkg.pack_sequences(
+        _documents(spark, sf), seq_len=512
+    )
+
+    # deterministic training-order shuffle into shards: map-only sha256
+    # bucket assignment, manifest aggregated per shard
+    q["corpus_shuffle_shards"] = lambda spark, sf: pkg.shard_manifest(
+        pkg.shuffle_shards(_documents(spark, sf), n_shards=16)
     )
 
     # deterministic sha256-bucket sampling (training-mix construction):
@@ -1209,6 +1230,62 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
     )
+
+    # span-level boilerplate removal: chunk the token stream 3-wide,
+    # chunks in >= 5 distinct docs are stripped; clean_text preserves
+    # surviving-chunk order, fully-boilerplate docs stay with ''
+    sql["dedup_boilerplate"] = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS ord,
+         unnest(string_split(text,' ')) AS tok FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(FLOOR((ord-1)/3) AS BIGINT) AS cidx,
+         string_agg(tok, ' ' ORDER BY ord) AS chunk
+  FROM toks GROUP BY doc_id, cidx
+), nch AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+           FROM chunks GROUP BY doc_id),
+hot AS (SELECT sha256(chunk) AS h FROM chunks
+        GROUP BY sha256(chunk) HAVING count(DISTINCT doc_id) >= 5),
+kept AS (SELECT c.* FROM chunks c
+         WHERE sha256(c.chunk) NOT IN (SELECT h FROM hot)),
+reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY cidx) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT n.doc_id, n.n_chunks,
+       n.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM nch n LEFT JOIN reb r USING (doc_id)
+"""
+
+    # LM sequence packing: the oracle is the single-window prefix-sum form
+    # (pack_sequences is proven identical to it in tests/test_packing.py)
+    sql["pack_sequences"] = """
+WITH d AS (SELECT doc_id, lang AS stratum,
+                  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens AS gstart FROM d)
+SELECT doc_id, stratum, n_tokens,
+       CAST(FLOOR(gstart/512) AS BIGINT) AS pack_id,
+       CAST(gstart % 512 AS BIGINT) AS pack_offset,
+       CAST(FLOOR((gstart+n_tokens-1)/512) - FLOOR(gstart/512) + 1 AS BIGINT)
+         AS n_packs
+FROM c
+"""
+
+    # deterministic shuffle-shard manifest: sha256 bucket of ('shuf:'||id)
+    # mod 16, replayed bit-exactly like sample_stratified
+    sql["corpus_shuffle_shards"] = """
+WITH s AS (SELECT doc_id,
+   CAST(('0x'||substr(sha256('shuf:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        % 16 AS BIGINT) AS shard_id,
+   sha256('shuf:'||CAST(doc_id AS VARCHAR)) AS sort_key,
+   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       sum(n_tokens) AS n_tokens,
+       min(sort_key) AS first_key, max(sort_key) AS last_key
+FROM s GROUP BY shard_id
+"""
 
     # deterministic sha256-bucket sampling — the decision is replayed
     # bit-exactly: bucket = first 8 hex chars of sha256('smpl:'||doc_id)

@@ -373,3 +373,102 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Span (chunk) level dedup — C4/RefinedWeb-style boilerplate removal.
+# Documents are cut into consecutive fixed-width token chunks ENTIRELY
+# map-side (sequence+slice over the split array — no explode/groupBy
+# round-trip); the only full-data shuffle is the chunk-frequency aggregate.
+# Chunks shared by >= min_docs documents are "boilerplate"; the hot set is
+# tiny by construction (it's the output of a HAVING >= min_docs filter), so
+# it broadcasts and removal is a map-side anti-join — the same
+# sliver-broadcast shape as decontam.decontaminate.
+# ---------------------------------------------------------------------------
+
+
+def _doc_chunks(docs: DataFrame, chunk_tokens: int) -> DataFrame:
+    """(doc_id, cidx, chunk, n_chunks): consecutive token windows, map-only."""
+    arr = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(arr) / F.lit(chunk_tokens)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("cidx"),
+            F.array_join(
+                F.slice(arr, i * chunk_tokens + 1, chunk_tokens), " "
+            ).alias("chunk"),
+        ),
+    )
+    return docs.select(
+        "doc_id", n_chunks.alias("n_chunks"), F.explode(chunks).alias("c")
+    ).select("doc_id", "n_chunks", "c.cidx", "c.chunk")
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunks appearing in >= min_docs distinct docs: (chunk_hash, n_docs).
+
+    One shuffle (the frequency groupBy, map-side partial agg on the hash);
+    output is the HOT SET only — small enough to broadcast at any corpus
+    scale (its size is bounded by |corpus chunks| / min_docs).
+    """
+    chunks = _doc_chunks(_docs(df, id_col, text_col), chunk_tokens)
+    return (
+        chunks.groupBy(F.sha2(F.col("chunk"), 256).alias("chunk_hash"))
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    chunk_tokens: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strip globally-repeated chunks from every doc:
+    (doc_id, n_chunks, n_removed, clean_text).
+
+    clean_text preserves the original order of the surviving chunks; a doc
+    whose every chunk is boilerplate yields clean_text = '' (it stays in
+    the output — curation decides whether to drop it).  Shuffle budget:
+    frequency agg + per-doc regroup = 2 exchanges total; the hot-set join
+    is a broadcast LEFT join that merely FLAGS each chunk, so every doc
+    survives into the single regroup (no join-back pass, no third scan).
+    """
+    docs = _docs(df, id_col, text_col)
+    chunks = _doc_chunks(docs, chunk_tokens)
+    hot = boilerplate_chunks(df, chunk_tokens, min_docs, id_col, text_col)
+    flagged = chunks.join(
+        F.broadcast(hot),
+        F.sha2(F.col("chunk"), 256) == hot.chunk_hash,
+        "left",
+    ).select(
+        "doc_id",
+        "cidx",
+        "chunk",
+        F.col("chunk_hash").isNotNull().alias("is_hot"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_hot").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("cidx", "chunk", "is_hot"))
+                    ),
+                    lambda s: ~s.is_hot,
+                ),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -1,0 +1,111 @@
+"""Sequence packing + shuffle-shard + span-dedup unit tests.
+
+The load-bearing claim of operators/packing.py is that the DISTRIBUTED
+prefix sum (range partition -> local window -> sliver base offsets) is
+row-identical to the obvious single-window form at any partition count —
+that's what lets the oracle use the simple form while production scales.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from breg_dcat_harvester_spark.operators.dedup import (
+    boilerplate_chunks,
+    remove_boilerplate,
+)
+from breg_dcat_harvester_spark.operators.packing import (
+    pack_sequences,
+    pack_sequences_single_window,
+    shard_manifest,
+    shuffle_shards,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # deterministic synthetic: 3 strata, token counts 1..40, incl. a doc
+    # longer than seq_len (spans >= 2 packs) and an empty-ish 1-token doc
+    rows = []
+    for i in range(120):
+        lang = ["en", "de", "fr"][i % 3]
+        n = (i * 7) % 40 + 1
+        rows.append((i, lang, " ".join(f"w{i}t{j}" for j in range(n))))
+    rows.append((200, "en", " ".join("long" for _ in range(73))))
+    rows.append((201, "fr", "solo"))
+    return _docs(spark, rows)
+
+
+@pytest.mark.parametrize("parts", [1, 3, 17])
+def test_pack_distributed_equals_single_window(spark, corpus, parts):
+    a = pack_sequences(corpus, seq_len=64, num_partitions=parts)
+    b = pack_sequences_single_window(corpus, seq_len=64)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_invariants(spark, corpus):
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(corpus, seq_len=64, num_partitions=5).collect()
+    }
+    # the 73-token doc must span >= 2 packs of 64
+    assert rows[200]["n_packs"] >= 2
+    # offsets are in range; spans are consistent with offset+len
+    for r in rows.values():
+        assert 0 <= r["pack_offset"] < 64
+        expected_spans = (r["pack_offset"] + r["n_tokens"] - 1) // 64 + 1
+        assert r["n_packs"] == expected_spans
+    # per-stratum total tokens == last doc's gstart + len (contiguity: no
+    # gaps/overlaps in the concatenated stream)
+    df = pack_sequences(corpus, seq_len=64, num_partitions=5)
+    tot = (
+        df.groupBy("stratum")
+        .agg(
+            F.sum("n_tokens").alias("sum_tok"),
+            F.max(
+                F.col("pack_id") * 64 + F.col("pack_offset") + F.col("n_tokens")
+            ).alias("stream_end"),
+        )
+        .collect()
+    )
+    for r in tot:
+        assert r["sum_tok"] == r["stream_end"], r
+
+
+def test_pack_deterministic_across_input_partitioning(spark, corpus):
+    a = pack_sequences(corpus.repartition(13), seq_len=64, num_partitions=4)
+    b = pack_sequences(corpus.coalesce(1), seq_len=64, num_partitions=9)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark, corpus):
+    s1 = shuffle_shards(corpus, n_shards=8).collect()
+    s2 = shuffle_shards(corpus.repartition(7), n_shards=8).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    m = {r["shard_id"]: r["n_docs"] for r in shard_manifest(shuffle_shards(corpus, n_shards=8)).collect()}
+    assert sum(m.values()) == corpus.count()
+    assert len(m) == 8  # 122 docs over 8 shards: every shard hit w.h.p.
+
+
+def test_boilerplate_removal_exact(spark):
+    # 6 docs share the chunk "a b c" (>= min_docs=5); one doc is ALL
+    # boilerplate and must survive with clean_text=''
+    rows = [(i, "en", "a b c x%d y%d z%d" % (i, i, i)) for i in range(5)]
+    rows.append((5, "en", "a b c"))
+    rows.append((6, "en", "p q r s t u"))
+    df = _docs(spark, rows)
+    hot = boilerplate_chunks(df, chunk_tokens=3, min_docs=5).collect()
+    assert len(hot) == 1 and hot[0]["n_docs"] == 6
+    out = {r["doc_id"]: r for r in remove_boilerplate(df, 3, 5).collect()}
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
+    assert out[0]["clean_text"] == "x0 y0 z0" and out[0]["n_removed"] == 1
+    assert out[6]["clean_text"] == "p q r s t u" and out[6]["n_removed"] == 0
+
+
+def test_boilerplate_repeated_chunk_within_one_doc_not_hot(spark):
+    # the same chunk 10x inside ONE doc is 1 distinct doc — not boilerplate
+    df = _docs(spark, [(0, "en", " ".join(["a b c"] * 10)), (1, "en", "d e f")])
+    assert boilerplate_chunks(df, chunk_tokens=3, min_docs=2).count() == 0

@@ -51,6 +51,9 @@ EXCHANGE_BUDGET = {
     "rel_events_sessionize": 1,  # one window partitioning
     "rel_pricing_summary": 1,  # single groupBy
     "dedup_exact": 2,  # group hash + two-stage sample top-k
+    "corpus_shuffle_shards": 1,  # map-side shard assign + one manifest agg
+    "dedup_boilerplate": 3,  # freq agg (count_distinct expand = 2) + regroup
+    "pack_sequences": 5,  # range + window hash (x2 branches pre-reuse) + sliver
 }
 
 
