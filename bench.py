@@ -786,6 +786,9 @@ HEADLINE = [
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "text_features",
+    "dedup_boilerplate",
+    "pack_sequences",
+    "corpus_shuffle_shards",
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_events_sessionize",
