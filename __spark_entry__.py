@@ -452,6 +452,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf), seq_len=512
     )
 
+    # the consumable packing artifact: per-pack segment table (which token
+    # range of which doc fills which offsets of pack p) — map-side explode
+    # on top of the placement, no additional shuffle
+    q["pack_manifest"] = lambda spark, sf: pkg.pack_manifest(
+        pkg.pack_sequences(_documents(spark, sf), seq_len=512), seq_len=512
+    )
+
     # deterministic training-order shuffle into shards: map-only sha256
     # bucket assignment, manifest aggregated per shard
     q["corpus_shuffle_shards"] = lambda spark, sf: pkg.shard_manifest(
@@ -1271,6 +1278,34 @@ SELECT doc_id, stratum, n_tokens,
        CAST(FLOOR((gstart+n_tokens-1)/512) - FLOOR(gstart/512) + 1 AS BIGINT)
          AS n_packs
 FROM c
+"""
+
+    # per-pack segment table: explode each doc's spanned pack range from
+    # the single-window placement; segment arithmetic mirrored exactly
+    sql["pack_manifest"] = """
+WITH d AS (SELECT doc_id, lang AS stratum,
+                  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens AS gstart FROM d),
+placed AS (SELECT doc_id, stratum, n_tokens,
+       CAST(FLOOR(gstart/512) AS BIGINT) AS pack_id,
+       CAST(gstart % 512 AS BIGINT) AS pack_offset,
+       CAST(FLOOR((gstart+n_tokens-1)/512) AS BIGINT) AS last_pack
+  FROM c),
+seg AS (SELECT *, unnest(generate_series(pack_id, last_pack)) AS p
+        FROM placed),
+seg2 AS (SELECT stratum, p AS pack_id, doc_id, n_tokens,
+       CASE WHEN p = pack_id THEN pack_offset ELSE 0 END AS pack_start,
+       CASE WHEN p = pack_id THEN 0
+            ELSE (512 - pack_offset) + (p - pack_id - 1)*512 END AS doc_start
+  FROM seg)
+SELECT stratum, pack_id, doc_id,
+       CAST(pack_start AS BIGINT) AS pack_start,
+       CAST(doc_start AS BIGINT) AS doc_start,
+       CAST(LEAST(512 - pack_start, n_tokens - doc_start) AS BIGINT)
+         AS n_toks
+FROM seg2
 """
 
     # deterministic shuffle-shard manifest: sha256 bucket of ('shuf:'||id)

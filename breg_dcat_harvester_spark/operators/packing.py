@@ -204,3 +204,46 @@ def shard_manifest(shards: DataFrame) -> DataFrame:
         F.min("sort_key").alias("first_key"),
         F.max("sort_key").alias("last_key"),
     )
+
+
+def pack_manifest(placed: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Explode packing placements into the per-pack segment table a
+    training reader consumes: (stratum, pack_id, doc_id, pack_start,
+    doc_start, n_toks) — "pack p takes doc d's tokens
+    [doc_start, doc_start+n_toks) at offset pack_start".
+
+    Pure map-side explode of each doc's spanned pack range (no shuffle on
+    top of ``pack_sequences``); segments tile every pack exactly
+    [0, seq_len) except each stratum's final pack (asserted in tests).
+    ``placed`` is the output of ``pack_sequences`` (or the single-window
+    form) with the SAME seq_len.
+    """
+    p = F.col("p")
+    first = p == F.col("pack_id")
+    pack_start = F.when(first, F.col("pack_offset")).otherwise(F.lit(0))
+    doc_start = F.when(first, F.lit(0)).otherwise(
+        (F.lit(seq_len) - F.col("pack_offset"))
+        + (p - F.col("pack_id") - 1) * seq_len
+    )
+    exploded = placed.select(
+        "stratum",
+        "doc_id",
+        "n_tokens",
+        "pack_id",
+        "pack_offset",
+        F.explode(
+            F.sequence(
+                F.col("pack_id"), F.col("pack_id") + F.col("n_packs") - 1
+            )
+        ).alias("p"),
+    )
+    return exploded.select(
+        "stratum",
+        p.alias("pack_id"),
+        "doc_id",
+        pack_start.cast("long").alias("pack_start"),
+        doc_start.cast("long").alias("doc_start"),
+        F.least(
+            F.lit(seq_len) - pack_start, F.col("n_tokens") - doc_start
+        ).cast("long").alias("n_toks"),
+    )

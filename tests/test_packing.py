@@ -109,3 +109,66 @@ def test_boilerplate_repeated_chunk_within_one_doc_not_hot(spark):
     # the same chunk 10x inside ONE doc is 1 distinct doc — not boilerplate
     df = _docs(spark, [(0, "en", " ".join(["a b c"] * 10)), (1, "en", "d e f")])
     assert boilerplate_chunks(df, chunk_tokens=3, min_docs=2).count() == 0
+
+
+def test_pack_manifest_tiles_every_pack(spark, corpus):
+    from breg_dcat_harvester_spark.operators.packing import pack_manifest
+
+    placed = pack_sequences(corpus, seq_len=64, num_partitions=5)
+    man = pack_manifest(placed, seq_len=64)
+    rows = man.collect()
+    # segment arithmetic: every segment inside [0, 64) x [0, n_tokens)
+    ntok = {r["doc_id"]: r["n_tokens"] for r in placed.collect()}
+    for r in rows:
+        assert 0 <= r["pack_start"] < 64
+        assert r["n_toks"] >= 1
+        assert r["pack_start"] + r["n_toks"] <= 64
+        assert r["doc_start"] + r["n_toks"] <= ntok[r["doc_id"]]
+    # per doc: segments tile [0, n_tokens) exactly
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["doc_start"], r["n_toks"]))
+    for d, segs in per_doc.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        for (s0, n0), (s1, _n1) in zip(segs, segs[1:]):
+            assert s0 + n0 == s1, (d, segs)
+        assert segs[-1][0] + segs[-1][1] == ntok[d]
+    # per pack: full packs tile [0, 64) exactly; only each stratum's LAST
+    # pack may be partial
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault((r["stratum"], r["pack_id"]), []).append(
+            (r["pack_start"], r["n_toks"])
+        )
+    last = {}
+    for (st, p) in per_pack:
+        last[st] = max(last.get(st, -1), p)
+    for (st, p), segs in per_pack.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        for (s0, n0), (s1, _n1) in zip(segs, segs[1:]):
+            assert s0 + n0 == s1, (st, p, segs)
+        if p != last[st]:
+            assert segs[-1][0] + segs[-1][1] == 64, (st, p, segs)
+
+
+def test_pack_manifest_no_extra_shuffle(spark, corpus):
+    """pack_manifest adds zero Exchanges on top of pack_sequences."""
+    import io, re
+    from contextlib import redirect_stdout
+    from breg_dcat_harvester_spark.operators.packing import pack_manifest
+
+    def nex(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        ops = re.findall(
+            r"^\(\d+\) (\w[\w ]*?)\s*(?:\[codegen id : \d+\])?\s*$",
+            buf.getvalue(),
+            re.MULTILINE,
+        )
+        return sum(1 for o in ops if o == "Exchange")
+
+    placed = pack_sequences(corpus, seq_len=64, num_partitions=5)
+    assert nex(pack_manifest(placed, seq_len=64)) == nex(placed)

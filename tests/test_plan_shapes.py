@@ -54,6 +54,7 @@ EXCHANGE_BUDGET = {
     "corpus_shuffle_shards": 1,  # map-side shard assign + one manifest agg
     "dedup_boilerplate": 3,  # freq agg (count_distinct expand = 2) + regroup
     "pack_sequences": 5,  # range + window hash (x2 branches pre-reuse) + sliver
+    "pack_manifest": 5,  # map-side explode: zero on top of pack_sequences
 }
 
 
