@@ -236,6 +236,18 @@ class _Worker:
         self.proc.stdin.flush()
         return self._q.get(timeout=timeout)
 
+    def stderr_tail(self, nbytes: int = 2000) -> str:
+        """Last bytes of the child's stderr — the root cause of a startup
+        failure (import error, JVM OOM) lives here, not in the queue."""
+        try:
+            self._err.flush()
+            self._err.seek(0, 2)
+            size = self._err.tell()
+            self._err.seek(max(0, size - nbytes))
+            return self._err.read()
+        except Exception:
+            return "<stderr unavailable>"
+
     def close(self) -> None:
         try:
             self.proc.stdin.write("quit\n")
@@ -311,15 +323,27 @@ def _persistent_pair(
             wb = _Worker(n_big, path, SCALING_PARTS, SCALING_ARROW)
             wb.wait_ready(timeout=max(10.0, setup_cap - (time.time() - t_setup)))
         except queue.Empty:
+            tails = "; ".join(
+                f"n{w.cores} stderr: ...{w.stderr_tail(500).strip()[-400:]}"
+                for w in (ws, wb)
+                if w is not None
+            )
             raise RuntimeError(
                 f"n{n_small}/n{n_big} children not ready within "
-                f"{setup_cap:.0f}s (load1={os.getloadavg()[0]:.1f})"
+                f"{setup_cap:.0f}s (load1={os.getloadavg()[0]:.1f}); {tails}"
             ) from None
         for i in range(warmup_rounds + max_rounds):
             have = len(ratios)
-            if have >= 2 and time.time() + round_cost * 1.2 > deadline:
+            now = time.time()
+            if now > deadline:
+                # HARD deadline: stop even with zero measured rounds — a
+                # failed attempt that leaves budget for a retry (and for
+                # the final emit) beats one that blows the whole BUDGET
+                # before its first ratio exists.
                 break
-            if time.time() + round_cost * 0.5 > deadline and have >= 1:
+            if have >= 2 and now + round_cost * 1.2 > deadline:
+                break
+            if have >= 1 and now + round_cost * 0.5 > deadline:
                 break
             t_round = time.time()
             rnd: dict[int, dict] = {}
@@ -328,7 +352,15 @@ def _persistent_pair(
             )  # ABBA alternation
             try:
                 for w in order:
-                    r = w.rep(timeout=rep_timeout)
+                    # clamp each wait to the remaining deadline (+grace):
+                    # a single slow rep must not overshoot a blown budget
+                    # by a further rep_timeout
+                    r = w.rep(
+                        timeout=min(
+                            rep_timeout,
+                            max(60.0, deadline - time.time() + 60.0),
+                        )
+                    )
                     rnd[w.cores] = r
                     if (
                         w.cores not in best

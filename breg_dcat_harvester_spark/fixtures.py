@@ -292,7 +292,22 @@ def ensure_term_docs() -> tuple[str, str]:
     docs_dir = os.path.join(REPO, "data", "term_docs")
     golden = os.path.join(ORACLE_DIR, "term_doc_labels.parquet")
     done = os.path.join(docs_dir, ".complete")
-    if not (os.path.exists(done) and os.path.exists(golden)):
+    # the marker stores a fingerprint of the CURRENT recipe (count + every
+    # label tuple), so changing N_TERM_DOCS/_TD_WORDS/_term_doc_labels
+    # auto-invalidates stale on-disk docs instead of silently keeping them
+    import hashlib
+
+    recipe = hashlib.sha256(
+        repr(
+            (N_TERM_DOCS, [_term_doc_labels(i) for i in range(N_TERM_DOCS)])
+        ).encode()
+    ).hexdigest()
+    marker = f"{N_TERM_DOCS}:{recipe}\n"
+    stale = True
+    if os.path.exists(done) and os.path.exists(golden):
+        with open(done) as f:
+            stale = f.read() != marker
+    if stale:
         os.makedirs(docs_dir, exist_ok=True)
         os.makedirs(ORACLE_DIR, exist_ok=True)
         breg = "http://www.fundacionctic.org/breg-data#"
@@ -333,9 +348,10 @@ def ensure_term_docs() -> tuple[str, str]:
         con.close()
         os.replace(tmp, golden)
         # the .complete marker commits the doc set LAST: a kill mid-loop
-        # leaves no marker, so the next call regenerates everything
+        # leaves no marker (or a stale fingerprint), so the next call
+        # regenerates everything
         tmp = f"{done}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write(f"{N_TERM_DOCS}\n")
+            f.write(marker)
         os.replace(tmp, done)
     return docs_dir, golden

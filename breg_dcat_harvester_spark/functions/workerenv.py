@@ -52,3 +52,21 @@ def pin_native_threads() -> None:
     except Exception:  # pragma: no cover — pyarrow always present in-sandbox
         pass
     _PINNED = True
+
+
+def pinned(fn):
+    """Decorator form: pin pools, then run the UDF body.
+
+    Wrap any generator/function handed to mapInPandas / mapInArrow /
+    applyInPandas so the pinning invariant is structural instead of a
+    per-kernel incantation (tests/test_workerenv_lint.py enforces that
+    every module with a Python boundary references one of the two forms).
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        pin_native_threads()
+        return fn(*args, **kwargs)
+
+    return wrapper

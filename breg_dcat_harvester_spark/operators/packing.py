@@ -183,14 +183,12 @@ def shuffle_shards(
     ``partitionBy('shard_id')`` + ``sortWithinPartitions('sort_key')`` for
     ready-to-stream training shards.
     """
-    h = F.sha2(
-        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")), 256
-    )
+    from .sampling import bucket_hash, sample_bucket
+
+    h = bucket_hash(F.col(id_col), salt=seed)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
-            "shard_id"
-        ),
+        sample_bucket(F.col(id_col), salt=seed, buckets=n_shards, alias="shard_id"),
         h.alias("sort_key"),
         default_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )

@@ -33,15 +33,22 @@ from pyspark.sql import functions as F
 BUCKETS = 1000
 
 
-def sample_bucket(key, salt: str = "smpl"):
-    """Deterministic bucket in [0, 1000) from a stable key column.
+def bucket_hash(key, salt: str = "smpl"):
+    """sha256("<salt>:<key>") hex — the engine-replayable decision hash
+    shared by sampling, decontam splits, and shuffle-sharding (DuckDB:
+    sha256('<salt>:'||key))."""
+    return F.sha2(F.concat_ws(":", F.lit(salt), key.cast("string")), 256)
 
-    First 8 hex chars of sha256("<salt>:<key>") as an integer, mod 1000 —
+
+def sample_bucket(key, salt: str = "smpl", buckets: int = BUCKETS, alias: str = "bucket"):
+    """Deterministic bucket in [0, buckets) from a stable key column.
+
+    First 8 hex chars of sha256("<salt>:<key>") as an integer, mod buckets —
     uniform, engine-replayable (DuckDB: ('0x'||substr(sha256(..),1,8))::BIGINT).
     """
-    h = F.sha2(F.concat_ws(":", F.lit(salt), key.cast("string")), 256)
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS).alias(
-        "bucket"
+    h = bucket_hash(key, salt)
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).alias(
+        alias
     )
 
 

@@ -224,9 +224,16 @@ def count_exchanges(df: DataFrame) -> int:
     subj-keyed self-join of a table bucketed on subj must plan 0 exchanges,
     while the same join over plain parquet plans 2 (one per side).
     """
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # Shuffles only: match the Exchange node name exactly so that
+    # BroadcastExchange (not a shuffle boundary) and ReusedExchange are
+    # excluded — same rule as tests/test_plan_shapes._ops.
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line
+        if re.search(r"(?<![\w])Exchange\b", line)
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
     )

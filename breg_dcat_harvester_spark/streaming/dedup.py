@@ -105,18 +105,24 @@ def run_dedup_stream_to_table(
     checkpoint_dir: str,
     delay: str = DEFAULT_DELAY,
 ) -> None:
-    """Production sink: append admitted turns to a parquet table.
+    """Production sink: write admitted turns to a parquet table,
+    idempotently per micro-batch.
 
-    ``foreachBatch`` + append parquet keeps everything executor-side (no
-    driver collect); exactly-once lands via the streaming checkpoint's batch
-    ids — a replayed micro-batch after a crash re-appends, and downstream
-    readers dedup on content_hash (already emitted per row), the standard
-    at-least-once parquet sink contract.  For an Iceberg catalog the same
-    ``foreachBatch`` body swaps to ``batch_df.writeTo(...).append()`` which
-    upgrades this to exactly-once via table-level atomic commits
-    (storage.IcebergTable is the batch-side analog)."""
+    ``foreachBatch`` keeps everything executor-side (no driver collect).
+    Each micro-batch OVERWRITES its own ``batch_id=<n>`` partition
+    directory, so a micro-batch replayed after a crash between write and
+    checkpoint commit lands on the same path instead of appending a
+    duplicate copy — the standard foreachBatch idempotence recipe; readers
+    see ``batch_id`` as a partition column (useful ingestion provenance).
+    For an Iceberg catalog the same body swaps to
+    ``batch_df.writeTo(...).append()``, where exactly-once comes from
+    table-level atomic commits instead (storage.IcebergTable is the
+    batch-side analog)."""
+    import os
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
     _run_available_now(spark, transcripts_dir, checkpoint_dir, delay, sink)
