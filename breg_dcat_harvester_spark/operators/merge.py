@@ -38,7 +38,9 @@ def merge_triples(edges: DataFrame) -> DataFrame:
     )
 
 
-def merge_triples_transcripts(transcripts: DataFrame) -> DataFrame:
+def merge_triples_transcripts(
+    transcripts: DataFrame, emit_provenance: bool = True
+) -> DataFrame:
     """Fused transcript harvest: coded extract -> coded dedup -> decode.
 
     Output is row-identical to ``merge_triples(extract_edges(t,
@@ -55,7 +57,7 @@ def merge_triples_transcripts(transcripts: DataFrame) -> DataFrame:
     """
     from .extract import decode_coded_edges, extract_edges_coded
 
-    coded = extract_edges_coded(transcripts)
+    coded = extract_edges_coded(transcripts, emit_provenance=emit_provenance)
     merged = coded.groupBy("subj", "pred_code", "obj").agg(
         F.min(F.struct("conv_id", "turn_idx")).alias("_lin")
     )

@@ -153,3 +153,30 @@ def test_iceberg_branch_selected_and_writer_calls(spark):
     reads.clear()
     assert t.read(FakeReadSession()) == "DF"
     assert reads == [("table", "cat.db.tbl")]
+
+
+@pytest.mark.slow
+def test_harvest_fused_extract_merge_equivalent(spark, tmp_path, small_transcripts):
+    """fuse_extract_merge=True skips the edges_raw checkpoint (the raw edge
+    set is never materialized) and produces the identical final graph."""
+    src = str(tmp_path / "transcripts")
+    small_transcripts.write.parquet(src)
+
+    plain = run_harvest(
+        spark,
+        src,
+        HarvestConfig(out_dir=str(tmp_path / "out_plain")),
+        run_id="run-p",
+    )
+    fused = run_harvest(
+        spark,
+        src,
+        HarvestConfig(out_dir=str(tmp_path / "out_fused"), fuse_extract_merge=True),
+        run_id="run-f",
+    )
+    assert fused["num_triples"] == plain["num_triples"]
+    stages_f = [s["stage"] for s in fused["stages"]]
+    assert "edges_raw" not in stages_f and stages_f[0] == "triples"
+    a = spark.read.parquet(str(tmp_path / "out_plain" / "edges" / "data"))
+    b = spark.read.parquet(str(tmp_path / "out_fused" / "edges" / "data"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
