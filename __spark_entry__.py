@@ -29,6 +29,7 @@ from breg_dcat_harvester_spark.operators import labels as lbl
 from breg_dcat_harvester_spark.operators import link as lnk
 from breg_dcat_harvester_spark.operators import multimodal as mm
 from breg_dcat_harvester_spark.operators import curation as cur
+from breg_dcat_harvester_spark.operators import export as exp
 from breg_dcat_harvester_spark.operators import decontam as dctm
 from breg_dcat_harvester_spark.operators import packing as pkg
 from breg_dcat_harvester_spark.operators import sampling as smp
@@ -151,6 +152,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from breg_dcat_harvester_spark.operators.merge import graph_stats
 
     q["kg_graph_stats"] = lambda spark, sf: graph_stats(_merged(spark, sf))
+
+    # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
+    # graph serialized as canonical escaped N-Triples lines — map-only, so
+    # any partition writes its own valid .nt part file.  Oracle replays the
+    # escape chain character-for-character.
+    q["kg_export_ntriples"] = lambda spark, sf: exp.serialize_ntriples(
+        _merged(spark, sf)
+    )
+
+    # A9/north_rule "per-partition lineage + metrics rows" as a CONTENT-keyed
+    # table: per salted-conv_id-bucket rollup of the merged edge table (the
+    # same sha256 bucket recipe as sampling/sharding), deterministic across
+    # cluster sizes and re-runs — a resumed harvest must reproduce every
+    # bucket row bit-for-bit, which makes this the resume/consistency probe.
+    q["kg_lineage_buckets"] = lambda spark, sf: exp.partition_lineage(
+        _merged(spark, sf)
+    )
 
     # A8/P2: SHACL cardinality violations
     def _violations(spark, sf):
@@ -592,6 +610,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition"] = _text_repetition
 
+    # PII redaction (curation-family, map-only codegen): documents carry no
+    # real PII, so both engines append the SAME deterministic spans (email /
+    # card / phone / IP derived from doc_id, a second email on every 3rd doc)
+    # and the gate then asserts the redacted text byte-for-byte — i.e. the
+    # Java-regex and RE2 pattern semantics and the replace chain agree.
+    def _pii_redact(spark, sf):
+        from breg_dcat_harvester_spark.operators import pii
+
+        d = _documents(spark, sf)
+        did = F.col("doc_id")
+        aug = d.withColumn(
+            "text_pii",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com ip 10."), (did % 256).cast("string"),
+                F.lit(".0.1 tel +1555"),
+                F.lpad((did % 1000000).cast("string"), 7, "0"),
+                F.lit(" card 4111-1111-1111-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.when(
+                    did % 3 == 0,
+                    F.concat(F.lit(" cc admin"), did.cast("string"),
+                             F.lit("@example.org")),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        out = pii.redact_pii(aug, text_col="text_pii")
+        return out.select(
+            "doc_id", "redacted", "n_email", "n_card", "n_phone", "n_ipv4"
+        )
+
+    q["pii_redact"] = _pii_redact
+
     # multimodal plumbing (codec stubbed, deterministic fake kernels
     # replayed bit-exactly by the DuckDB oracles): build a deterministic
     # asset table from documents
@@ -795,6 +847,46 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT count(*) AS num_triples FROM "
         f"(SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e) AS t"
     )
+
+    # canonical N-Triples serialization: the escape chain (backslash first,
+    # then quote/LF/CR) mirrors operators/export.py character-for-character
+    sql["kg_export_ntriples"] = f"""
+SELECT '<' || subj || '> <' || pred || '> ' ||
+  CASE WHEN obj_kind = 'uri' THEN '<' || obj || '>'
+       ELSE '"' ||
+            replace(replace(replace(replace(obj,
+                chr(92), chr(92) || chr(92)),
+                '"', chr(92) || '"'),
+                chr(10), chr(92) || 'n'),
+                chr(13), chr(92) || 'r')
+            || '"' ||
+            CASE WHEN lang IS NOT NULL THEN '@' || lang
+                 WHEN dtype IS NOT NULL AND dtype <> '{osql.XSD_STRING}'
+                      THEN '^^<' || dtype || '>'
+                 ELSE '' END
+  END || ' .' AS line
+FROM {osql.triples_sql(glob)} AS t
+"""
+
+    # merged-graph lineage rollup per salted conv_id bucket: min-(conv_id,
+    # turn_idx) lineage per distinct triple (merge.py), then the sampling
+    # sha256 bucket recipe
+    sql["kg_lineage_buckets"] = f"""
+WITH r AS (
+    SELECT subj, conv_id, turn_idx,
+           row_number() OVER (PARTITION BY subj, pred, obj
+                              ORDER BY conv_id, turn_idx) AS rn
+    FROM {osql.edges_sql(glob)} AS _e
+),
+m AS (SELECT subj, conv_id, turn_idx FROM r WHERE rn = 1)
+SELECT (('0x' || substr(sha256('lineage:' || conv_id), 1, 8))::BIGINT % 64) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(min(turn_idx) AS INTEGER) AS min_turn,
+       CAST(max(turn_idx) AS INTEGER) AS max_turn
+FROM m GROUP BY 1
+"""
 
     shapes_rows = ", ".join(
         "('{}', '{}', {}, {}, '{}')".format(
@@ -1559,6 +1651,27 @@ FROM bi
     # can replay it exactly — f0 is bytes 0-3 of sha256(payload) as a
     # little-endian u32 scaled to [0,1) and cast to float32 (multimodal.py::
     # fake_decode); n_bytes is the utf-8 payload length.
+    from breg_dcat_harvester_spark.operators import pii as piim
+
+    _pii_aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.1 tel +1555' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 7, '0')"
+        " || ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR)"
+        " || '@example.org' ELSE '' END"
+    )
+    sql["pii_redact"] = f"""
+WITH aug AS (SELECT doc_id, {_pii_aug} AS text_pii FROM documents)
+SELECT doc_id,
+       {piim.oracle_redact_sql('text_pii')} AS redacted,
+       {piim.oracle_count_sql('text_pii', 'email')} AS n_email,
+       {piim.oracle_count_sql('text_pii', 'card')} AS n_card,
+       {piim.oracle_count_sql('text_pii', 'phone')} AS n_phone,
+       {piim.oracle_count_sql('text_pii', 'ipv4')} AS n_ipv4
+FROM aug
+"""
+
     sql["multimodal_features"] = """
 WITH x AS (SELECT doc_id, text, sha256(text) AS h FROM documents)
 SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,

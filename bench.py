@@ -818,6 +818,7 @@ HEADLINE = [
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "text_features",
+    "kg_export_ntriples",
     "dedup_boilerplate",
     "pack_sequences",
     "corpus_shuffle_shards",
