@@ -439,6 +439,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # LSH variant must equal the brute-force oracle (recall ~1 at t=0.8
     # with b=32, r=2: P(miss) = (1-0.64)^32 ~ 6e-15)
+    # incremental ingestion: pairs touching the increment (doc_id % 10 == 0
+    # plays the arriving shard; the rest is the already-deduped base whose
+    # band-key INDEX is the only thing candidate generation reads).  Oracle:
+    # brute-force jaccard restricted to pairs with a new-side member.
+    def _dedup_incremental(spark, sf):
+        d = _documents(spark, sf)
+        return ddp.incremental_minhash_pairs(
+            d.filter(F.col("doc_id") % 10 == 0),
+            d.filter(F.col("doc_id") % 10 != 0),
+            threshold=0.8,
+        )
+
+    q["dedup_incremental"] = _dedup_incremental
+
+    # per-domain keep/drop rollup (RefinedWeb-style source filtering): same
+    # integer-exact quality gate as curate_corpus, lifted to the domain key;
+    # src0/src7 play the explicit blocklist
+    q["domain_quality"] = lambda spark, sf: cur.domain_stats(
+        _documents(spark, sf),
+        min_docs=20,
+        min_quality_per_mille=500,
+        blocklist=["src0", "src7"],
+        min_tokens=20,
+        min_alpha_per_mille=820,
+    )
+
     q["dedup_minhash_lsh"] = lambda spark, sf: ddp.minhash_lsh_pairs(
         _documents(spark, sf), threshold=0.8, bands=32, rows_per_band=2
     )
@@ -1303,6 +1329,34 @@ WHERE gi * 1000 >= (sa.n + sb.n - gi) * 800
     )
     sql["dedup_ngram_jaccard"] = ngram_core
     sql["dedup_minhash_lsh"] = ngram_core  # LSH must equal brute force w.h.p.
+    # incremental = brute force restricted to pairs touching the increment
+    sql["dedup_incremental"] = (
+        ngram_core.rstrip()
+        + "\n  AND (pi.a % 10 = 0 OR pi.b % 10 = 0)\n"
+    )
+
+    sql["domain_quality"] = """
+WITH f AS (
+    SELECT source AS domain,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS nt,
+           CAST(length(text) AS BIGINT) AS nc,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS na
+    FROM documents
+),
+a AS (
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens_total,
+           CAST(sum(CASE WHEN nt >= 20 AND nt <= 5000 AND na * 1000 >= nc * 820
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+    FROM f GROUP BY 1
+)
+SELECT domain, n_docs, n_tokens_total, n_quality,
+       (n_quality * 1000) // n_docs AS quality_per_mille,
+       (n_docs >= 20 AND n_quality * 1000 >= n_docs * 500
+        AND domain NOT IN ('src0', 'src7')) AS keep
+FROM a
+"""
 
     # clusters over the SAME pair set (LSH == brute force w.h.p.), closed
     # transitively with a recursive CTE, min-id canonical, joined back to

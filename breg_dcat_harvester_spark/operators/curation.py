@@ -122,6 +122,71 @@ def curate_corpus(
     )
 
 
+def domain_stats(
+    docs: DataFrame,
+    domain_col: str = "source",
+    min_docs: int = 10,
+    min_quality_per_mille: int = 500,
+    blocklist: list[str] | None = None,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+    min_alpha_per_mille: int = MIN_ALPHA_PER_MILLE,
+) -> DataFrame:
+    """Per-domain curation rollup with a keep/drop verdict (RefinedWeb-style
+    URL/source filtering, lifted from per-document to per-domain).
+
+    A web-scale corpus drops whole domains, not just documents: spam and
+    boilerplate concentrate by origin, and a domain whose sampled documents
+    mostly fail the quality gate is cheaper to drop wholesale than to score
+    document-by-document forever.  One hash-agg shuffle keyed on the domain
+    (quality flags are map-side Column exprs fused into the scan; partial
+    aggregation collapses each domain within every partition first, so the
+    exchange carries |domains| rows — domains are many orders of magnitude
+    fewer than documents).  ``keep`` is integer-exact and blocklist-aware:
+
+        n_docs >= min_docs
+        AND n_quality * 1000 >= n_docs * min_quality_per_mille
+        AND domain NOT IN blocklist
+
+    The blocklist is a plan literal (an IN-list), not a join: real
+    blocklists are 10^4-10^6 entries — at that size pass a frame and
+    anti-join instead (broadcast; same semantics).
+    """
+    qf = tf.quality_features(F.col("text"))
+    quality_ok = (
+        (qf["n_tokens"] >= min_tokens)
+        & (qf["n_tokens"] <= max_tokens)
+        & (qf["n_alpha"] * 1000 >= qf["n_chars"] * min_alpha_per_mille)
+    )
+    agg = (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            qf["n_tokens"].alias("_nt"),
+            quality_ok.cast("long").alias("_q"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens_total"),
+            F.sum("_q").cast("long").alias("n_quality"),
+        )
+    )
+    blocked = F.col("domain").isin(*blocklist) if blocklist else F.lit(False)
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_tokens_total",
+        "n_quality",
+        # integer division (no double round-trip): bit-exact in DuckDB via //
+        F.expr("(n_quality * 1000) div n_docs").alias("quality_per_mille"),
+        (
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_quality") * 1000 >= F.col("n_docs") * min_quality_per_mille)
+            & ~blocked
+        ).alias("keep"),
+    )
+
+
 def corpus_mixture(
     docs: DataFrame,
     strata: tuple[str, ...] = ("lang", "source"),

@@ -150,6 +150,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_band_keys(
+    shingled: DataFrame, bands: int = 32, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) — the LSH *index rows* for a corpus
+    slice, computed entirely MAP-SIDE from ``shingle_arrays`` output.
+
+    This is the persistable artifact of incremental ingestion: build it once
+    for the base corpus (bucket the table by (band_id, band_hash) via
+    ``storage.write_bucketed`` semantics) and each increment joins its own
+    freshly-computed keys against it without touching base text.
+    """
+    num_hashes = bands * rows_per_band
+    # NB: expression-string transform, NOT F.transform(.., lambda .. F.lit(j)):
+    # pyspark collapses python-lambda HOFs that differ only in a captured
+    # literal into ONE expression, silently making every hash identical
+    # (recall then quietly degrades to min-shingle collision probability).
+    sig = shingled.select(
+        "doc_id",
+        *[
+            F.array_min(F.expr(f"transform(sh_set, s -> xxhash64(s, {j}))")).alias(
+                f"h{j}"
+            )
+            for j in range(num_hashes)
+        ],
+    )
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)], F.lit(i)
+            ).alias("band_hash"),
+        )
+        for i in range(bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", "bk.band_id", "bk.band_hash"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -171,32 +210,7 @@ def minhash_lsh_pairs(
     # array_min(transform(...)) and verification reuses the same array —
     # no shuffle anywhere before the band-bucket join itself.
     docs = shingle_arrays(_docs(df, id_col, text_col), n=n).cache()
-    num_hashes = bands * rows_per_band
-    # NB: expression-string transform, NOT F.transform(.., lambda .. F.lit(j)):
-    # pyspark collapses python-lambda HOFs that differ only in a captured
-    # literal into ONE expression, silently making every hash identical
-    # (recall then quietly degrades to min-shingle collision probability).
-    sig = docs.select(
-        "doc_id",
-        *[
-            F.array_min(F.expr(f"transform(sh_set, s -> xxhash64(s, {j}))")).alias(
-                f"h{j}"
-            )
-            for j in range(num_hashes)
-        ],
-    )
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)], F.lit(i)
-            ).alias("band_hash"),
-        )
-        for i in range(bands)
-    ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", "bk.band_id", "bk.band_hash"
-    )
+    banded = minhash_band_keys(docs, bands=bands, rows_per_band=rows_per_band)
     # Pair generation: ONE groupBy collects each bucket's (sorted) members
     # and pairs them in-array — no self-join stage, no window sort, and the
     # skew guard is simply `size(members) <= max_bucket` (a flooded bucket
@@ -372,6 +386,100 @@ def simhash_pairs(
         cands.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    max_bucket: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_index: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING at least one document of an increment.
+
+    The 100 TB ingestion shape: when a shard arrives into an already-deduped
+    corpus, re-running LSH over base∪increment re-shuffles the whole corpus
+    for every shard.  Instead the base corpus is represented by its
+    persisted band-key index (``minhash_band_keys``; pass ``base_index`` to
+    skip recomputation — on a real cluster it is a table bucketed by
+    (band_id, band_hash), making the candidate join co-located), and only
+    the increment computes fresh signatures.  Candidates:
+
+    * new × base — equi-join of the increment's band keys against the index
+      (cost ∝ increment, never base²);
+    * new × new  — the standard in-array bucket pairing within the increment.
+
+    Verification is exact jaccard, joining shingle arrays by candidate id
+    (base text is touched only for docs that actually collide).  Output
+    schema matches ngram_jaccard_pairs with (a < b) canonical ordering and
+    equals the brute force restricted to pairs touching the increment w.h.p.
+    """
+    sh_new = shingle_arrays(_docs(new_df, id_col, text_col), n=n).cache()
+    new_keys = minhash_band_keys(sh_new, bands=bands, rows_per_band=rows_per_band)
+    if base_index is None:
+        base_index = minhash_band_keys(
+            shingle_arrays(_docs(base_df, id_col, text_col), n=n),
+            bands=bands,
+            rows_per_band=rows_per_band,
+        )
+    # skew guard on the INDEX side (a boilerplate-flooded bucket would fan
+    # every colliding new doc out by the bucket's size): drop buckets whose
+    # base membership exceeds max_bucket, mirroring minhash_lsh_pairs
+    bucket_sizes = base_index.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    guarded_index = base_index.join(
+        bucket_sizes.filter(F.col("_bn") <= max_bucket), ["band_id", "band_hash"]
+    ).select("doc_id", "band_id", "band_hash")
+
+    cross = (
+        new_keys.alias("n")
+        .join(
+            guarded_index.alias("x"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("n.doc_id") != F.col("x.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("x.doc_id")).alias("a"),
+            F.greatest(F.col("n.doc_id"), F.col("x.doc_id")).alias("b"),
+        )
+    )
+    within_buckets = (
+        new_keys.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+    within = (
+        within_buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m, i) ->"
+                    " transform(slice(members, i + 2, size(members)),"
+                    " m2 -> struct(m as a, m2 as b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    cands = cross.union(within).distinct()
+    lookup = sh_new.union(shingle_arrays(_docs(base_df, id_col, text_col), n=n))
+    num = int(round(threshold * 1000))
+    return (
+        cands.join(lookup.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sa")), "a")
+        .join(lookup.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("g_inter"),
+            F.size(F.array_union("sa", "sb")).cast("long").alias("g_union"),
+        )
+        .filter(F.col("g_inter") * 1000 >= F.col("g_union") * num)
     )
 
 
