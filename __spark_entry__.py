@@ -437,8 +437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf), threshold=0.8
     )
 
-    # LSH variant must equal the brute-force oracle (recall ~1 at t=0.8
-    # with b=32, r=2: P(miss) = (1-0.64)^32 ~ 6e-15)
     # incremental ingestion: pairs touching the increment (doc_id % 10 == 0
     # plays the arriving shard; the rest is the already-deduped base whose
     # band-key INDEX is the only thing candidate generation reads).  Oracle:
@@ -465,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_alpha_per_mille=820,
     )
 
+    # LSH variant must equal the brute-force oracle (recall ~1 at t=0.8
+    # with b=32, r=2: P(miss) = (1-0.64)^32 ~ 6e-15)
     q["dedup_minhash_lsh"] = lambda spark, sf: ddp.minhash_lsh_pairs(
         _documents(spark, sf), threshold=0.8, bands=32, rows_per_band=2
     )
@@ -874,25 +874,13 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e) AS t"
     )
 
-    # canonical N-Triples serialization: the escape chain (backslash first,
-    # then quote/LF/CR) mirrors operators/export.py character-for-character
-    sql["kg_export_ntriples"] = f"""
-SELECT '<' || subj || '> <' || pred || '> ' ||
-  CASE WHEN obj_kind = 'uri' THEN '<' || obj || '>'
-       ELSE '"' ||
-            replace(replace(replace(replace(obj,
-                chr(92), chr(92) || chr(92)),
-                '"', chr(92) || '"'),
-                chr(10), chr(92) || 'n'),
-                chr(13), chr(92) || 'r')
-            || '"' ||
-            CASE WHEN lang IS NOT NULL THEN '@' || lang
-                 WHEN dtype IS NOT NULL AND dtype <> '{osql.XSD_STRING}'
-                      THEN '^^<' || dtype || '>'
-                 ELSE '' END
-  END || ' .' AS line
-FROM {osql.triples_sql(glob)} AS t
-"""
+    # canonical N-Triples serialization: the DuckDB line expression is
+    # GENERATED from the same terms.NT_ESCAPES table the engine's escape
+    # chain uses (export.oracle_line_sql), so they cannot silently diverge
+    sql["kg_export_ntriples"] = (
+        f"SELECT {exp.oracle_line_sql()} AS line\n"
+        f"FROM {osql.triples_sql(glob)} AS t"
+    )
 
     # merged-graph lineage rollup per salted conv_id bucket: min-(conv_id,
     # turn_idx) lineage per distinct triple (merge.py), then the sampling
@@ -1701,10 +1689,6 @@ SELECT doc_id,
 FROM bi
 """
 
-    # multimodal: the deterministic fake decoder is sha256-derived, so DuckDB
-    # can replay it exactly — f0 is bytes 0-3 of sha256(payload) as a
-    # little-endian u32 scaled to [0,1) and cast to float32 (multimodal.py::
-    # fake_decode); n_bytes is the utf-8 payload length.
     from breg_dcat_harvester_spark.operators import pii as piim
 
     _pii_aug = (
@@ -1726,6 +1710,10 @@ SELECT doc_id,
 FROM aug
 """
 
+    # multimodal: the deterministic fake decoder is sha256-derived, so DuckDB
+    # can replay it exactly — f0 is bytes 0-3 of sha256(payload) as a
+    # little-endian u32 scaled to [0,1) and cast to float32 (multimodal.py::
+    # fake_decode); n_bytes is the utf-8 payload length.
     sql["multimodal_features"] = """
 WITH x AS (SELECT doc_id, text, sha256(text) AS h FROM documents)
 SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,

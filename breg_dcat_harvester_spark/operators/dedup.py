@@ -189,6 +189,54 @@ def minhash_band_keys(
     )
 
 
+def _bucket_pairs(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Candidate (a, b) pairs within each (band_id, band_hash) bucket.
+
+    ONE groupBy collects each bucket's (sorted) members and pairs them
+    in-array — no self-join stage, no window sort, and the skew guard is
+    simply `size(members) <= max_bucket` (a flooded bucket would otherwise
+    emit k^2/2 pairs in one task).  Measured 3.05s vs 3.39s for the
+    window+self-join form at sf0.1; two earlier variants (groupBy+anti-join
+    guard, explicit repartition) measured 7.6s/6.9s because they recomputed
+    the signature map-work per consumer.
+    """
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (m, i) ->"
+                " transform(slice(members, i + 2, size(members)),"
+                " m2 -> struct(m as a, m2 as b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+
+
+def _verify_jaccard(cands: DataFrame, lookup: DataFrame, threshold: float) -> DataFrame:
+    """Exact-jaccard verification of candidate pairs via shingle-array
+    intersection (JVM): lookup is (doc_id, sh_set)."""
+    num = int(round(threshold * 1000))
+    return (
+        cands.join(
+            lookup.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sa")), "a"
+        )
+        .join(
+            lookup.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sb")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("g_inter"),
+            F.size(F.array_union("sa", "sb")).cast("long").alias("g_union"),
+        )
+        .filter(F.col("g_inter") * 1000 >= F.col("g_union") * num)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -211,44 +259,8 @@ def minhash_lsh_pairs(
     # no shuffle anywhere before the band-bucket join itself.
     docs = shingle_arrays(_docs(df, id_col, text_col), n=n).cache()
     banded = minhash_band_keys(docs, bands=bands, rows_per_band=rows_per_band)
-    # Pair generation: ONE groupBy collects each bucket's (sorted) members
-    # and pairs them in-array — no self-join stage, no window sort, and the
-    # skew guard is simply `size(members) <= max_bucket` (a flooded bucket
-    # would otherwise emit k^2/2 pairs in one task).  Measured 3.05s vs
-    # 3.39s for the window+self-join form at sf0.1; two earlier variants
-    # (groupBy+anti-join guard, explicit repartition) measured 7.6s/6.9s
-    # because they recomputed the signature map-work per consumer.
-    buckets = (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
-    )
-    cands = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (m, i) ->"
-                    " transform(slice(members, i + 2, size(members)),"
-                    " m2 -> struct(m as a, m2 as b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
-        .distinct()
-    )
-    # exact verify via shingle-array intersection (JVM):
-    num = int(round(threshold * 1000))
-    return (
-        cands.join(docs.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sa")), "a")
-        .join(docs.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sb")), "b")
-        .select(
-            "a",
-            "b",
-            F.size(F.array_intersect("sa", "sb")).cast("long").alias("g_inter"),
-            F.size(F.array_union("sa", "sb")).cast("long").alias("g_union"),
-        )
-        .filter(F.col("g_inter") * 1000 >= F.col("g_union") * num)
-    )
+    cands = _bucket_pairs(banded, max_bucket).distinct()
+    return _verify_jaccard(cands, docs, threshold)
 
 
 def canonical_docs(
@@ -400,6 +412,7 @@ def incremental_minhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     base_index: DataFrame | None = None,
+    base_bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING at least one document of an increment.
 
@@ -415,72 +428,69 @@ def incremental_minhash_pairs(
       (cost ∝ increment, never base²);
     * new × new  — the standard in-array bucket pairing within the increment.
 
-    Verification is exact jaccard, joining shingle arrays by candidate id
-    (base text is touched only for docs that actually collide).  Output
-    schema matches ngram_jaccard_pairs with (a < b) canonical ordering and
-    equals the brute force restricted to pairs touching the increment w.h.p.
+    Verification is exact jaccard over shingle arrays, semi-join-pruned to
+    candidate ids: with a persisted index the base corpus is scanned exactly
+    once (the verify pass), and only colliding docs' shingle arrays cross
+    the verify shuffle.  Output schema matches ngram_jaccard_pairs with
+    (a < b) canonical ordering and equals the brute force restricted to
+    pairs touching the increment w.h.p.
     """
     sh_new = shingle_arrays(_docs(new_df, id_col, text_col), n=n).cache()
+    sh_base = shingle_arrays(_docs(base_df, id_col, text_col), n=n)
     new_keys = minhash_band_keys(sh_new, bands=bands, rows_per_band=rows_per_band)
     if base_index is None:
         base_index = minhash_band_keys(
-            shingle_arrays(_docs(base_df, id_col, text_col), n=n),
-            bands=bands,
-            rows_per_band=rows_per_band,
+            sh_base, bands=bands, rows_per_band=rows_per_band
         )
-    # skew guard on the INDEX side (a boilerplate-flooded bucket would fan
-    # every colliding new doc out by the bucket's size): drop buckets whose
-    # base membership exceeds max_bucket, mirroring minhash_lsh_pairs
-    bucket_sizes = base_index.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("_bn")
+    # SYMMETRIC skew guard, same semantics as the batch operator's combined
+    # `size(members) <= max_bucket`: a bucket flooded from EITHER side (hot
+    # boilerplate arriving in the increment is exactly as pathological as
+    # hot boilerplate already ingested) is dropped from cross-pairing.  The
+    # hot set is tiny by construction (|keys|/max_bucket upper bound), so it
+    # broadcasts into two map-side anti-joins.  ``base_bucket_counts`` is the
+    # second persistable index artifact — (band_id, band_hash, _n) written
+    # once at base-ingest time — so an increment never re-aggregates the
+    # full base index just to find hot buckets; the default recomputes it.
+    if base_bucket_counts is None:
+        base_bucket_counts = base_index.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+    hot = (
+        new_keys.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .unionAll(base_bucket_counts)
+        .groupBy("band_id", "band_hash")
+        .agg(F.sum("_n").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("band_id", "band_hash")
     )
-    guarded_index = base_index.join(
-        bucket_sizes.filter(F.col("_bn") <= max_bucket), ["band_id", "band_hash"]
-    ).select("doc_id", "band_id", "band_hash")
+    new_g = new_keys.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    base_g = base_index.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
 
     cross = (
-        new_keys.alias("n")
-        .join(
-            guarded_index.alias("x"),
-            ["band_id", "band_hash"],
-        )
+        new_g.alias("n")
+        .join(base_g.alias("x"), ["band_id", "band_hash"])
         .filter(F.col("n.doc_id") != F.col("x.doc_id"))
         .select(
             F.least(F.col("n.doc_id"), F.col("x.doc_id")).alias("a"),
             F.greatest(F.col("n.doc_id"), F.col("x.doc_id")).alias("b"),
         )
     )
-    within_buckets = (
-        new_keys.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    within = _bucket_pairs(new_g, max_bucket)
+    # the candidate set is tiny (colliding pairs only) but read three times
+    # (touched-id pruning + both verify joins) — materialize it once
+    cands = cross.union(within).distinct().cache()
+    # base shingles enter verification only for docs that actually collide:
+    # the semi-join prunes the shuffle to touched ids (the base corpus is
+    # still SCANNED once here — with a persisted index that scan is the only
+    # base read in the whole operator)
+    touched = (
+        cands.select(F.col("a").alias("doc_id"))
+        .union(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
     )
-    within = (
-        within_buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (m, i) ->"
-                    " transform(slice(members, i + 2, size(members)),"
-                    " m2 -> struct(m as a, m2 as b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
-    )
-    cands = cross.union(within).distinct()
-    lookup = sh_new.union(shingle_arrays(_docs(base_df, id_col, text_col), n=n))
-    num = int(round(threshold * 1000))
-    return (
-        cands.join(lookup.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sa")), "a")
-        .join(lookup.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sb")), "b")
-        .select(
-            "a",
-            "b",
-            F.size(F.array_intersect("sa", "sb")).cast("long").alias("g_inter"),
-            F.size(F.array_union("sa", "sb")).cast("long").alias("g_union"),
-        )
-        .filter(F.col("g_inter") * 1000 >= F.col("g_union") * num)
-    )
+    lookup = sh_new.unionAll(sh_base.join(touched, "doc_id", "left_semi"))
+    return _verify_jaccard(cands, lookup, threshold)
 
 
 # ---------------------------------------------------------------------------

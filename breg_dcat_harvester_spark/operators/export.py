@@ -11,10 +11,12 @@ be written independently and files concatenate into a valid graph).
 
 ``serialize_ntriples`` is a pure map (zero shuffle, whole-stage codegen):
 each (subj, pred, obj, obj_kind, lang, dtype) row becomes one canonical
-N-Triples line, with RDF 1.1 STRING_LITERAL_QUOTE escaping (backslash,
-double quote, LF, CR — the four code points the grammar forbids raw).  The
-DuckDB oracle mirrors the escape chain character-for-character, so the
-contract query asserts byte-identical lines.
+N-Triples line.  Term formatting and RDF 1.1 STRING_LITERAL_QUOTE escaping
+live in ONE place — ``functions.terms.to_n3`` — shared with every other
+n3-producing operator; ``oracle_line_sql`` generates the DuckDB mirror
+from the same ``terms.NT_ESCAPES`` table so engine and oracle cannot
+silently diverge (the contract query asserts byte-identical lines).
+``sources.rdf_io.to_ntriples`` delegates here.
 
 ``partition_lineage`` is the north-rule "per-partition lineage + metrics
 rows" as a *content-keyed* table: edges roll up per salted conv_id bucket
@@ -27,41 +29,14 @@ shuffle on the bucket key; count-distincts expand map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.terms import NT_ESCAPES, subj_n3, to_n3
 from ..schema import XSD
 from .sampling import sample_bucket
 
 XSD_STRING = XSD + "string"
-
-# RDF 1.1 N-Triples STRING_LITERAL_QUOTE: ECHAR-escape exactly the code
-# points the production forbids unescaped.  ORDER MATTERS: backslash first,
-# or the escapes just introduced would be re-escaped.
-_NT_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r")]
-
-
-def escape_nt_literal(col: Column) -> Column:
-    """RDF 1.1 N-Triples literal escaping as a codegen Column expression."""
-    out = col
-    for raw, esc in _NT_ESCAPES:
-        out = F.replace(out, F.lit(raw), F.lit(esc))
-    return out
-
-
-def obj_nt(obj: Column, obj_kind: Column, lang: Column, dtype: Column) -> Column:
-    """Canonical N-Triples object term (escaped twin of functions.terms.to_n3;
-    reference store.py:25 ``node.n3()``)."""
-    lex = F.concat(F.lit('"'), escape_nt_literal(obj), F.lit('"'))
-    lex = F.when(lang.isNotNull(), F.concat(lex, F.lit("@"), lang)).otherwise(
-        F.when(
-            dtype.isNotNull() & (dtype != F.lit(XSD_STRING)),
-            F.concat(lex, F.lit("^^<"), dtype, F.lit(">")),
-        ).otherwise(lex)
-    )
-    return F.when(
-        obj_kind == F.lit("uri"), F.concat(F.lit("<"), obj, F.lit(">"))
-    ).otherwise(lex)
 
 
 def serialize_ntriples(triples: DataFrame) -> DataFrame:
@@ -70,16 +45,15 @@ def serialize_ntriples(triples: DataFrame) -> DataFrame:
     Map-only (no exchange): the writer can stream any partitioning straight
     to per-partition ``.nt`` part files, and concatenation is a valid graph
     document.  Subjects and predicates are URIs post-skolemization
-    (store.py:19-25), so only the object needs the literal branch.
+    (store.py:19-25), so only the object takes the literal branch.
     """
     return triples.select(
         F.concat(
-            F.lit("<"),
-            F.col("subj"),
-            F.lit("> <"),
-            F.col("pred"),
-            F.lit("> "),
-            obj_nt(F.col("obj"), F.col("obj_kind"), F.col("lang"), F.col("dtype")),
+            subj_n3(F.col("subj")),
+            F.lit(" "),
+            subj_n3(F.col("pred")),
+            F.lit(" "),
+            to_n3(F.col("obj"), F.col("obj_kind"), F.col("lang"), F.col("dtype")),
             F.lit(" ."),
         ).alias("line")
     )
@@ -88,6 +62,30 @@ def serialize_ntriples(triples: DataFrame) -> DataFrame:
 def write_ntriples(triples: DataFrame, path: str) -> None:
     """Materialize the graph as partition-parallel ``.nt`` text files."""
     serialize_ntriples(triples).write.mode("overwrite").text(path)
+
+
+def oracle_line_sql() -> str:
+    """DuckDB expression producing the same line from (subj, pred, obj,
+    obj_kind, lang, dtype) columns — escape chain generated from the SAME
+    ``terms.NT_ESCAPES`` table the engine uses."""
+    lex = "obj"
+    for raw, esc in NT_ESCAPES:
+
+        def chrs(s: str) -> str:
+            return " || ".join(
+                f"chr({ord(c)})" if c in ("\\", "\n", "\r") else f"'{c}'"
+                for c in s
+            )
+
+        lex = f"replace({lex}, {chrs(raw)}, {chrs(esc)})"
+    return f"""'<' || subj || '> <' || pred || '> ' ||
+  CASE WHEN obj_kind = 'uri' THEN '<' || obj || '>'
+       ELSE '"' || {lex} || '"' ||
+            CASE WHEN lang IS NOT NULL THEN '@' || lang
+                 WHEN dtype IS NOT NULL AND dtype <> '{XSD_STRING}'
+                      THEN '^^<' || dtype || '>'
+                 ELSE '' END
+  END || ' .'"""
 
 
 def partition_lineage(

@@ -19,7 +19,6 @@ import enum
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.terms import subj_n3, to_n3
 
 
 class DataTypes(enum.Enum):
@@ -71,27 +70,37 @@ def sniff_format(doc: Column) -> Column:
 
 
 def to_ntriples(edges: DataFrame) -> DataFrame:
-    """One N-Triples line per edge row: '<s> <p> <o_or_literal> .'"""
-    line = F.concat_ws(
-        " ",
-        subj_n3(F.col("subj")),
-        subj_n3(F.col("pred")),
-        to_n3(F.col("obj"), F.col("obj_kind"), F.col("lang"), F.col("dtype")),
-        F.lit("."),
-    )
-    return edges.select(line.alias("ntriple"))
+    """One N-Triples line per edge row: '<s> <p> <o_or_literal> .'
+
+    Delegates to the canonical serializer (operators/export.py — single
+    source of the line format and the literal escape chain).
+    """
+    from ..operators.export import serialize_ntriples
+
+    return serialize_ntriples(edges).withColumnRenamed("line", "ntriple")
 
 
 def write_ntriples(edges: DataFrame, path: str) -> None:
     """Export the graph as N-Triples text files (one part per partition)."""
-    to_ntriples(edges).write.mode("overwrite").text(path)
+    from ..operators.export import write_ntriples as _write
+
+    _write(edges, path)
 
 
 def parse_ntriples(spark_df: DataFrame, col: str = "value") -> DataFrame:
-    """Inverse of to_ntriples for round-trip tests: N-Triples line -> edge."""
+    """Inverse of to_ntriples for round-trip tests: N-Triples line -> edge.
+
+    (The production-grade parser is rdf_parse.parse_ntriples_doc; this is
+    the Column-expression quick inverse, ECHAR-unescaped via
+    terms.unescape_nt_literal.)
+    """
+    from ..functions.terms import unescape_nt_literal
+
     line = F.col(col)
     uri_obj = F.regexp_extract(line, r"^<[^>]+> <[^>]+> <([^>]+)> \.$", 1)
-    lit_obj = F.regexp_extract(line, r'^<[^>]+> <[^>]+> "(.*)"[^"]*\.$', 1)
+    lit_obj = unescape_nt_literal(
+        F.regexp_extract(line, r'^<[^>]+> <[^>]+> "(.*)"[^"]*\.$', 1)
+    )
     lang = F.regexp_extract(line, r'"@(\w+) \.$', 1)
     dtype = F.regexp_extract(line, r'"\^\^<([^>]+)> \.$', 1)
     return spark_df.select(

@@ -22,12 +22,12 @@ from breg_dcat_harvester_spark.operators.dedup import (
 def corpus(spark):
     # deterministic corpus with planted near-dups that straddle the split:
     # doc 10*k is a light edit of doc 10*k+1 (new x base), doc 50/60 near-dup
-    # each other (new x new), unrelated filler elsewhere
-    base_words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    # each other (new x new).  Filler docs use a PER-DOC vocabulary
+    # (w<i>x<j>) so they share zero shingles — the only pairs in the corpus
+    # are the planted ones.
     rows = []
     for i in range(80):
-        words = [base_words[(i * 7 + j) % len(base_words)] for j in range(30)]
-        rows.append((i, " ".join(words)))
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(30))))
     # plant: 20 ~ 21, 40 ~ 41 (new x base), 50 ~ 60 (new x new)
     for a, b in [(20, 21), (40, 41), (50, 60)]:
         text = rows[a][1].split()
@@ -50,9 +50,8 @@ def test_incremental_equals_full_restricted(corpus):
         )
     )
     assert inc == full
-    assert len(inc) >= 3  # all three planted pairs touch the increment
-    planted = {(a, b) for (a, b, _, _) in inc}
-    assert {(20, 21), (40, 41), (50, 60)} <= planted
+    # exactly the planted pairs, nothing else (filler shares no shingles)
+    assert {(a, b) for (a, b, _, _) in inc} == {(20, 21), (40, 41), (50, 60)}
 
 
 def test_precomputed_index_path_identical(corpus):
@@ -64,6 +63,38 @@ def test_precomputed_index_path_identical(corpus):
     )
     recompute = _pairs(incremental_minhash_pairs(new, base, threshold=0.8))
     assert via_index == recompute
+
+
+def test_flooded_bucket_guard_is_symmetric(spark):
+    # 300 identical NEW docs + 1 identical base doc: combined bucket size
+    # 301 > max_bucket, so EVERY pair for that text is dropped — including
+    # new x base, where the base-side bucket alone (size 1) would pass an
+    # asymmetric guard and fan each of the 300 new docs into a pair
+    hot_text = "hot boiler plate text repeated across the arriving shard"
+    new = spark.createDataFrame(
+        [(i, hot_text) for i in range(300)], "doc_id long, text string"
+    )
+    base = spark.createDataFrame(
+        [(1000, hot_text), (1001, "entirely unrelated quiet base document")],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_pairs(new, base, threshold=0.8, max_bucket=256)
+    assert out.count() == 0
+
+
+def test_precomputed_bucket_counts_identical(corpus):
+    from pyspark.sql import functions as SF
+
+    new = corpus.filter(F.col("doc_id") % 10 == 0)
+    base = corpus.filter(F.col("doc_id") % 10 != 0)
+    idx = minhash_band_keys(shingle_arrays(base.select("doc_id", "text")))
+    counts = idx.groupBy("band_id", "band_hash").agg(SF.count(SF.lit(1)).alias("_n"))
+    via_counts = _pairs(
+        incremental_minhash_pairs(
+            new, base, threshold=0.8, base_index=idx, base_bucket_counts=counts
+        )
+    )
+    assert via_counts == _pairs(incremental_minhash_pairs(new, base, threshold=0.8))
 
 
 def test_base_never_pairs_with_base(corpus):
