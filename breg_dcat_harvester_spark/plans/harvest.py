@@ -174,10 +174,21 @@ def run_harvest(
     )
     nodes = stage("nodes", lambda: ccm.build_nodes(valid, labels))
 
-    # A9: per-partition lineage/metrics rows for the materialized edge table
+    # north_rule lineage, both flavors:
+    # * physical (MetricsLog.record_partitions): rows per materialized
+    #   partition — observability for THIS run's layout;
+    # * content-keyed (operators/export.partition_lineage, its own
+    #   checkpointed stage): per salted-conv_id-bucket rollup that is
+    #   deterministic at any parallelism, so a resumed or re-executed run
+    #   must reproduce every row bit-for-bit — the cross-run consistency
+    #   probe (asserted in test_storage_plans).
     metricslog = MetricsLog(spark, os.path.join(cfg.out_dir, "metrics"))
     if metrics:  # only on fresh (non-resumed) materialization
         metricslog.record_partitions(run_id, "edges", edges_final)
+
+    from ..operators.export import partition_lineage
+
+    lineage = stage("lineage", lambda: partition_lineage(edges_final))
 
     n_triples = num_triples(edges_final)
     runlog.record(run_id, "job", "finished", num_triples=n_triples)
@@ -185,6 +196,7 @@ def run_harvest(
         "run_id": run_id,
         "num_triples": n_triples,
         "num_nodes": nodes.count(),
+        "num_lineage_buckets": lineage.count(),
         "stages": [
             {"stage": s, "rows": n, "seconds": round(dt, 3)} for s, n, dt in metrics
         ],

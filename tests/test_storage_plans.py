@@ -57,7 +57,7 @@ def test_harvest_run_and_resume(spark, tmp_path, small_transcripts):
     assert res1["num_triples"] > 0
     assert [s["stage"] for s in res1["stages"]] == [
         "edges_raw", "triples", "valid_triples", "links", "cc_labels",
-        "edges", "nodes",
+        "edges", "nodes", "lineage",
     ]
 
     # link+CC must run exactly ONCE per run: both edges and nodes consume
@@ -83,6 +83,17 @@ def test_harvest_run_and_resume(spark, tmp_path, small_transcripts):
     # stable turn ordering invariant (W5): edges sorted within partitions
     edges = LocalSnapshotTable(os.path.join(cfg.out_dir, "edges")).read(spark)
     assert edges.count() >= res1["num_triples"]
+
+    # content-keyed lineage is the cross-run consistency probe: the fresh
+    # run-b must reproduce run-a's bucket rollup BIT-FOR-BIT, and the
+    # resumed run reads it back unchanged
+    assert res1["num_lineage_buckets"] == res3["num_lineage_buckets"]
+    lineage_a = LocalSnapshotTable(os.path.join(cfg.out_dir, "lineage")).read(spark)
+    rows = {tuple(r) for r in lineage_a.collect()}
+    from breg_dcat_harvester_spark.operators.export import partition_lineage
+
+    recomputed = {tuple(r) for r in partition_lineage(edges.repartition(7)).collect()}
+    assert rows == recomputed
 
 
 def test_iceberg_branch_selected_and_writer_calls(spark):
