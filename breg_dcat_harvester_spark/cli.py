@@ -35,6 +35,7 @@ def _cmd_harvest(args: argparse.Namespace) -> int:
         all_or_nothing=args.all_or_nothing,
         num_buckets=args.buckets,
         source_kind=args.source_kind,
+        fuse_extract_merge=args.fuse,
     )
     res = run_harvest(spark, args.transcripts, cfg, run_id=args.resume)
     print(json.dumps(res))
@@ -67,6 +68,27 @@ def _cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export(args: argparse.Namespace) -> int:
+    """Serialize a harvested graph to N-Triples part files (the distributed
+    analog of the reference's store serialization, store.py:19-25)."""
+    from .operators.export import partition_lineage, write_ntriples
+
+    spark = get_spark(app_name="export")
+    edges = LocalSnapshotTable(f"{args.out}/edges").read(spark)
+    # an RDF graph is a SET of triples: canonicalization can leave several
+    # provenance rows per (subj,pred,obj), but the exported document — like
+    # the reference's num_triples (harvest.py:58) — carries each once
+    graph = edges.dropDuplicates(["subj", "pred", "obj"])
+    write_ntriples(graph, args.dest)
+    lineage = partition_lineage(edges)
+    print(json.dumps({
+        "dest": args.dest,
+        "num_triples": graph.count(),
+        "num_lineage_buckets": lineage.count(),
+    }))
+    return 0
+
+
 def _cmd_schedule(args: argparse.Namespace) -> int:
     import datetime as dt
 
@@ -96,11 +118,19 @@ def main(argv: list[str] | None = None) -> int:
     h = sub.add_parser("harvest", help="run (or resume) the harvest pipeline")
     h.add_argument("--transcripts", required=True)
     h.add_argument("--out", required=True)
-    h.add_argument("--impl", default="pandas", choices=["pandas", "sql"])
+    h.add_argument(
+        "--impl", default="arrow", choices=["arrow", "pandas", "sql"],
+        help="extract boundary: 'arrow' = the mapInArrow production path",
+    )
     h.add_argument("--strict", action="store_true")
     h.add_argument("--all-or-nothing", action="store_true")
     h.add_argument("--buckets", type=int, default=32)
     h.add_argument("--resume", default=None, help="run_id to resume")
+    h.add_argument(
+        "--fuse", action="store_true",
+        help="fuse extract+merge through the coded int32-pred boundary "
+        "(skips the edges_raw checkpoint; transcripts source only)",
+    )
     h.add_argument(
         "--source-kind", default="transcripts",
         choices=["transcripts", "rdf_docs"],
@@ -121,6 +151,14 @@ def main(argv: list[str] | None = None) -> int:
                 "publisher", "publishertype", "location"):
         s.add_argument(f"--{key}", action="append")
     s.set_defaults(fn=_cmd_search)
+
+    e = sub.add_parser(
+        "export",
+        help="serialize a harvested graph to N-Triples part files",
+    )
+    e.add_argument("--out", required=True, help="harvest out dir (reads edges)")
+    e.add_argument("--dest", required=True, help="destination dir for .nt parts")
+    e.set_defaults(fn=_cmd_export)
 
     sch = sub.add_parser(
         "schedule",

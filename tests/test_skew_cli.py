@@ -68,6 +68,28 @@ def test_cli_harvest_and_facets(tmp_path):
     facets = json.loads([l for l in res2.stdout.splitlines() if l.startswith("[")][-1])
     assert any(f["facet"] == "taxonomy" for f in facets)
 
+    dest = str(tmp_path / "nt")
+    res3 = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "from breg_dcat_harvester_spark.cli import main; "
+         f"sys.exit(main(['export', '--out', {out!r}, '--dest', {dest!r}]))"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res3.returncode == 0, res3.stderr[-2000:]
+    exp = json.loads([l for l in res3.stdout.splitlines() if l.startswith("{")][-1])
+    assert exp["num_triples"] == payload["num_triples"]
+    # the .nt part files concatenate into a valid graph document: every
+    # line is a triple terminated by ' .'
+    import glob as _glob
+
+    lines = []
+    for p in _glob.glob(f"{dest}/part-*"):
+        with open(p) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == exp["num_triples"]
+    assert all(ln.endswith(" .") and ln.startswith("<") for ln in lines)
+
 
 def test_partition_metrics(spark, tmp_path, small_transcripts):
     from breg_dcat_harvester_spark.plans.harvest import HarvestConfig, run_harvest
