@@ -153,6 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_graph_stats"] = lambda spark, sf: graph_stats(_merged(spark, sf))
 
+    # per-node degree profile (graph-QA: canonicalization bugs surface as
+    # degree anomalies); one unionAll + ONE hash agg, map-side partial
+    from breg_dcat_harvester_spark.operators.merge import node_degrees
+
+    q["kg_node_degrees"] = lambda spark, sf: node_degrees(_merged(spark, sf))
+
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
     # any partition writes its own valid .nt part file.  Oracle replays the
@@ -450,6 +456,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_incremental"] = _dedup_incremental
+
+    # end-to-end shard admission (plans/ingest.py): one decision row per
+    # arriving doc — exact-hash dup vs base, greedy-by-id near-dup policy,
+    # curate-grade quality gate, PII span counts — all replayed by the oracle
+    def _ingest_increment(spark, sf):
+        from breg_dcat_harvester_spark.plans.ingest import ingest_increment
+
+        d = _documents(spark, sf)
+        return ingest_increment(
+            d.filter(F.col("doc_id") % 10 == 0),
+            d.filter(F.col("doc_id") % 10 != 0),
+            threshold=0.8,
+            min_tokens=20,
+            min_alpha_per_mille=820,
+        )
+
+    q["ingest_increment"] = _ingest_increment
 
     # per-domain keep/drop rollup (RefinedWeb-style source filtering): same
     # integer-exact quality gate as curate_corpus, lifted to the domain key;
@@ -873,6 +896,19 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT count(*) AS num_triples FROM "
         f"(SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e) AS t"
     )
+
+    sql["kg_node_degrees"] = f"""
+WITH t AS (SELECT subj, pred, obj, obj_kind FROM {osql.triples_sql(glob)} AS _t),
+u AS (
+    SELECT subj AS node, 1 AS o, 0 AS i FROM t
+    UNION ALL
+    SELECT obj AS node, 0 AS o, 1 AS i FROM t WHERE obj_kind = 'uri'
+)
+SELECT node, CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree,
+       CAST(sum(o) + sum(i) AS BIGINT) AS degree
+FROM u GROUP BY node
+"""
 
     # canonical N-Triples serialization: the DuckDB line expression is
     # GENERATED from the same terms.NT_ESCAPES table the engine's escape
@@ -1321,6 +1357,55 @@ WHERE gi * 1000 >= (sa.n + sb.n - gi) * 800
     sql["dedup_incremental"] = (
         ngram_core.rstrip()
         + "\n  AND (pi.a % 10 = 0 OR pi.b % 10 = 0)\n"
+    )
+
+    from breg_dcat_harvester_spark.operators import pii as piio
+
+    sql["ingest_increment"] = (
+        "WITH "
+        + ngram_ctes
+        + f""",
+pairs AS (
+    SELECT pi.a, pi.b FROM pi
+    JOIN sizes sa ON sa.doc_id = pi.a JOIN sizes sb ON sb.doc_id = pi.b
+    WHERE gi * 1000 >= (sa.n + sb.n - gi) * 800
+      AND (pi.a % 10 = 0 OR pi.b % 10 = 0)
+),
+newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+basedocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+exact AS (
+    SELECT n.doc_id FROM newdocs n
+    WHERE sha256(n.text) IN (SELECT DISTINCT sha256(text) FROM basedocs)
+),
+doomed AS (
+    SELECT b AS doc_id FROM pairs WHERE b % 10 = 0
+    UNION
+    SELECT a FROM pairs WHERE a % 10 = 0 AND b % 10 <> 0
+),
+f AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+               AS n_alpha,
+           {piio.oracle_count_sql('text', 'email')}
+           + {piio.oracle_count_sql('text', 'card')}
+           + {piio.oracle_count_sql('text', 'phone')}
+           + {piio.oracle_count_sql('text', 'ipv4')} AS n_pii
+    FROM newdocs
+)
+SELECT f.doc_id, n_tokens, n_chars, n_alpha, CAST(n_pii AS BIGINT) AS n_pii,
+       f.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+       f.doc_id IN (SELECT doc_id FROM doomed) AS near_dup,
+       (n_tokens >= 20 AND n_tokens <= 5000 AND n_alpha * 1000 >= n_chars * 820)
+           AS quality_ok,
+       (f.doc_id NOT IN (SELECT doc_id FROM exact)
+        AND f.doc_id NOT IN (SELECT doc_id FROM doomed)
+        AND n_tokens >= 20 AND n_tokens <= 5000
+        AND n_alpha * 1000 >= n_chars * 820) AS selected
+FROM f
+"""
     )
 
     sql["domain_quality"] = """

@@ -77,6 +77,33 @@ def num_triples(edges: DataFrame) -> int:
     return edges.select("subj", "pred", "obj").distinct().count()
 
 
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree profile: (node, out_degree, in_degree, degree).
+
+    The graph-QA rollup entity resolution is judged by (a canonicalization
+    bug shows up first as a degree anomaly on the merged node).  Shape: one
+    unionAll of two projections + ONE hash agg keyed on the node — out- and
+    in-degree are summed as flag columns in the same pass (map-side partial
+    agg), not two aggregations joined.  Only URI objects count as in-edges:
+    literals are attributes, not nodes.
+    """
+    outs = edges.select(
+        F.col("subj").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    )
+    ins = edges.filter(F.col("obj_kind") == "uri").select(
+        F.col("obj").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i")
+    )
+    return (
+        outs.unionAll(ins)
+        .groupBy("node")
+        .agg(
+            F.sum("o").cast("long").alias("out_degree"),
+            F.sum("i").cast("long").alias("in_degree"),
+        )
+        .withColumn("degree", (F.col("out_degree") + F.col("in_degree")))
+    )
+
+
 def anti_join_failed(df: DataFrame, failed: DataFrame, key: str) -> DataFrame:
     """Negative-cache semantics (browser.py:81-91): skip known-failed terms."""
     return df.join(failed.select(key).distinct(), on=key, how="left_anti")

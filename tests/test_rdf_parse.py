@@ -253,7 +253,7 @@ def test_full_harvest_plan_over_rdf_docs(spark, tmp_path):
     assert res["num_triples"] == 33  # README.md:104-122 parity
     assert [s["stage"] for s in res["stages"]] == [
         "edges_raw", "triples", "valid_triples", "links", "cc_labels",
-        "edges", "nodes",
+        "edges", "nodes", "lineage",
     ]
     # resume is a no-op
     res2 = run_harvest(spark, [REF_XML, REF_TTL, _our_jsonld()], cfg, run_id="rdf-a")
