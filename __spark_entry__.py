@@ -532,6 +532,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pkg.shuffle_shards(_documents(spark, sf), n_shards=16)
     )
 
+    # fractional-epoch upsampling ("2.5 epochs of en"): floor(w/1000) copies
+    # + one more iff bucket < w mod 1000; map-only, epoch column added
+    q["sample_upsample"] = lambda spark, sf: smp.upsample_epochs(
+        _documents(spark, sf), {"en": 2500, "fr": 500, "zh": 0}
+    ).select("doc_id", "lang", "epoch")
+
     # deterministic sha256-bucket sampling (training-mix construction):
     # per-language per-mille rates, zh exercises the default-drop path
     SAMPLE_RATES = {"en": 250, "de": 600, "fr": 600, "es": 600}
@@ -1549,6 +1555,22 @@ FROM s GROUP BY shard_id
         "CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 600 "
         "WHEN 'fr' THEN 600 WHEN 'es' THEN 600 ELSE 0 END"
     )
+    sql["sample_upsample"] = """
+WITH w AS (
+    SELECT doc_id, lang,
+           CASE lang WHEN 'en' THEN 2500 WHEN 'fr' THEN 500 WHEN 'zh' THEN 0
+                ELSE 1000 END AS wt,
+           (('0x' || substr(sha256('rep:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000) AS b
+    FROM documents
+),
+n AS (SELECT doc_id, lang,
+             (wt // 1000) + CASE WHEN b < wt % 1000 THEN 1 ELSE 0 END AS n
+      FROM w)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, CAST(n AS INTEGER))) AS BIGINT) AS epoch
+FROM n WHERE n > 0
+"""
+
     sql["sample_stratified"] = f"""
 SELECT doc_id, lang, {bucket_sql} AS bucket
 FROM documents

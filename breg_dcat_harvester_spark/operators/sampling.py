@@ -111,3 +111,40 @@ def stratified_fixed_k(
         survivors.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    weights: dict[str, int],
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+    default_weight: int = 1000,
+    salt: str = "rep",
+) -> DataFrame:
+    """Fractional-epoch upsampling: weight in per-mille EPOCHS per stratum
+    (2500 = every doc 2.5x).  The training-mix construction step published
+    data recipes describe as "N epochs of source X": each doc is emitted
+    floor(w/1000) times, plus once more iff its sha256 bucket < w mod 1000
+    — so the EXPECTED multiplicity is exactly w/1000, the decision is
+    per-document deterministic (replayable by the oracle, resume-stable),
+    and repeats are distinguishable via the added ``epoch`` column (a
+    training reader shuffles them into different shards; see
+    packing.shuffle_shards on (key, epoch)).
+
+    Map-only: weight lookup, bucket hash, and the explode(sequence(...)) all
+    fuse into the scan — zero shuffle at any corpus size; output size is the
+    only cost, exactly as a copy-based recipe would pay.
+    """
+    w = F.lit(int(default_weight))
+    for value, wt in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == value, F.lit(int(wt))).otherwise(w)
+    n_copies = (w / 1000).cast("long") + (
+        sample_bucket(F.col(key_col), salt=salt) < F.pmod(w, F.lit(1000))
+    ).cast("long")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n").cast("int"))))
+        .drop("_n")
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )

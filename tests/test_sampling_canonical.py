@@ -159,3 +159,33 @@ def test_canonical_docs_covers_corpus_and_matches_pairs(spark, docs):
     # is_canonical is consistent
     for r in decisions:
         assert r.is_canonical == (r.doc_id == r.canonical_id)
+
+
+def test_upsample_epochs_multiplicities(spark, small_docs_df=None):
+    from pyspark.sql import functions as F
+
+    from breg_dcat_harvester_spark.operators.sampling import upsample_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh", f"text {i}") for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    out = upsample_epochs(docs, {"en": 2500, "zh": 0})
+    rows = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("epoch").alias("max_e")
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # zh (weight 0): never emitted
+    assert all(i not in by_id for i in range(1, 200, 2))
+    # en (weight 2.5 epochs): every doc 2 or 3 copies, epoch = 1..n
+    ns = [by_id[i].n for i in range(0, 200, 2)]
+    assert set(ns) <= {2, 3}
+    assert all(by_id[i].max_e == by_id[i].n for i in range(0, 200, 2))
+    # expected multiplicity ~2.5: the 3-copy share is the fractional part
+    mean = sum(ns) / len(ns)
+    assert 2.3 < mean < 2.7
+    # parallelism-invariant (content-keyed decision)
+    a = sorted(map(tuple, out.select("doc_id", "epoch").collect()))
+    b = sorted(map(tuple, upsample_epochs(docs.repartition(13), {"en": 2500, "zh": 0})
+                   .select("doc_id", "epoch").collect()))
+    assert a == b
