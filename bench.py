@@ -819,6 +819,8 @@ HEADLINE = [
     "ann_cosine_topk_ivf",
     "text_features",
     "kg_export_ntriples",
+    "sample_upsample",
+    "ingest_increment",
     "dedup_boilerplate",
     "pack_sequences",
     "corpus_shuffle_shards",
