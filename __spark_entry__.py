@@ -159,6 +159,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_node_degrees"] = lambda spark, sf: node_degrees(_merged(spark, sf))
 
+    # SPARQL 1.1 property-path (p+) analog: directed reachability over the
+    # container predicates with BFS min-depth — semi-naive delta iteration,
+    # each round shuffles only the frontier (operators/paths.py).  Depths
+    # here: catalog->dataset->distribution and catalog->dataset->theme
+    # concept->scheme chains (1..3).
+    from breg_dcat_harvester_spark.operators.paths import reachable_pairs
+    from breg_dcat_harvester_spark.schema import DCAT, SKOS
+
+    PATH_PREDS = [
+        DCAT + "dataset", DCAT + "distribution", DCAT + "theme",
+        SKOS + "inScheme",
+    ]
+
+    q["kg_reachability"] = lambda spark, sf: reachable_pairs(
+        _merged(spark, sf), preds=PATH_PREDS, max_hops=8
+    )
+
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
     # any partition writes its own valid .nt part file.  Oracle replays the
@@ -914,6 +931,33 @@ SELECT node, CAST(sum(o) AS BIGINT) AS out_degree,
        CAST(sum(i) AS BIGINT) AS in_degree,
        CAST(sum(o) + sum(i) AS BIGINT) AS degree
 FROM u GROUP BY node
+"""
+
+    # property-path closure: recursive CTE enumerates all bounded paths,
+    # MIN(depth) replays the engine's BFS shortest-hop assignment
+    _path_preds = ", ".join(
+        f"'{p}'"
+        for p in (
+            "http://www.w3.org/ns/dcat#dataset",
+            "http://www.w3.org/ns/dcat#distribution",
+            "http://www.w3.org/ns/dcat#theme",
+            "http://www.w3.org/2004/02/skos/core#inScheme",
+        )
+    )
+    sql["kg_reachability"] = f"""
+WITH RECURSIVE s AS (
+    SELECT subj, obj FROM {osql.triples_sql(glob)} AS _t
+    WHERE obj_kind = 'uri' AND pred IN ({_path_preds}) AND subj <> obj
+    GROUP BY subj, obj
+),
+r AS (
+    SELECT subj AS src, obj AS dst, CAST(1 AS BIGINT) AS depth FROM s
+    UNION
+    SELECT r.src, s.obj AS dst, r.depth + 1 AS depth
+    FROM r JOIN s ON s.subj = r.dst
+    WHERE r.depth < 8 AND r.src <> s.obj
+)
+SELECT src, dst, MIN(depth) AS depth FROM r GROUP BY src, dst
 """
 
     # canonical N-Triples serialization: the DuckDB line expression is

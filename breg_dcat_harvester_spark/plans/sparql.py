@@ -81,6 +81,13 @@ class Lit:
     dtype: str | None = None
 
 
+@dataclass(frozen=True)
+class PathPlus:
+    """SPARQL 1.1 one-or-more property path (``pred+``) — predicate
+    position only; compiled to operators.paths.reachable_pairs."""
+    pred: "Uri"
+
+
 Term = Var | Uri | Lit
 
 
@@ -108,7 +115,7 @@ _TOKEN = re.compile(
     | (?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*)
     | (?P<kw>[A-Za-z_][\w]*)
     | (?P<num>\d+)
-    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\|)
+    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+)
     """,
     re.VERBOSE,
 )
@@ -277,8 +284,14 @@ class _Parser:
             raise SparqlUnsupported(f"trailing content at {self.peek()!r}")
         return Query(select, distinct, patterns, optionals, filters, order_by, limit)
 
-    def _triple(self) -> tuple[Term, Term, Term]:
-        s, p, o = self.term(), self.term(), self.term()
+    def _triple(self) -> tuple[Term, Term | PathPlus, Term]:
+        s, p = self.term(), self.term()
+        if self.peek() == "+":
+            self.next()
+            if not isinstance(p, Uri):
+                raise SparqlUnsupported("property path on a non-URI predicate")
+            p = PathPlus(p)
+        o = self.term()
         if self.peek() == ".":
             self.next()
         return (s, p, o)
@@ -437,9 +450,40 @@ def build_detail_query(dataset_uris: list[str]) -> str:
 # compiler
 # ---------------------------------------------------------------------------
 
-def _pattern_df(edges: DataFrame, pat: tuple[Term, Term, Term]) -> tuple[DataFrame, set[str]]:
+def _path_pattern_df(
+    edges: DataFrame, s: Term, p: PathPlus, o: Term
+) -> tuple[DataFrame, set[str]]:
+    """``?s pred+ ?o`` → the reachability closure as a 2-column pattern.
+
+    Endpoint constants become filters on the closure (Catalyst pushes them
+    below the iteration's final union); literal endpoints are impossible
+    (paths traverse URI nodes only).
+    """
+    from ..operators.paths import reachable_pairs
+
+    df = reachable_pairs(edges, preds=[p.pred.value]).select("src", "dst")
+    cols: dict[str, str] = {}
+    for term, col in ((s, "src"), (o, "dst")):
+        if isinstance(term, Var):
+            if term.name in cols:
+                raise SparqlUnsupported(
+                    "property path with the same variable at both ends"
+                )
+            cols[term.name] = col
+        elif isinstance(term, Uri):
+            df = df.filter(F.col(col) == term.value)
+        else:
+            raise SparqlUnsupported("literal endpoint on a property path")
+    return df.select(*[F.col(src).alias(var) for var, src in cols.items()]), set(cols)
+
+
+def _pattern_df(
+    edges: DataFrame, pat: tuple[Term, Term | PathPlus, Term]
+) -> tuple[DataFrame, set[str]]:
     """One triple pattern → a filtered, variable-named slice of edges."""
     s, p, o = pat
+    if isinstance(p, PathPlus):
+        return _path_pattern_df(edges, s, p, o)
     df = edges
     cols: dict[str, str] = {}  # var name -> source column
 

@@ -255,3 +255,69 @@ def test_deterministic_limit_orders_projected_vars(tiny_edges):
         "SELECT ?s WHERE { ?s rdf:type dcat:Dataset . } LIMIT 1",
     ).collect()
     assert [r.s for r in rows] == ["s1"]
+
+
+# --- SPARQL 1.1 property paths (p+) ------------------------------------------
+
+@pytest.fixture(scope="module")
+def path_edges(spark):
+    B = "http://b/"
+    rows = [
+        ("c1", "http://p/has", B + "d1", "uri", None, None),
+        (B + "d1", "http://p/has", B + "x1", "uri", None, None),
+        (B + "x1", "http://p/has", B + "leaf", "uri", None, None),
+        ("c1", "http://p/other", B + "d9", "uri", None, None),   # wrong pred
+        (B + "d1", "http://p/note", "lit", "literal", None, None),
+    ]
+    cols = [f.name for f in EDGES.fields]
+    data = [r + (None,) * (len(cols) - len(r)) for r in rows]
+    return spark.createDataFrame(data, schema=EDGES)
+
+
+def test_path_plus_parses():
+    q = sp.parse_sparql(
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a p:has+ ?b . }"
+    )
+    (s, p, o) = q.patterns[0]
+    assert isinstance(p, sp.PathPlus) and p.pred.value == "http://p/has"
+
+
+def test_path_plus_closure_semantics(path_edges):
+    got = sorted(
+        (r.a, r.b)
+        for r in sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a p:has+ ?b . }",
+        ).collect()
+    )
+    B = "http://b/"
+    assert got == sorted([
+        ("c1", B + "d1"), ("c1", B + "x1"), ("c1", B + "leaf"),
+        (B + "d1", B + "x1"), (B + "d1", B + "leaf"),
+        (B + "x1", B + "leaf"),
+    ])
+
+
+def test_path_plus_constant_endpoint_and_join(path_edges):
+    # constant subject; the path pattern joins a plain pattern on ?b
+    rows = sp.compile_sparql(
+        path_edges,
+        'PREFIX p: <http://p/> SELECT ?b ?n WHERE { <c1> p:has+ ?b . '
+        "OPTIONAL { ?b p:note ?n } } ORDER BY ?b",
+    ).collect()
+    assert [(r.b, r.n) for r in rows] == [
+        ("http://b/d1", "lit"), ("http://b/leaf", None), ("http://b/x1", None),
+    ]
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "PREFIX p: <http://p/> SELECT ?a WHERE { ?a ?q+ ?b . }",
+        "PREFIX p: <http://p/> SELECT ?a WHERE { ?a p:has+ ?a . }",
+        'PREFIX p: <http://p/> SELECT ?a WHERE { ?a p:has+ "lit" . }',
+    ],
+)
+def test_path_plus_unsupported_forms_raise(path_edges, text):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(path_edges, text)
