@@ -176,6 +176,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _merged(spark, sf), preds=PATH_PREDS, max_hops=8
     )
 
+    # Graph centrality/closure QA probes over the canonicalized URI graph
+    # (operators/graph.py): scaled-integer PageRank (bit-deterministic at any
+    # parallelism — int64 floor-div contributions commute exactly) and
+    # degree-oriented triangle counts (wedge fan-out capped at O(sqrt m),
+    # the power-law skew answer).
+    from breg_dcat_harvester_spark.operators.graph import (
+        node_triangles,
+        pagerank_integer,
+    )
+
+    q["kg_pagerank"] = lambda spark, sf: pagerank_integer(_merged(spark, sf))
+    q["kg_triangles"] = lambda spark, sf: node_triangles(_merged(spark, sf))
+
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
     # any partition writes its own valid .nt part file.  Oracle replays the
@@ -958,6 +971,77 @@ r AS (
     WHERE r.depth < 8 AND r.src <> s.obj
 )
 SELECT src, dst, MIN(depth) AS depth FROM r GROUP BY src, dst
+"""
+
+    # scaled-integer PageRank: the engine's int64 floor-div contributions are
+    # order-independent, so the oracle unrolls the same 5 rounds verbatim
+    # (DuckDB // == Spark div on positive int64)
+    _pr_iters = 5
+    _pr_head = f"""
+WITH t AS (SELECT subj, obj, obj_kind FROM {osql.triples_sql(glob)} AS _t),
+l AS (
+    SELECT subj AS src, obj AS dst FROM t
+    WHERE obj_kind = 'uri' AND subj <> obj GROUP BY subj, obj
+),
+n AS (SELECT src AS node FROM l UNION SELECT dst FROM l),
+d AS (SELECT src, COUNT(*) AS outdeg FROM l GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"""
+    _pr_rounds = "".join(
+        f""",
+r{i + 1} AS (
+    SELECT n.node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS rank
+    FROM n LEFT JOIN (
+        SELECT l.dst AS node, SUM((r{i}.rank * 850) // (1000 * d.outdeg)) AS s
+        FROM l JOIN d USING (src) JOIN r{i} ON r{i}.node = l.src
+        GROUP BY l.dst
+    ) c ON c.node = n.node
+)"""
+        for i in range(_pr_iters)
+    )
+    sql["kg_pagerank"] = (
+        _pr_head + _pr_rounds + f"\nSELECT node, rank FROM r{_pr_iters}"
+    )
+
+    # degree-oriented triangle counting: orientation low->high by (deg, id),
+    # wedges from the minimal corner only, closing edge matched in either
+    # stored orientation — each triangle counted once, then fanned to its
+    # three corners
+    sql["kg_triangles"] = f"""
+WITH t AS (SELECT subj, obj, obj_kind FROM {osql.triples_sql(glob)} AS _t),
+l AS (
+    SELECT subj AS src, obj AS dst FROM t
+    WHERE obj_kind = 'uri' AND subj <> obj GROUP BY subj, obj
+),
+u AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM l GROUP BY 1, 2
+),
+dg AS (
+    SELECT node, COUNT(*) AS deg
+    FROM (SELECT a AS node FROM u UNION ALL SELECT b FROM u) GROUP BY node
+),
+o AS (
+    SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                THEN u.a ELSE u.b END AS lo,
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                THEN u.b ELSE u.a END AS hi
+    FROM u JOIN dg da ON da.node = u.a JOIN dg db ON db.node = u.b
+),
+w AS (
+    SELECT e1.lo AS w, e1.hi AS x, e2.hi AS y
+    FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+),
+tri AS (
+    SELECT w.w, w.x, w.y FROM w JOIN o ON o.lo = w.x AND o.hi = w.y
+    UNION ALL
+    SELECT w.w, w.x, w.y FROM w JOIN o ON o.hi = w.x AND o.lo = w.y
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM (
+    SELECT w AS node FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+)
+GROUP BY node
 """
 
     # canonical N-Triples serialization: the DuckDB line expression is

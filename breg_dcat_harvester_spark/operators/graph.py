@@ -1,0 +1,166 @@
+"""Graph-analytics QA probes over the canonicalized KG (ours).
+
+The reference stops at materializing the graph (store.py / harvest.py); a
+100 TB KG-construction pipeline also needs cheap structural QA after entity
+canonicalization — "did the URI dedup collapse hubs correctly?" is asked of
+degree/centrality/closure statistics, not of individual triples.  This
+module adds the two classic probes on top of `merge.py::node_degrees`:
+
+* ``pagerank_integer`` — PageRank with SCALED-INTEGER arithmetic.  Every
+  contribution is ``(rank * d_permille) div (1000 * outdeg)`` on int64, so
+  partial sums are associative/commutative EXACTLY (no float reassociation):
+  the result is bit-identical at any parallelism and any shuffle order, and
+  a DuckDB oracle replays it with the same unrolled integer expressions.
+  Dangling mass is dropped (documented variant; determinism over mass
+  conservation — the probe ranks hubs, it does not need a stochastic matrix).
+
+* ``node_triangles`` — triangle participation counts via the degree-oriented
+  wedge join (Suri & Vassilvitskii's MapReduce node-iterator++): each
+  undirected edge is oriented from its (degree, id)-smaller endpoint to the
+  larger, which caps the wedge fan-out at O(sqrt(m)) per node and counts
+  each triangle exactly once — THE skew answer for power-law graphs, where
+  the naive wedge join explodes on hubs.
+
+Scale notes: the link set is projected/deduped once and localCheckpoint-ed;
+each PageRank iteration is one join of the (node,rank) table onto the links'
+``src`` side plus one hash-agg shuffle on ``dst`` — the frontier-sized state
+moves, never the edge set lineage.  Triangles take two self-joins of the
+oriented edge list; orientation makes the join keys near-uniform even when
+raw degrees are power-law (AQE skew-join stays as a backstop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _uri_links(edges: DataFrame) -> DataFrame:
+    """Distinct directed URI->URI link set (literal objects are attributes,
+    never graph edges); self-loops dropped (rank-neutral, triangle-neutral)."""
+    return (
+        edges.filter(F.col("obj_kind") == "uri")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_permille: int = 850,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(node, rank): scaled-integer PageRank after ``iterations`` rounds.
+
+    rank_0 = ``scale`` for every linked node; each round
+    ``rank'(v) = base + sum_{u->v} (rank(u) * damping_permille)
+    div (1000 * outdeg(u))`` with ``base = scale * (1000 - damping_permille)
+    div 1000`` — all int64, floor division, so the sum is order-independent
+    and the output deterministic at any parallelism.  int64 headroom: ranks
+    are bounded by total mass <= n * scale, so ``rank * damping_permille``
+    stays below 2^63 for any graph under ~10^10 nodes at the default scale.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    links = _uri_links(edges).localCheckpoint(eager=True)
+    nodes = (
+        links.select(F.col("src").alias("node"))
+        .unionByName(links.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = links.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = scale * (1000 - damping_permille) // 1000
+
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            links.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                F.expr(
+                    f"(rank * {damping_permille}) div (1000 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+    return ranks
+
+
+def _oriented_edges(edges: DataFrame) -> DataFrame:
+    """Undirected URI edge set oriented low->high by (degree, node id)."""
+    und = (
+        _uri_links(edges)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def node_triangles(edges: DataFrame) -> DataFrame:
+    """(node, triangles): per-node triangle participation counts.
+
+    Wedges are enumerated only from each triangle's (degree, id)-minimal
+    vertex, then closed by one semi-shaped join back onto the oriented edge
+    list — each triangle is found exactly once and contributes one count to
+    each of its three corners.
+    """
+    e = _oriented_edges(edges).localCheckpoint(eager=True)
+    wedges = (
+        e.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
+        .join(
+            e.select(F.col("lo").alias("w"), F.col("hi").alias("y")),
+            "w",
+        )
+        .filter(F.col("x") < F.col("y"))
+    )
+    # the closing edge may be oriented (x,y) or (y,x) depending on degrees;
+    # E' holds each undirected edge once, so one OR-free union of two
+    # equi-joins keeps the whole plan hash-joinable
+    tri = wedges.join(
+        e.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
+    ).unionByName(
+        wedges.join(
+            e.select(F.col("hi").alias("x"), F.col("lo").alias("y")), ["x", "y"]
+        )
+    )
+    corners = (
+        tri.select(F.col("w").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
