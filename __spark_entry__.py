@@ -1031,9 +1031,8 @@ w AS (
     FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
 ),
 tri AS (
-    SELECT w.w, w.x, w.y FROM w JOIN o ON o.lo = w.x AND o.hi = w.y
-    UNION ALL
-    SELECT w.w, w.x, w.y FROM w JOIN o ON o.hi = w.x AND o.lo = w.y
+    -- wedge arms are x < y lexicographic, so the closing edge is a `u` row
+    SELECT w.w, w.x, w.y FROM w JOIN u ON u.a = w.x AND u.b = w.y
 )
 SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
 FROM (

@@ -819,6 +819,8 @@ HEADLINE = [
     "ann_cosine_topk_ivf",
     "text_features",
     "kg_export_ntriples",
+    "kg_pagerank",
+    "kg_triangles",
     "sample_upsample",
     "ingest_increment",
     "dedup_boilerplate",

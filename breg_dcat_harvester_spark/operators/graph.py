@@ -51,6 +51,7 @@ def pagerank_integer(
     iterations: int = 5,
     damping_permille: int = 850,
     scale: int = 1_000_000,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """(node, rank): scaled-integer PageRank after ``iterations`` rounds.
 
@@ -64,21 +65,28 @@ def pagerank_integer(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    links = _uri_links(edges).localCheckpoint(eager=True)
+    raw = _uri_links(edges)
+    # out-degree is loop-invariant: fold it into the checkpointed link set
+    # once so each round pays ONE join (ranks onto src) + one agg, not a
+    # degree recount per iteration
+    links = (
+        raw.join(
+            raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+        )
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         links.select(F.col("src").alias("node"))
         .unionByName(links.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = links.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = scale * (1000 - damping_permille) // 1000
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
-            links.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            links.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 "dst",
                 F.expr(
@@ -88,27 +96,39 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=True)  # truncate iterative lineage
+        ranks = nodes.join(
+            contribs.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
+        # truncate iterative lineage every few rounds (GraphX-style
+        # checkpointInterval): a per-round eager materialization would pay
+        # one blocking job per iteration; unbounded laziness grows the plan
+        # superlinearly. Every k rounds is the right middle at any scale.
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
-def _oriented_edges(edges: DataFrame) -> DataFrame:
-    """Undirected URI edge set oriented low->high by (degree, node id)."""
+def node_triangles(edges: DataFrame) -> DataFrame:
+    """(node, triangles): per-node triangle participation counts.
+
+    Wedges are enumerated only from each triangle's (degree, id)-minimal
+    vertex (edges oriented low->high by (degree, id)), then closed by ONE
+    equi-join against the lexicographic undirected edge set — each triangle
+    is found exactly once and its corners are exploded map-side into the
+    final count agg.
+    """
     und = (
         _uri_links(edges)
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -123,43 +143,24 @@ def _oriented_edges(edges: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    return j.select(
+    # checkpointed: the wedge self-join would otherwise recompute the
+    # orientation join once per side
+    e = j.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
-
-
-def node_triangles(edges: DataFrame) -> DataFrame:
-    """(node, triangles): per-node triangle participation counts.
-
-    Wedges are enumerated only from each triangle's (degree, id)-minimal
-    vertex, then closed by one semi-shaped join back onto the oriented edge
-    list — each triangle is found exactly once and contributes one count to
-    each of its three corners.
-    """
-    e = _oriented_edges(edges).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     wedges = (
         e.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
-        .join(
-            e.select(F.col("lo").alias("w"), F.col("hi").alias("y")),
-            "w",
-        )
+        .join(e.select(F.col("lo").alias("w"), F.col("hi").alias("y")), "w")
         .filter(F.col("x") < F.col("y"))
     )
-    # the closing edge may be oriented (x,y) or (y,x) depending on degrees;
-    # E' holds each undirected edge once, so one OR-free union of two
-    # equi-joins keeps the whole plan hash-joinable
+    # wedge arms are x < y lexicographic, so the closing undirected edge is
+    # exactly a row of `und` — one join, no orientation-case union
     tri = wedges.join(
-        e.select(F.col("lo").alias("x"), F.col("hi").alias("y")), ["x", "y"]
-    ).unionByName(
-        wedges.join(
-            e.select(F.col("hi").alias("x"), F.col("lo").alias("y")), ["x", "y"]
-        )
+        und.withColumnRenamed("a", "x").withColumnRenamed("b", "y"), ["x", "y"]
     )
-    corners = (
-        tri.select(F.col("w").alias("node"))
-        .unionByName(tri.select(F.col("x").alias("node")))
-        .unionByName(tri.select(F.col("y").alias("node")))
+    corners = tri.select(
+        F.explode(F.array("w", "x", "y")).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("triangles")
