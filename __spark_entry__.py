@@ -446,6 +446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _transcripts(spark, sf)
     )
 
+    # tool co-occurrence projection of the transcript corpus: one distinct
+    # shuffle + per-conversation in-array pairing (no self-join; explosion
+    # bounded by tools-per-conversation, not corpus size)
+    q["conv_tool_cooccur"] = lambda spark, sf: conv.tool_cooccurrence(
+        _transcripts(spark, sf)
+    )
+
     # streaming extension (batch-parity form): event-time tumbling windows —
     # the same operator runs under readStream with a watermark
     # (streaming/windowed.py; watermarked append path probed in tests)
@@ -1421,6 +1428,17 @@ SELECT conv_id,
        CAST(sum(len(regexp_extract_all(text, '\\[\\['))) AS BIGINT) AS n_mentions,
        CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_seconds
 FROM w GROUP BY conv_id
+"""
+
+    sql["conv_tool_cooccur"] = f"""
+WITH ct AS (
+    SELECT DISTINCT conv_id, tool FROM read_parquet('{glob}')
+    WHERE tool IS NOT NULL
+)
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2
 """
 
     sql["kg_graph_stats"] = f"""

@@ -50,3 +50,40 @@ def _stats_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 def conversation_stats(transcripts: DataFrame) -> DataFrame:
     """One row per conversation with order-dependent dialogue features."""
     return transcripts.groupBy("conv_id").applyInPandas(_stats_kernel, STATS_SCHEMA)
+
+
+def tool_cooccurrence(transcripts: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, n_convs): tools used together in one conversation.
+
+    Co-occurrence graphs are the standard projection for "which tools/agents
+    appear together" questions over agent transcripts.  Shape: ONE distinct
+    shuffle on (conv_id, tool), then per-conversation in-array pairing (the
+    same no-self-join pattern as the LSH bucket pairing in dedup.py) — the
+    pair explosion is bounded by the per-conversation distinct-tool count
+    (tens at most by construction of a dialogue), never by corpus size, so
+    there is no hot-key wedge problem; the final count agg is map-side
+    partial on the (tool_a, tool_b) key.
+    """
+    from pyspark.sql import functions as F
+
+    per_conv = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_set("tool")).alias("tools"))
+    )
+    pairs = per_conv.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(tools, (x, i) -> "
+                "transform(slice(tools, i + 2, size(tools)), "
+                "y -> struct(x AS tool_a, y AS tool_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.tool_a", "p.tool_b")
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+    )
