@@ -115,7 +115,7 @@ _TOKEN = re.compile(
     | (?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*)
     | (?P<kw>[A-Za-z_][\w]*)
     | (?P<num>\d+)
-    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+)
+    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/)
     """,
     re.VERBOSE,
 )
@@ -245,7 +245,7 @@ class _Parser:
                     if self.peek() == ".":
                         self.next()
                         continue
-                    group.append(self._triple())
+                    group.extend(self._triple())
                 self.next()
                 if not group:
                     raise SparqlError("empty OPTIONAL group")
@@ -257,7 +257,7 @@ class _Parser:
                 continue
             if tok.upper() in ("UNION", "BIND", "MINUS", "GRAPH", "SERVICE"):
                 raise SparqlUnsupported(f"{tok.upper()} is outside the supported subset")
-            patterns.append(self._triple())
+            patterns.extend(self._triple())
 
         order_by: list[tuple[str, bool]] = []
         if self._kw("ORDER"):
@@ -284,17 +284,40 @@ class _Parser:
             raise SparqlUnsupported(f"trailing content at {self.peek()!r}")
         return Query(select, distinct, patterns, optionals, filters, order_by, limit)
 
-    def _triple(self) -> tuple[Term, Term | PathPlus, Term]:
-        s, p = self.term(), self.term()
+    def _triple(self) -> list[tuple[Term, Term | PathPlus, Term]]:
+        """One triple, or a SPARQL 1.1 sequence path ``p1/p2/...`` desugared
+        into chained patterns over fresh ``?__seqN`` join variables (never
+        projected — they only co-locate the hops)."""
+        s = self.term()
+        segs: list[Term | PathPlus] = [self._path_segment()]
+        while self.peek() == "/":
+            self.next()
+            segs.append(self._path_segment())
+        o = self.term()
+        if self.peek() == ".":
+            self.next()
+        out: list[tuple[Term, Term | PathPlus, Term]] = []
+        cur = s
+        for i, seg in enumerate(segs):
+            last = i == len(segs) - 1
+            nxt = o if last else Var(f"__seq{self._fresh()}")
+            out.append((cur, seg, nxt))
+            cur = nxt
+        return out
+
+    def _path_segment(self) -> Term | PathPlus:
+        p = self.term()
         if self.peek() == "+":
             self.next()
             if not isinstance(p, Uri):
                 raise SparqlUnsupported("property path on a non-URI predicate")
-            p = PathPlus(p)
-        o = self.term()
-        if self.peek() == ".":
-            self.next()
-        return (s, p, o)
+            return PathPlus(p)
+        return p
+
+    def _fresh(self) -> int:
+        n = getattr(self, "_fresh_n", 0)
+        self._fresh_n = n + 1
+        return n
 
     def _filter(self) -> list[tuple[str, list[Term]]]:
         """FILTER ( ?v IN (t, …) [ && ?w IN (…) ]* ) — the only FILTER form

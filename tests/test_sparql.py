@@ -321,3 +321,44 @@ def test_path_plus_constant_endpoint_and_join(path_edges):
 def test_path_plus_unsupported_forms_raise(path_edges, text):
     with pytest.raises(sp.SparqlUnsupported):
         sp.compile_sparql(path_edges, text)
+
+
+# --- SPARQL 1.1 sequence paths (p1/p2) ---------------------------------------
+
+def test_sequence_path_desugars_to_chain():
+    q = sp.parse_sparql(
+        "PREFIX p: <http://p/> SELECT ?a ?c WHERE { ?a p:x/p:y ?c . }"
+    )
+    assert len(q.patterns) == 2
+    (s1, p1, o1), (s2, p2, o2) = q.patterns
+    assert (s1.name, p1.value) == ("a", "http://p/x")
+    assert (p2.value, o2.name) == ("http://p/y", "c")
+    assert o1 == s2 and o1.name.startswith("__seq")
+
+
+def test_sequence_path_join_semantics(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?c WHERE { ?a p:has/p:has ?c . }",
+    ).collect()
+    B = "http://b/"
+    assert sorted((r.a, r.c) for r in rows) == sorted(
+        [("c1", B + "x1"), (B + "d1", B + "leaf")]
+    )
+
+
+def test_sequence_path_with_plus_segment(path_edges):
+    # has+/note: every node reachable from c1 that carries a note literal
+    rows = sp.compile_sparql(
+        path_edges,
+        'PREFIX p: <http://p/> SELECT ?n WHERE { <c1> p:has+/p:note ?n . }',
+    ).collect()
+    assert [r.n for r in rows] == ["lit"]
+
+
+def test_sequence_path_intermediates_not_projected(path_edges):
+    df = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a WHERE { ?a p:has/p:has ?c . }",
+    )
+    assert df.columns == ["a"]
