@@ -366,6 +366,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_detail"] = _sparql_detail
 
+    # SPARQL 1.1 sequence path from query TEXT: the dataset→distribution→
+    # accessURL two-hop written as `dcat:distribution/dcat:accessURL`; the
+    # compiler desugars it into chained equi-joins over a fresh
+    # non-projected variable (plans/sparql.py::_triple).
+    q["kg_sparql_seq_path"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?dataset ?url WHERE {
+            ?dataset rdf:type dcat:Dataset .
+            ?dataset dcat:distribution/dcat:accessURL ?url .
+        }
+        """,
+    )
+
     # J7/J8/A5/A6: detail stage over the search result
     def _detail(spark, sf):
         merged = _merged(spark, sf)
@@ -1307,6 +1323,17 @@ JOIN edges sp ON sp.subj = f.dataset AND sp.pred = '{DCT}spatial'
 JOIN edges th ON th.subj = f.dataset AND th.pred = '{DCAT}theme'
 JOIN edges lg ON lg.subj = cd.subj AND lg.pred = '{PRED_URIS["language"]}'
 LEFT JOIN edges dd ON dd.subj = di.obj AND dd.pred = '{DCT}description'
+"""
+
+    # the sequence-path two-hop desugared by hand: dataset -> distribution
+    # -> accessURL chained through the (unprojected) distribution node
+    sql["kg_sparql_seq_path"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS dataset, u.obj AS url
+FROM edges t
+JOIN edges d ON d.subj = t.subj AND d.pred = '{DCAT}distribution'
+JOIN edges u ON u.subj = d.obj AND u.pred = '{DCAT}accessURL'
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
 """
 
     sql["kg_dataset_detail"] = _search_core_sql(glob) + f"""
