@@ -382,6 +382,178 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     )
 
+    # SPARQL 1.1 alternation path, all-forward: compiles to ONE pred-IN
+    # slice of the edges scan (single parquet scan, filter pushed down) —
+    # plans/sparql.py::_alt_pattern_df fast path.
+    q["kg_sparql_alt_path"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?catalog ?facet WHERE {
+            ?catalog rdf:type dcat:Catalog .
+            ?catalog dcat:themeTaxonomy|dct:spatial ?facet .
+        }
+        """,
+    )
+
+    # SPARQL 1.1 inverse path: `?dataset ^dcat:dataset ?catalog` desugars
+    # to the forward pattern with swapped endpoints — the identical edges
+    # slice, zero extra plan cost (plans/sparql.py::_triple).
+    q["kg_sparql_inverse_path"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?dataset ?catalog WHERE {
+            ?dataset rdf:type dcat:Dataset .
+            ?dataset ^dcat:dataset ?catalog .
+        }
+        """,
+    )
+
+    # SPARQL alternation mixing forward and inverse steps: two pred-IN
+    # slices unioned by name (the mixed path of _alt_pattern_df).
+    q["kg_sparql_alt_inverse"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?dist ?x WHERE {
+            ?dist rdf:type dcat:Distribution .
+            ?dist dcat:mediaType|^dcat:distribution ?x .
+        }
+        """,
+    )
+
+    # UNION of two standalone branches (no base BGP): each branch compiles
+    # as its own join group, result = unionByName, multiset semantics.
+    q["kg_sparql_union"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?s ?o WHERE {
+            { ?s dcat:theme ?o } UNION { ?s skos:inScheme ?o }
+        }
+        """,
+    )
+
+    # MINUS: datasets carrying no theme — compiles to a left anti-join on
+    # the shared ?d (plans/sparql.py::compile_sparql MINUS branch).
+    q["kg_sparql_minus"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?d WHERE {
+            ?d rdf:type dcat:Dataset .
+            MINUS { ?d dcat:theme ?t }
+        }
+        """,
+    )
+
+    # extended FILTER: regex over title literals (rlike; Java find()
+    # semantics — same substring-match contract as SPARQL regex and
+    # DuckDB regexp_matches).
+    q["kg_sparql_filter_regex"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?t WHERE {
+            ?d rdf:type dcat:Dataset .
+            ?d dct:title ?t .
+            FILTER regex(?t, "^[a-d]")
+        }
+        """,
+    )
+
+    # VALUES: inline data joined (broadcast) on the shared variable — the
+    # catalog-language restriction over the fixed EU language vocabulary.
+    q["kg_sparql_values"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?c ?l WHERE {
+            ?c dct:LinguisticSystem ?l .
+            VALUES ?l {
+                <http://publications.europa.eu/resource/authority/language/ENG>
+                <http://publications.europa.eu/resource/authority/language/DEU>
+            }
+        }
+        """,
+    )
+
+    # SPARQL aggregates: GROUP BY + COUNT → groupBy().agg() with map-side
+    # partial aggregation (only per-group state crosses the shuffle).
+    q["kg_sparql_group_count"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?catalog (COUNT(?d) AS ?n_datasets) WHERE {
+            ?catalog dcat:dataset ?d .
+        } GROUP BY ?catalog
+        """,
+    )
+
+    # global (group-less) aggregates incl. COUNT(DISTINCT) and AVG over
+    # numeric lexical forms (turn indexes via dct:identifier are not
+    # numeric — use COUNT shapes only here)
+    q["kg_sparql_agg_global"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT (COUNT(*) AS ?n_edges) (COUNT(DISTINCT ?theme) AS ?n_themes)
+               (MIN(?theme) AS ?first_theme) WHERE {
+            ?d dcat:theme ?theme .
+        }
+        """,
+    )
+
+    # CONSTRUCT: the KG-construction query form — re-map the graph into a
+    # new shape (reversed containment edge + carried-over literal labels
+    # with their lang/dtype metadata); one scan, two template projections,
+    # one union, one distinct.
+    q["kg_sparql_construct"] = lambda spark, sf: sprq.compile_query(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        CONSTRUCT {
+            ?d <urn:graft:inCatalog> ?c .
+            ?d <urn:graft:label> ?t .
+        } WHERE {
+            ?c dcat:dataset ?d .
+            ?d dct:title ?t .
+        }
+        """,
+    )
+
+    # ASK: existence probe — LocalLimit(1) under the aggregate, stops at
+    # the first solution.
+    q["kg_sparql_ask"] = lambda spark, sf: sprq.compile_query(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        ASK { ?c rdf:type dcat:Catalog }
+        """,
+    )
+
+    # DESCRIBE: every triple about the catalog nodes — a left-semi join of
+    # the edges scan against the (small) described node set.
+    q["kg_sparql_describe"] = lambda spark, sf: sprq.compile_query(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        DESCRIBE ?c WHERE { ?c rdf:type dcat:Catalog . }
+        """,
+    ).select("subj", "pred", "obj", "obj_kind", "lang", "dtype").distinct()
+
     # J7/J8/A5/A6: detail stage over the search result
     def _detail(spark, sf):
         merged = _merged(spark, sf)
@@ -1334,6 +1506,142 @@ FROM edges t
 JOIN edges d ON d.subj = t.subj AND d.pred = '{DCAT}distribution'
 JOIN edges u ON u.subj = d.obj AND u.pred = '{DCAT}accessURL'
 WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+"""
+
+    # all-forward alternation = a single pred-IN slice joined to the type
+    # anchor (mirrors the compiler's one-scan fast path)
+    sql["kg_sparql_alt_path"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS catalog, f.obj AS facet
+FROM edges t
+JOIN edges f ON f.subj = t.subj
+    AND f.pred IN ('{DCAT}themeTaxonomy', '{DCT}spatial')
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Catalog"]}'
+"""
+
+    # inverse path = the forward dcat:dataset edge read backwards
+    sql["kg_sparql_inverse_path"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS dataset, c.subj AS catalog
+FROM edges t
+JOIN edges c ON c.obj = t.subj AND c.pred = '{PRED_URIS["dataset"]}'
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+"""
+
+    # mixed forward|inverse alternation = UNION ALL of the forward slice
+    # and the endpoint-swapped inverse slice, joined to the type anchor
+    sql["kg_sparql_alt_inverse"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e),
+alt AS (
+    SELECT subj AS dist, obj AS x FROM edges WHERE pred = '{DCAT}mediaType'
+    UNION ALL
+    SELECT obj AS dist, subj AS x FROM edges WHERE pred = '{DCAT}distribution'
+)
+SELECT t.subj AS dist, a.x AS x
+FROM edges t
+JOIN alt a ON a.dist = t.subj
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Distribution"]}'
+"""
+
+    # standalone two-branch UNION (multiset: UNION ALL)
+    sql["kg_sparql_union"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT subj AS s, obj AS o FROM edges WHERE pred = '{DCAT}theme'
+UNION ALL
+SELECT subj AS s, obj AS o FROM edges WHERE pred = '{PRED_URIS["inScheme"]}'
+"""
+
+    # MINUS = anti-join on the shared variable
+    sql["kg_sparql_minus"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS d
+FROM edges t
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+  AND NOT EXISTS (
+    SELECT 1 FROM edges th WHERE th.subj = t.subj AND th.pred = '{DCAT}theme'
+  )
+"""
+
+    # regex FILTER over title literals (regexp_matches = substring-find,
+    # same semantics as Spark rlike and SPARQL regex)
+    sql["kg_sparql_filter_regex"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS d, ti.obj AS t
+FROM edges t
+JOIN edges ti ON ti.subj = t.subj AND ti.pred = '{DCT}title'
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+  AND regexp_matches(ti.obj, '^[a-d]')
+"""
+
+    # GROUP BY + COUNT
+    sql["kg_sparql_group_count"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT subj AS catalog, COUNT(obj) AS n_datasets
+FROM edges WHERE pred = '{PRED_URIS["dataset"]}'
+GROUP BY subj
+"""
+
+    # global aggregates (COUNT(*), COUNT(DISTINCT), MIN)
+    sql["kg_sparql_agg_global"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT COUNT(*) AS n_edges,
+       COUNT(DISTINCT obj) AS n_themes,
+       MIN(obj) AS first_theme
+FROM edges WHERE pred = '{DCAT}theme'
+"""
+
+    # CONSTRUCT = per-template projections UNIONed, DISTINCT (graph = set)
+    sql["kg_sparql_construct"] = f"""
+WITH edges AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype
+    FROM {osql.edges_sql(glob)} AS _e
+)
+SELECT DISTINCT * FROM (
+    SELECT cd.obj AS subj, 'urn:graft:inCatalog' AS pred, cd.subj AS obj,
+           'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS VARCHAR) AS dtype
+    FROM edges cd
+    JOIN edges ti ON ti.subj = cd.obj AND ti.pred = '{DCT}title'
+    WHERE cd.pred = '{PRED_URIS["dataset"]}'
+    UNION ALL
+    SELECT ti.subj AS subj, 'urn:graft:label' AS pred, ti.obj AS obj,
+           ti.obj_kind, ti.lang, ti.dtype
+    FROM edges cd
+    JOIN edges ti ON ti.subj = cd.obj AND ti.pred = '{DCT}title'
+    WHERE cd.pred = '{PRED_URIS["dataset"]}'
+)
+"""
+
+    # ASK = EXISTS
+    sql["kg_sparql_ask"] = f"""
+SELECT COUNT(*) > 0 AS ask FROM (
+    SELECT 1 FROM {osql.edges_sql(glob)} AS _e
+    WHERE pred = '{RDF_TYPE}' AND obj = '{CLASS_URIS["Catalog"]}'
+    LIMIT 1
+)
+"""
+
+    # DESCRIBE = semi-join of edges against the described node set
+    sql["kg_sparql_describe"] = f"""
+WITH edges AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype
+    FROM {osql.edges_sql(glob)} AS _e
+)
+SELECT DISTINCT e.subj, e.pred, e.obj, e.obj_kind, e.lang, e.dtype
+FROM edges e
+WHERE e.subj IN (
+    SELECT subj FROM edges
+    WHERE pred = '{RDF_TYPE}' AND obj = '{CLASS_URIS["Catalog"]}'
+)
+"""
+
+    # VALUES = IN over the inline data
+    sql["kg_sparql_values"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT subj AS c, obj AS l FROM edges
+WHERE pred = '{PRED_URIS["language"]}'
+  AND obj IN ('http://publications.europa.eu/resource/authority/language/ENG',
+              'http://publications.europa.eu/resource/authority/language/DEU')
 """
 
     sql["kg_dataset_detail"] = _search_core_sql(glob) + f"""

@@ -33,12 +33,39 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
 * SELECT DISTINCT → one final distinct; a projected variable no pattern
   binds yields a NULL column (SPARQL unbound semantics — the reference's
   facet templates project a never-bound ?predicate);
+* SPARQL 1.1 property paths: ``p+`` (and ``(p1|p2)+``) compile to the
+  semi-naive reachability closure (operators/paths.py), ``p1/p2`` desugars
+  to chained equi-joins over fresh non-projected variables, ``p1|p2``
+  compiles to ONE pred-IN slice of the edges scan (single parquet scan,
+  filter pushed down) when all alternatives are forward, and to a 2-scan
+  unionByName when inverse steps are mixed in; ``^p`` swaps the pattern's
+  endpoints (zero extra cost — it is the same edges slice read backwards);
+* ``{ A } UNION { B }`` compiles each branch as a join group and
+  ``unionByName``s them; branches must bind the SAME variable set (else
+  SPARQL's unbound-compatible join semantics would diverge from Spark's
+  null-dropping equi-join, so the compiler refuses rather than mis-execute);
+* ``MINUS { … }`` → left anti-join on the shared variables (refused when a
+  shared variable is OPTIONAL-bound — the NULL-compatibility divergence);
+* ``VALUES`` → broadcast inline-table join (UNDEF allowed only in
+  non-join columns);
+* extended FILTERs: ``=``/``!=`` → Column comparisons, ``regex`` →
+  ``rlike`` (both are substring-find semantics), ``STRSTARTS``/
+  ``CONTAINS`` → ``startswith``/``contains``;
+* aggregates ``COUNT [DISTINCT]``/``MIN``/``MAX``/``SUM``/``AVG`` with
+  GROUP BY → one ``groupBy().agg()`` (map-side partial aggregation);
+* all four query forms: SELECT (``compile_sparql``), ASK (``compile_ask``
+  — LocalLimit(1) under the aggregate, stops at the first solution),
+  CONSTRUCT (``compile_construct`` — template projections unioned into a
+  new triple set, object-term metadata carried from the WHERE clause),
+  DESCRIBE (``compile_describe`` — left-semi join of edges against the
+  described node set); ``compile_query`` dispatches on the parsed form;
 * determinism: ORDER BY when present; otherwise any LIMIT is preceded by an
   orderBy on the projected variables (Virtuoso's unordered LIMIT is not
   reproducible; same convention as the hand-built builders).
 
-Out-of-subset constructs (UNION, property paths, sub-SELECT, BIND, regex
-FILTERs, …) raise ``SparqlUnsupported`` — never silently mis-execute.
+Out-of-subset constructs (sub-SELECT, BIND, HAVING,
+``p*``/``p?`` path modifiers, unparenthesized ``|``/``/`` precedence
+mixes, …) raise ``SparqlUnsupported`` — never silently mis-execute.
 """
 
 from __future__ import annotations
@@ -83,9 +110,28 @@ class Lit:
 
 @dataclass(frozen=True)
 class PathPlus:
-    """SPARQL 1.1 one-or-more property path (``pred+``) — predicate
-    position only; compiled to operators.paths.reachable_pairs."""
+    """SPARQL 1.1 one-or-more property path — ``pred+`` or ``(p1|p2)+`` —
+    predicate position only; compiled to operators.paths.reachable_pairs.
+    ``inverse`` marks ``^(p+)`` (the closure read backwards)."""
+    preds: tuple["Uri", ...]
+    inverse: bool = False
+
+    @property
+    def pred(self) -> "Uri":  # convenience for the single-pred case
+        return self.preds[0]
+
+
+@dataclass(frozen=True)
+class PathStep:
+    """One simple, possibly inverse, predicate inside a path expression."""
     pred: "Uri"
+    inverse: bool = False
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    """SPARQL 1.1 alternation ``p1|p2|^p3`` of simple steps."""
+    steps: tuple[PathStep, ...]
 
 
 Term = Var | Uri | Lit
@@ -100,6 +146,62 @@ class Query:
     filters: list[tuple[str, list[Term]]]  # (?var, IN-list)
     order_by: list[tuple[str, bool]]  # (var, ascending)
     limit: int | None
+    # UNION blocks: each is a list of >=2 branches, each branch a triple list
+    unions: list[list[list[tuple[Term, Term, Term]]]] = field(
+        default_factory=list
+    )
+    # extended FILTER atoms: ("cmp", var, "="|"!=", value) |
+    # ("regex", var, pattern, flags) | ("strstarts", var, s) |
+    # ("contains", var, s)
+    filter_exprs: list[tuple] = field(default_factory=list)
+    # MINUS groups (each a triple list, anti-joined on shared vars)
+    minus: list[list[tuple[Term, Term, Term]]] = field(default_factory=list)
+    # VALUES blocks: (var names, rows of string-or-None [UNDEF])
+    values_blocks: list[tuple[list[str], list[list[str | None]]]] = field(
+        default_factory=list
+    )
+    # aggregate select items: alias -> (fn, var-or-None[COUNT *], distinct)
+    aggs: dict[str, tuple[str, str | None, bool]] = field(default_factory=dict)
+    group_by: list[str] = field(default_factory=list)
+
+
+@dataclass
+class AskQuery:
+    """``ASK { … }`` — does the pattern have at least one solution?"""
+    where: Query
+
+
+@dataclass
+class ConstructQuery:
+    """``CONSTRUCT { template } WHERE { … }`` — emit new triples from the
+    solution bindings (the KG-construction query form)."""
+    template: list[tuple[Term, Term, Term]]
+    where: Query
+
+
+@dataclass
+class DescribeQuery:
+    """``DESCRIBE ?x/<uri> [WHERE { … }]`` — all triples about the nodes."""
+    terms: list[Term]
+    where: Query | None
+
+
+def _group_bound_vars(patterns, optionals, unions, values_blocks) -> set[str]:
+    out: set[str] = set()
+    for pats in [patterns, *optionals, *(br for u in unions for br in u)]:
+        for p in pats:
+            for t in (p[0], p[2]) + ((p[1],) if isinstance(p[1], Var) else ()):
+                if isinstance(t, Var):
+                    out.add(t.name)
+    for vars_, _rows in values_blocks:
+        out.update(vars_)
+    return out
+
+
+def _query_binds(q: Query, var: str) -> bool:
+    return var in _group_bound_vars(
+        q.patterns, q.optionals, q.unions, q.values_blocks
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +217,7 @@ _TOKEN = re.compile(
     | (?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*)
     | (?P<kw>[A-Za-z_][\w]*)
     | (?P<num>\d+)
-    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/)
+    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/|\||\^|!=|=|\*)
     """,
     re.VERBOSE,
 )
@@ -204,7 +306,7 @@ class _Parser:
         return Lit(lex, lang, dt)
 
     # -- grammar -----------------------------------------------------------
-    def parse(self) -> Query:
+    def parse(self) -> "Query | AskQuery | ConstructQuery | DescribeQuery":
         while self._kw("PREFIX"):
             pname = self.next()
             if not pname.endswith(":"):
@@ -213,51 +315,122 @@ class _Parser:
             if not uri.startswith("<"):
                 raise SparqlError("prefix IRI must be <...>")
             self.prefixes[pname[:-1]] = uri[1:-1]
+        tok = self.peek()
+        if tok is None:
+            raise SparqlError("empty query")
+        kw = tok.upper()
+        if kw == "ASK":
+            return self._parse_ask()
+        if kw == "CONSTRUCT":
+            return self._parse_construct()
+        if kw == "DESCRIBE":
+            return self._parse_describe()
+        return self._parse_select()
 
+    def _parse_ask(self) -> "AskQuery":
+        self.next()
+        self._kw("WHERE")
+        q = self._where_query()
+        if self.peek() is not None:
+            raise SparqlUnsupported(f"trailing content at {self.peek()!r}")
+        return AskQuery(where=q)
+
+    def _parse_construct(self) -> "ConstructQuery":
+        self.next()
+        template = self._group_triples()
+        for (s, p, o) in template:
+            if not isinstance(p, (Uri, Var)):
+                raise SparqlUnsupported("property path in a CONSTRUCT template")
+            for t in (s, p, o):
+                if isinstance(t, Var) and t.name.startswith("__seq"):
+                    raise SparqlUnsupported(
+                        "sequence path in a CONSTRUCT template"
+                    )
+        self.expect("WHERE")
+        q = self._where_query()
+        if self.peek() is not None:
+            raise SparqlUnsupported(f"trailing content at {self.peek()!r}")
+        return ConstructQuery(template=template, where=q)
+
+    def _parse_describe(self) -> "DescribeQuery":
+        self.next()
+        terms: list[Term] = []
+        while (tok := self.peek()) is not None and tok.upper() != "WHERE":
+            t = self.term()
+            if isinstance(t, Lit):
+                raise SparqlError("DESCRIBE of a literal")
+            terms.append(t)
+        if not terms:
+            raise SparqlError("DESCRIBE expects variables or URIs")
+        where = None
+        if self._kw("WHERE"):
+            where = self._where_query()
+        if self.peek() is not None:
+            raise SparqlUnsupported(f"trailing content at {self.peek()!r}")
+        for t in terms:
+            if isinstance(t, Var) and (
+                where is None
+                or not _query_binds(where, t.name)
+            ):
+                raise SparqlError(f"DESCRIBE ?{t.name} is unbound in WHERE")
+        return DescribeQuery(terms=terms, where=where)
+
+    def _where_query(self) -> "Query":
+        """A bare ``{ group }`` wrapped as a Query whose select is every
+        bound variable (for the non-SELECT query forms)."""
+        (
+            patterns, optionals, filters, unions, filter_exprs, minus,
+            values_blocks,
+        ) = self._group_body()
+        bound = _group_bound_vars(patterns, optionals, unions, values_blocks)
+        return Query(
+            select=sorted(bound),
+            distinct=False,
+            patterns=patterns,
+            optionals=optionals,
+            filters=filters,
+            order_by=[],
+            limit=None,
+            unions=unions,
+            filter_exprs=filter_exprs,
+            minus=minus,
+            values_blocks=values_blocks,
+        )
+
+    def _parse_select(self) -> Query:
         self.expect("SELECT")
         distinct = self._kw("DISTINCT")
         select: list[str] = []
-        while (tok := self.peek()) is not None and tok.startswith("?"):
-            select.append(self.next()[1:])
+        aggs: dict[str, tuple[str, str | None, bool]] = {}
+        while (tok := self.peek()) is not None:
+            if tok.startswith("?"):
+                select.append(self.next()[1:])
+                continue
+            if tok == "(":
+                alias, spec = self._agg_item()
+                if alias in aggs or alias in select:
+                    raise SparqlError(f"duplicate select alias ?{alias}")
+                select.append(alias)
+                aggs[alias] = spec
+                continue
+            break
         if not select:
             raise SparqlUnsupported("SELECT * / expressions not supported")
 
         self.expect("WHERE")
-        self.expect("{")
-        patterns: list[tuple[Term, Term, Term]] = []
-        optionals: list[list[tuple[Term, Term, Term]]] = []
-        filters: list[tuple[str, list[Term]]] = []
-        while True:
-            tok = self.peek()
-            if tok is None:
-                raise SparqlError("unterminated WHERE group")
-            if tok == "}":
-                self.next()
-                break
-            if tok == ".":  # stray separator (the reference emits `} .`)
-                self.next()
-                continue
-            if tok.upper() == "OPTIONAL":
-                self.next()
-                self.expect("{")
-                group: list[tuple[Term, Term, Term]] = []
-                while self.peek() != "}":
-                    if self.peek() == ".":
-                        self.next()
-                        continue
-                    group.extend(self._triple())
-                self.next()
-                if not group:
-                    raise SparqlError("empty OPTIONAL group")
-                optionals.append(group)
-                continue
-            if tok.upper() == "FILTER":
-                self.next()
-                filters.extend(self._filter())
-                continue
-            if tok.upper() in ("UNION", "BIND", "MINUS", "GRAPH", "SERVICE"):
-                raise SparqlUnsupported(f"{tok.upper()} is outside the supported subset")
-            patterns.extend(self._triple())
+        (
+            patterns, optionals, filters, unions, filter_exprs, minus,
+            values_blocks,
+        ) = self._group_body()
+
+
+        group_by: list[str] = []
+        if self._kw("GROUP"):
+            self.expect("BY")
+            while (tok := self.peek()) is not None and tok.startswith("?"):
+                group_by.append(self.next()[1:])
+            if not group_by:
+                raise SparqlError("GROUP BY expects variables")
 
         order_by: list[tuple[str, bool]] = []
         if self._kw("ORDER"):
@@ -282,14 +455,145 @@ class _Parser:
             limit = int(self.next())
         if self.peek() is not None:
             raise SparqlUnsupported(f"trailing content at {self.peek()!r}")
-        return Query(select, distinct, patterns, optionals, filters, order_by, limit)
+        return Query(
+            select, distinct, patterns, optionals, filters, order_by, limit,
+            unions=unions, filter_exprs=filter_exprs, minus=minus,
+            values_blocks=values_blocks, aggs=aggs, group_by=group_by,
+        )
+
+    def _agg_item(self) -> tuple[str, tuple[str, str | None, bool]]:
+        """``( AGG([DISTINCT] ?v | *) AS ?alias )`` in the SELECT clause."""
+        self.expect("(")
+        fn = self.next().upper()
+        if fn not in ("COUNT", "MIN", "MAX", "SUM", "AVG"):
+            raise SparqlUnsupported(f"aggregate {fn!r}")
+        self.expect("(")
+        distinct = self._kw("DISTINCT")
+        var: str | None
+        if self.peek() == "*":
+            self.next()
+            if fn != "COUNT":
+                raise SparqlError(f"{fn}(*) — * is only valid in COUNT")
+            var = None
+        else:
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlUnsupported(
+                    f"aggregate over {v!r}: only ?var or * supported"
+                )
+            var = v[1:]
+        self.expect(")")
+        self.expect("AS")
+        alias = self.next()
+        if not alias.startswith("?"):
+            raise SparqlError("AS expects a variable")
+        self.expect(")")
+        return alias[1:], (fn.lower(), var, distinct)
+
+    def _group_body(self):
+        """``{ … }`` — the group-graph-pattern body shared by every query
+        form: triples (incl. paths), OPTIONAL, FILTER, UNION, MINUS,
+        VALUES."""
+        self.expect("{")
+        patterns: list[tuple[Term, Term, Term]] = []
+        optionals: list[list[tuple[Term, Term, Term]]] = []
+        filters: list[tuple[str, list[Term]]] = []
+        unions: list[list[list[tuple[Term, Term, Term]]]] = []
+        filter_exprs: list[tuple] = []
+        minus: list[list[tuple[Term, Term, Term]]] = []
+        values_blocks: list[tuple[list[str], list[list[str | None]]]] = []
+        while True:
+            tok = self.peek()
+            if tok is None:
+                raise SparqlError("unterminated WHERE group")
+            if tok == "}":
+                self.next()
+                break
+            if tok == ".":  # stray separator (the reference emits `} .`)
+                self.next()
+                continue
+            if tok == "{":  # braced group: plain grouping or UNION chain
+                branches = [self._group_triples()]
+                while self._kw("UNION"):
+                    branches.append(self._group_triples())
+                if len(branches) == 1:
+                    patterns.extend(branches[0])
+                else:
+                    unions.append(branches)
+                continue
+            if tok.upper() == "UNION":
+                raise SparqlError("UNION must follow a braced group")
+            if tok.upper() == "OPTIONAL":
+                self.next()
+                self.expect("{")
+                group: list[tuple[Term, Term, Term]] = []
+                while self.peek() != "}":
+                    if self.peek() == ".":
+                        self.next()
+                        continue
+                    group.extend(self._triple())
+                self.next()
+                if not group:
+                    raise SparqlError("empty OPTIONAL group")
+                optionals.append(group)
+                continue
+            if tok.upper() == "FILTER":
+                self.next()
+                ins, exprs = self._filter()
+                filters.extend(ins)
+                filter_exprs.extend(exprs)
+                continue
+            if tok.upper() == "MINUS":
+                self.next()
+                minus.append(self._group_triples())
+                continue
+            if tok.upper() == "VALUES":
+                self.next()
+                values_blocks.append(self._values())
+                continue
+            if tok.upper() in ("BIND", "GRAPH", "SERVICE"):
+                raise SparqlUnsupported(
+                    f"{tok.upper()} is outside the supported subset"
+                )
+            patterns.extend(self._triple())
+        return (
+            patterns, optionals, filters, unions, filter_exprs, minus,
+            values_blocks,
+        )
+
+    def _group_triples(self) -> list[tuple[Term, Term, Term]]:
+        """``{ triples }`` — a UNION branch.  Branches hold plain patterns
+        (incl. paths) only; nested OPTIONAL/FILTER/UNION inside a branch is
+        out of subset."""
+        self.expect("{")
+        group: list[tuple[Term, Term, Term]] = []
+        while True:
+            tok = self.peek()
+            if tok is None:
+                raise SparqlError("unterminated braced group")
+            if tok == "}":
+                self.next()
+                break
+            if tok == ".":
+                self.next()
+                continue
+            if tok.upper() in ("OPTIONAL", "FILTER", "UNION", "BIND", "MINUS", "{"):
+                raise SparqlUnsupported(
+                    f"{tok.upper()} nested inside a UNION branch"
+                )
+            group.extend(self._triple())
+        if not group:
+            raise SparqlError("empty braced group")
+        return group
 
     def _triple(self) -> list[tuple[Term, Term | PathPlus, Term]]:
         """One triple, or a SPARQL 1.1 sequence path ``p1/p2/...`` desugared
         into chained patterns over fresh ``?__seqN`` join variables (never
-        projected — they only co-locate the hops)."""
+        projected — they only co-locate the hops).  A bare inverse step
+        ``^p`` desugars by swapping the hop's endpoints — same edges slice,
+        read backwards, zero extra plan cost."""
         s = self.term()
-        segs: list[Term | PathPlus] = [self._path_segment()]
+        segs: list[Term | PathPlus | PathStep | PathAlt] = [self._path_segment()]
         while self.peek() == "/":
             self.next()
             segs.append(self._path_segment())
@@ -301,34 +605,146 @@ class _Parser:
         for i, seg in enumerate(segs):
             last = i == len(segs) - 1
             nxt = o if last else Var(f"__seq{self._fresh()}")
-            out.append((cur, seg, nxt))
+            if isinstance(seg, PathStep):
+                # ^p ≡ the forward pattern with endpoints swapped
+                if seg.inverse:
+                    out.append((nxt, seg.pred, cur))
+                else:
+                    out.append((cur, seg.pred, nxt))
+            else:
+                out.append((cur, seg, nxt))
             cur = nxt
         return out
 
-    def _path_segment(self) -> Term | PathPlus:
-        p = self.term()
+    def _path_segment(self) -> Term | PathPlus | PathStep | PathAlt:
+        """pathAlt := unit ('|' unit)* — one '/'-separated path segment."""
+        seg = self._path_unit()
+        if self.peek() != "|":
+            return seg
+        steps = self._alt_steps(seg)
+        while self.peek() == "|":
+            self.next()
+            steps.extend(self._alt_steps(self._path_unit()))
+        return PathAlt(tuple(steps))
+
+    @staticmethod
+    def _alt_steps(seg) -> list[PathStep]:
+        if isinstance(seg, Uri):
+            return [PathStep(seg)]
+        if isinstance(seg, PathStep):
+            return [seg]
+        if isinstance(seg, PathAlt):
+            return list(seg.steps)
+        raise SparqlUnsupported(
+            "only simple (optionally inverse) predicates inside an alternation"
+        )
+
+    def _path_unit(self) -> Term | PathPlus | PathStep | PathAlt:
+        """unit := '^'? primary '+'? ;  primary := term | '(' pathAlt ')'."""
+        inverse = False
+        if self.peek() == "^":
+            self.next()
+            inverse = True
+        if self.peek() == "(":
+            self.next()
+            inner = self._path_segment()
+            self.expect(")")
+        else:
+            p = self.term()
+            if isinstance(p, Lit):
+                raise SparqlError("literal in predicate position")
+            inner = p
         if self.peek() == "+":
             self.next()
-            if not isinstance(p, Uri):
+            if isinstance(inner, Uri):
+                inner = PathPlus((inner,), inverse)
+            elif isinstance(inner, PathAlt):
+                if any(st.inverse for st in inner.steps):
+                    raise SparqlUnsupported(
+                        "closure over an alternation with inverse steps"
+                    )
+                inner = PathPlus(
+                    tuple(st.pred for st in inner.steps), inverse
+                )
+            else:
                 raise SparqlUnsupported("property path on a non-URI predicate")
-            return PathPlus(p)
-        return p
+            return inner
+        if not inverse:
+            return inner
+        # distribute a leading ^ over whatever the primary parsed to
+        if isinstance(inner, Uri):
+            return PathStep(inner, inverse=True)
+        if isinstance(inner, PathStep):
+            return PathStep(inner.pred, not inner.inverse)
+        if isinstance(inner, PathAlt):
+            return PathAlt(
+                tuple(PathStep(st.pred, not st.inverse) for st in inner.steps)
+            )
+        if isinstance(inner, PathPlus):
+            return PathPlus(inner.preds, not inner.inverse)
+        raise SparqlUnsupported("^ on a variable predicate")
 
     def _fresh(self) -> int:
         n = getattr(self, "_fresh_n", 0)
         self._fresh_n = n + 1
         return n
 
-    def _filter(self) -> list[tuple[str, list[Term]]]:
-        """FILTER ( ?v IN (t, …) [ && ?w IN (…) ]* ) — the only FILTER form
-        the reference emits (browser.py:350-356, 295)."""
-        self.expect("(")
-        out: list[tuple[str, list[Term]]] = []
+    def _filter(self) -> tuple[list[tuple[str, list[Term]]], list[tuple]]:
+        """One FILTER clause — ``&&``-joined atoms, each one of:
+
+        * ``?v IN (t, …)`` (the only form the reference emits,
+          browser.py:350-356, 295) → legacy IN filters;
+        * ``?v = term`` / ``?v != term``;
+        * ``regex(?v, "pat" [, "flags"])`` (flags ⊆ i/m/s);
+        * ``STRSTARTS(?v, "s")`` / ``CONTAINS(?v, "s")``.
+
+        The outer parens are optional for bare function atoms
+        (``FILTER regex(?t, "x")`` is the common SPARQL spelling).
+        """
+        ins: list[tuple[str, list[Term]]] = []
+        exprs: list[tuple] = []
+        parens = self.peek() == "("
+        if parens:
+            self.next()
         while True:
+            self._filter_atom(ins, exprs)
+            if self.peek() == "&&":
+                self.next()
+                continue
+            break
+        if parens:
+            self.expect(")")
+        return ins, exprs
+
+    def _filter_atom(
+        self, ins: list[tuple[str, list[Term]]], exprs: list[tuple]
+    ) -> None:
+        tok = self.peek()
+        if tok is not None and tok.upper() in ("REGEX", "STRSTARTS", "CONTAINS"):
+            fn = self.next().upper()
+            self.expect("(")
             var = self.next()
             if not var.startswith("?"):
-                raise SparqlUnsupported(f"FILTER on {var!r}: only ?var IN (...) supported")
-            self.expect("IN")
+                raise SparqlUnsupported(f"{fn} on a non-variable first arg")
+            self.expect(",")
+            arg = self._plain_string(f"{fn} argument")
+            flags = ""
+            if fn == "REGEX" and self.peek() == ",":
+                self.next()
+                flags = self._plain_string("regex flags")
+            self.expect(")")
+            if fn == "REGEX":
+                exprs.append(("regex", var[1:], arg, flags))
+            else:
+                exprs.append((fn.lower(), var[1:], arg))
+            return
+        var = self.next()
+        if not var.startswith("?"):
+            raise SparqlUnsupported(
+                f"FILTER on {var!r}: expected ?var or regex/STRSTARTS/CONTAINS"
+            )
+        op = self.next()
+        if op.upper() == "IN":
             self.expect("(")
             vals: list[Term] = []
             while self.peek() != ")":
@@ -340,13 +756,79 @@ class _Parser:
                     raise SparqlUnsupported("variables inside IN lists")
                 vals.append(t)
             self.next()
-            out.append((var[1:], vals))
-            if self.peek() == "&&":
-                self.next()
+            ins.append((var[1:], vals))
+            return
+        if op in ("=", "!="):
+            t = self.term()
+            if isinstance(t, Var):
+                raise SparqlUnsupported("variable-to-variable comparison")
+            if isinstance(t, Lit) and (t.lang or t.dtype):
+                raise SparqlUnsupported(
+                    "comparison with a lang/datatype-tagged literal"
+                )
+            exprs.append(
+                ("cmp", var[1:], op, t.value if isinstance(t, Uri) else t.lex)
+            )
+            return
+        raise SparqlUnsupported(f"FILTER operator {op!r}")
+
+    def _plain_string(self, what: str) -> str:
+        t = self.term()
+        if not isinstance(t, Lit) or t.lang or t.dtype:
+            raise SparqlUnsupported(f"{what} must be a plain string literal")
+        return t.lex
+
+    def _values(self) -> tuple[list[str], list[list[str | None]]]:
+        """``VALUES ?v { t … }`` or ``VALUES (?a ?b) { (t t) … }`` —
+        inline data; UNDEF → None."""
+        if self.peek() == "(":
+            self.next()
+            vars_: list[str] = []
+            while self.peek() != ")":
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlError("VALUES expects variables")
+                vars_.append(v[1:])
+            self.next()
+        else:
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlError("VALUES expects a variable")
+            vars_ = [v[1:]]
+        if not vars_:
+            raise SparqlError("VALUES with no variables")
+        self.expect("{")
+        rows: list[list[str | None]] = []
+        while self.peek() != "}":
+            if len(vars_) == 1 and self.peek() != "(":
+                rows.append([self._values_term()])
                 continue
-            break
-        self.expect(")")
-        return out
+            self.expect("(")
+            row: list[str | None] = []
+            while self.peek() != ")":
+                row.append(self._values_term())
+            self.next()
+            if len(row) != len(vars_):
+                raise SparqlError("VALUES row arity mismatch")
+            rows.append(row)
+        self.next()
+        if not rows:
+            raise SparqlError("empty VALUES block")
+        return vars_, rows
+
+    def _values_term(self) -> str | None:
+        tok = self.peek()
+        if tok is not None and tok.upper() == "UNDEF":
+            self.next()
+            return None
+        t = self.term()
+        if isinstance(t, Var):
+            raise SparqlError("variable inside VALUES data")
+        if isinstance(t, Lit):
+            if t.lang or t.dtype:
+                raise SparqlUnsupported("tagged literal in VALUES")
+            return t.lex
+        return t.value
 
 
 def parse_sparql(text: str) -> Query:
@@ -480,11 +962,16 @@ def _path_pattern_df(
 
     Endpoint constants become filters on the closure (Catalyst pushes them
     below the iteration's final union); literal endpoints are impossible
-    (paths traverse URI nodes only).
+    (paths traverse URI nodes only).  ``^(p+)`` is the same closure with
+    the endpoint roles swapped — the BFS itself always runs forward.
     """
     from ..operators.paths import reachable_pairs
 
-    df = reachable_pairs(edges, preds=[p.pred.value]).select("src", "dst")
+    df = reachable_pairs(edges, preds=[u.value for u in p.preds]).select(
+        "src", "dst"
+    )
+    if p.inverse:
+        s, o = o, s
     cols: dict[str, str] = {}
     for term, col in ((s, "src"), (o, "dst")):
         if isinstance(term, Var):
@@ -500,6 +987,82 @@ def _path_pattern_df(
     return df.select(*[F.col(src).alias(var) for var, src in cols.items()]), set(cols)
 
 
+def _alt_pattern_df(
+    edges: DataFrame, s: Term, p: PathAlt, o: Term
+) -> tuple[DataFrame, set[str]]:
+    """``?s p1|p2|^p3 ?o`` → at most TWO pred-IN slices of the edges scan.
+
+    All forward alternatives share one slice (``pred IN (...)`` — a single
+    parquet scan with the filter pushed down), all inverse alternatives
+    share a second slice with the endpoints swapped; mixed alternations
+    ``unionByName`` the two.  Union keeps SPARQL's multiset semantics: a
+    pair connected by two alternatives yields two solutions, exactly as two
+    matching edges would."""
+    fwd = [st.pred.value for st in p.steps if not st.inverse]
+    inv = [st.pred.value for st in p.steps if st.inverse]
+    parts: list[tuple[DataFrame, set[str]]] = []
+    # a DUPLICATED alternative (``p|p``) is a multiset union of identical
+    # branches — two solutions per edge — which one IN-slice would
+    # under-count: keep the single-scan fast path for distinct sets only
+    for terms, preds in ((( s, o), fwd), ((o, s), inv)):
+        if not preds:
+            continue
+        if len(set(preds)) == len(preds):
+            parts.append(_endpoint_df(edges, terms[0], preds, terms[1]))
+        else:
+            parts.extend(
+                _endpoint_df(edges, terms[0], [pv], terms[1]) for pv in preds
+            )
+    (df, vars_) = parts[0]
+    for other, overs in parts[1:]:
+        if overs != vars_:  # pragma: no cover — endpoints fix the var set
+            raise SparqlError("alternation branches bind different variables")
+        df = df.unionByName(other) if vars_ else df.union(other)
+    return df, vars_
+
+
+def _endpoint_df(
+    edges: DataFrame, s: Term, pred_values: list[str], o: Term
+) -> tuple[DataFrame, set[str]]:
+    """Edges slice with the predicate fixed to an IN-set, endpoints bound
+    like a plain pattern (shared variable at both ends → self-equality
+    filter; URI object → obj_kind guard; literal object → RDF term
+    equality incl. lang/dtype)."""
+    df = edges.filter(
+        F.col("pred") == pred_values[0]
+        if len(pred_values) == 1
+        else F.col("pred").isin(pred_values)
+    )
+    cols: dict[str, str] = {}
+
+    def bind(term: Term, col: str, is_obj: bool) -> None:
+        nonlocal df
+        if isinstance(term, Var):
+            if term.name in cols:
+                df = df.filter(F.col(cols[term.name]) == F.col(col))
+            else:
+                cols[term.name] = col
+        elif isinstance(term, Uri):
+            df = df.filter(F.col(col) == term.value)
+            if is_obj:
+                df = df.filter(F.col("obj_kind") == "uri")
+        else:
+            if not is_obj:
+                raise SparqlError("literal in subject position")
+            df = df.filter((F.col(col) == term.lex) & (F.col("obj_kind") == "literal"))
+            df = df.filter(
+                F.col("lang") == term.lang if term.lang is not None else F.col("lang").isNull()
+            )
+            df = df.filter(
+                F.col("dtype") == term.dtype if term.dtype is not None else F.col("dtype").isNull()
+            )
+
+    bind(s, "subj", False)
+    bind(o, "obj", True)
+    out = df.select(*[F.col(src).alias(var) for var, src in cols.items()])
+    return out, set(cols)
+
+
 def _pattern_df(
     edges: DataFrame, pat: tuple[Term, Term | PathPlus, Term]
 ) -> tuple[DataFrame, set[str]]:
@@ -507,6 +1070,8 @@ def _pattern_df(
     s, p, o = pat
     if isinstance(p, PathPlus):
         return _path_pattern_df(edges, s, p, o)
+    if isinstance(p, PathAlt):
+        return _alt_pattern_df(edges, s, p, o)
     df = edges
     cols: dict[str, str] = {}  # var name -> source column
 
@@ -564,6 +1129,38 @@ def _in_values(terms: list[Term]) -> list[str]:
     return [t.value if isinstance(t, Uri) else t.lex for t in terms]
 
 
+def _apply_filters(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
+    """IN filters + extended FILTER atoms — shared by every query form."""
+    for var, terms in q.filters:
+        if var not in bound:
+            raise SparqlError(f"FILTER on unbound variable ?{var}")
+        acc = acc.filter(F.col(var).isin(_in_values(terms)))
+
+    for expr in getattr(q, "filter_exprs", []) or []:
+        kind, var = expr[0], expr[1]
+        if var not in bound:
+            raise SparqlError(f"FILTER on unbound variable ?{var}")
+        col = F.col(var)
+        if kind == "cmp":
+            _, _, op, val = expr
+            acc = acc.filter(col == val if op == "=" else col != val)
+        elif kind == "regex":
+            _, _, pat, flags = expr
+            if flags:
+                if not set(flags) <= set("ims"):
+                    raise SparqlUnsupported(f"regex flags {flags!r}")
+                pat = f"(?{flags})" + pat
+            # rlike is Java find() — substring-match, same as SPARQL regex
+            acc = acc.filter(col.rlike(pat))
+        elif kind == "strstarts":
+            acc = acc.filter(col.startswith(expr[2]))
+        elif kind == "contains":
+            acc = acc.filter(col.contains(expr[2]))
+        else:  # pragma: no cover — parser emits only the kinds above
+            raise SparqlUnsupported(f"filter expression {kind!r}")
+    return acc
+
+
 def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
     """Compile a (parsed) SPARQL SELECT over the merged edges table.
 
@@ -572,20 +1169,130 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
     precondition as the hand-built facet/search builders.
     """
     q = parse_sparql(query) if isinstance(query, str) else query
+    if not isinstance(q, Query):
+        raise SparqlError(
+            f"{type(q).__name__}: use compile_query for the non-SELECT forms"
+        )
 
-    acc, bound = _join_group(edges, q.patterns)
+    if not q.patterns and not getattr(q, "unions", None):
+        raise SparqlError("empty graph pattern")
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    if q.patterns:
+        acc, bound = _join_group(edges, q.patterns)
+    for branches in getattr(q, "unions", []) or []:
+        compiled = [_join_group(edges, b) for b in branches]
+        allv = set().union(*(v for _, v in compiled))
+        if any(v != allv for _, v in compiled):
+            # SPARQL joins treat an unbound variable as compatible with
+            # anything; Spark's equi-join drops NULL keys.  Refuse the
+            # shapes where the two semantics diverge.
+            raise SparqlUnsupported(
+                "UNION branches binding different variable sets"
+            )
+        cols = sorted(allv)
+        udf: DataFrame | None = None
+        for df, _ in compiled:
+            part = df.select(*cols)
+            udf = part if udf is None else udf.unionByName(part)
+        if acc is None:
+            acc, bound = udf, allv
+        else:
+            on = sorted(bound & allv)
+            acc = acc.join(udf, on) if on else acc.crossJoin(udf)
+            bound |= allv
+    # VALUES: inline data — definitionally tiny (parsed literal rows), so a
+    # broadcast hint is always right; joined on the shared vars (UNDEF in a
+    # join var would need SPARQL's unbound-compatible semantics, refuse).
+    for vars_, rows in getattr(q, "values_blocks", []) or []:
+        spark = edges.sparkSession
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            [StructField(v, StringType(), True) for v in vars_]
+        )
+        vdf = spark.createDataFrame([tuple(r) for r in rows], schema)
+        shared = sorted(bound & set(vars_))
+        if any(
+            r[vars_.index(s)] is None for r in rows for s in shared
+        ):
+            raise SparqlUnsupported("UNDEF in a VALUES join variable")
+        if acc is None:
+            acc, bound = vdf, set(vars_)
+        elif shared:
+            acc = acc.join(F.broadcast(vdf), shared)
+            bound |= set(vars_)
+        else:
+            acc = acc.crossJoin(F.broadcast(vdf))
+            bound |= set(vars_)
+
+    opt_bound: set[str] = set()
     for group in q.optionals:
         gdf, gvars = _join_group(edges, group)
         on = sorted(bound & gvars)
         if not on:
             raise SparqlUnsupported("OPTIONAL sharing no variables with the BGP")
         acc = acc.join(gdf, on, "left")
+        opt_bound |= gvars - bound
         bound |= gvars
 
-    for var, terms in q.filters:
-        if var not in bound:
-            raise SparqlError(f"FILTER on unbound variable ?{var}")
-        acc = acc.filter(F.col(var).isin(_in_values(terms)))
+    # MINUS: anti-join on the shared variables.  Correct whenever both
+    # sides always bind those vars; an OPTIONAL-bound shared var can be
+    # NULL on the left, where SPARQL's compatibility rules and Spark's
+    # null-dropping anti-join diverge — refuse that shape.
+    for group in getattr(q, "minus", []) or []:
+        gdf, gvars = _join_group(edges, group)
+        shared = sorted(bound & gvars)
+        if not shared:
+            continue  # SPARQL: disjoint-domain MINUS removes nothing
+        if set(shared) & opt_bound:
+            raise SparqlUnsupported("MINUS on an OPTIONAL-bound variable")
+        acc = acc.join(gdf.select(*shared), shared, "left_anti")
+
+    acc = _apply_filters(acc, bound, q)
+
+    # aggregation: groupBy().agg() — Catalyst plans a map-side partial
+    # aggregate before the shuffle, so per-group state, not rows, crosses
+    # the exchange (the right shape at any scale)
+    aggs = getattr(q, "aggs", None) or {}
+    group_by = list(getattr(q, "group_by", None) or [])
+    if aggs or group_by:
+        plain = [v for v in q.select if v not in aggs]
+        if set(plain) - set(group_by):
+            raise SparqlError(
+                "non-aggregated selected variable not in GROUP BY"
+            )
+        for v in group_by + [s[1] for s in aggs.values() if s[1]]:
+            if v not in bound:
+                raise SparqlError(f"aggregate/GROUP BY on unbound variable ?{v}")
+
+        def _agg_col(alias: str, spec: tuple[str, str | None, bool]):
+            fn, var, distinct = spec
+            if fn == "count":
+                if var is None:
+                    c = F.count(F.lit(1))
+                elif distinct:
+                    c = F.countDistinct(var)
+                else:
+                    c = F.count(var)
+            elif fn in ("min", "max"):  # DISTINCT is a no-op for min/max
+                c = getattr(F, fn)(var)
+            else:
+                # SUM/AVG over lexical forms: try_cast (NULL for
+                # non-numeric lexicals — never an ANSI cast error — and
+                # both engines skip NULLs in the aggregate)
+                col = F.col(var).try_cast("double")
+                if fn == "sum":
+                    c = F.sum_distinct(col) if distinct else F.sum(col)
+                elif distinct:
+                    raise SparqlUnsupported("AVG(DISTINCT …)")
+                else:
+                    c = F.avg(col)
+            return c.alias(alias)
+
+        cols = [_agg_col(a, s) for a, s in aggs.items()]
+        acc = (acc.groupBy(*group_by) if group_by else acc.groupBy()).agg(*cols)
+        bound = set(group_by) | set(aggs)
 
     # SPARQL unbound-projection semantics: a selected var no pattern binds
     # is NULL (the reference facet templates project a never-bound
@@ -611,3 +1318,220 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# the other query forms: ASK / CONSTRUCT / DESCRIBE
+# ---------------------------------------------------------------------------
+
+def compile_ask(edges: DataFrame, query: "str | AskQuery") -> DataFrame:
+    """``ASK { … }`` → a 1-row DataFrame with a single boolean ``ask``.
+
+    LocalLimit(1) sits under the aggregate, so execution stops at the
+    first solution — the plan never materializes the full result."""
+    aq = parse_sparql(query) if isinstance(query, str) else query
+    if not isinstance(aq, AskQuery):
+        raise SparqlError("compile_ask expects an ASK query")
+    sol = compile_sparql(edges, aq.where)
+    return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+def _pattern_df_meta(
+    edges: DataFrame,
+    pat: tuple[Term, Term, Term],
+    meta_for: set[str],
+) -> tuple[DataFrame, set[str], set[str]]:
+    """Plain-pattern slice that also carries the object term's
+    (obj_kind, lang, dtype) for variables a CONSTRUCT template needs —
+    aliased ``{v}__okind/__olang/__odt`` so they ride the joins unchanged."""
+    s, p, o = pat
+    if isinstance(p, (PathPlus, PathAlt)):
+        raise SparqlUnsupported("property path in a CONSTRUCT WHERE clause")
+    df = edges
+    cols: dict[str, str] = {}
+
+    def bind(term: Term, col: str, is_obj: bool) -> None:
+        nonlocal df
+        if isinstance(term, Var):
+            if term.name in cols:
+                df = df.filter(F.col(cols[term.name]) == F.col(col))
+            else:
+                cols[term.name] = col
+        elif isinstance(term, Uri):
+            df = df.filter(F.col(col) == term.value)
+            if is_obj:
+                df = df.filter(F.col("obj_kind") == "uri")
+        else:
+            if not is_obj:
+                raise SparqlError("literal in subject/predicate position")
+            df = df.filter((F.col(col) == term.lex) & (F.col("obj_kind") == "literal"))
+            df = df.filter(
+                F.col("lang") == term.lang if term.lang is not None else F.col("lang").isNull()
+            )
+            df = df.filter(
+                F.col("dtype") == term.dtype if term.dtype is not None else F.col("dtype").isNull()
+            )
+
+    bind(s, "subj", False)
+    bind(p, "pred", False)
+    bind(o, "obj", True)
+    sel = [F.col(src).alias(var) for var, src in cols.items()]
+    got: set[str] = set()
+    if isinstance(o, Var) and o.name in meta_for:
+        v = o.name
+        sel += [
+            F.col("obj_kind").alias(f"{v}__okind"),
+            F.col("lang").alias(f"{v}__olang"),
+            F.col("dtype").alias(f"{v}__odt"),
+        ]
+        got.add(v)
+    return df.select(*sel), set(cols), got
+
+
+def _bgp_with_meta(
+    edges: DataFrame,
+    patterns: list[tuple[Term, Term, Term]],
+    meta_for: set[str],
+) -> tuple[DataFrame, set[str], set[str]]:
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    have_meta: set[str] = set()
+    for pat in patterns:
+        df, vars_, got = _pattern_df_meta(edges, pat, meta_for - have_meta)
+        if acc is None:
+            acc, bound, have_meta = df, vars_, got
+            continue
+        on = sorted(bound & vars_)
+        acc = acc.join(df, on) if on else acc.crossJoin(df)
+        bound |= vars_
+        have_meta |= got
+    if acc is None:
+        raise SparqlError("empty graph pattern")
+    return acc, bound, have_meta
+
+
+def compile_construct(
+    edges: DataFrame, query: "str | ConstructQuery"
+) -> DataFrame:
+    """``CONSTRUCT { template } WHERE { … }`` → a new triple SET with the
+    merged-edges term columns (subj, pred, obj, obj_kind, lang, dtype).
+
+    The KG-construction query form: one solution scan, one projection per
+    template triple, one union, one final distinct (a graph is a set).
+    Object variables carry their term metadata from the WHERE clause;
+    solutions that would put a literal in subject/predicate position are
+    dropped per the SPARQL spec (invalid instantiations are skipped).
+    The v1 WHERE subset is BGP + FILTER (no OPTIONAL/UNION/paths)."""
+    cq = parse_sparql(query) if isinstance(query, str) else query
+    if not isinstance(cq, ConstructQuery):
+        raise SparqlError("compile_construct expects a CONSTRUCT query")
+    q = cq.where
+    if q.optionals or q.unions or q.minus or q.values_blocks:
+        raise SparqlUnsupported(
+            "CONSTRUCT WHERE supports basic graph patterns + FILTER only"
+        )
+    tvars = {
+        t.name for pat in cq.template for t in pat if isinstance(t, Var)
+    }
+    acc, bound, have_meta = _bgp_with_meta(edges, q.patterns, tvars)
+    missing = sorted(tvars - bound)
+    if missing:
+        raise SparqlError(
+            f"CONSTRUCT template variable ?{missing[0]} is unbound in WHERE"
+        )
+    acc = _apply_filters(acc, bound, q)
+
+    null_str = F.lit(None).cast("string")
+    parts: list[DataFrame] = []
+    for (s, p, o) in cq.template:
+        df = acc
+        head = []
+        for t, alias in ((s, "subj"), (p, "pred")):
+            if isinstance(t, Lit):
+                raise SparqlError(
+                    "literal in CONSTRUCT subject/predicate position"
+                )
+            if isinstance(t, Var):
+                if t.name in have_meta:  # may bind literals: skip those rows
+                    df = df.filter(F.col(f"{t.name}__okind") == "uri")
+                head.append(F.col(t.name).alias(alias))
+            else:
+                head.append(F.lit(t.value).alias(alias))
+        if isinstance(o, Var):
+            if o.name in have_meta:
+                tail = [
+                    F.col(o.name).alias("obj"),
+                    F.col(f"{o.name}__okind").alias("obj_kind"),
+                    F.col(f"{o.name}__olang").alias("lang"),
+                    F.col(f"{o.name}__odt").alias("dtype"),
+                ]
+            else:  # bound only at subject position -> always a URI
+                tail = [
+                    F.col(o.name).alias("obj"),
+                    F.lit("uri").alias("obj_kind"),
+                    null_str.alias("lang"),
+                    null_str.alias("dtype"),
+                ]
+        elif isinstance(o, Uri):
+            tail = [
+                F.lit(o.value).alias("obj"),
+                F.lit("uri").alias("obj_kind"),
+                null_str.alias("lang"),
+                null_str.alias("dtype"),
+            ]
+        else:
+            tail = [
+                F.lit(o.lex).alias("obj"),
+                F.lit("literal").alias("obj_kind"),
+                (F.lit(o.lang) if o.lang is not None else null_str).alias("lang"),
+                (F.lit(o.dtype) if o.dtype is not None else null_str).alias("dtype"),
+            ]
+        parts.append(df.select(*head, *tail))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.distinct()
+
+
+def compile_describe(
+    edges: DataFrame, query: "str | DescribeQuery"
+) -> DataFrame:
+    """``DESCRIBE ?x/<uri> [WHERE { … }]`` → every edge whose subject is a
+    described node — a left-semi join, so only the (small) node set
+    crosses the exchange and the edge columns come straight off the scan."""
+    dq = parse_sparql(query) if isinstance(query, str) else query
+    if not isinstance(dq, DescribeQuery):
+        raise SparqlError("compile_describe expects a DESCRIBE query")
+    subs: list[DataFrame] = []
+    vars_ = [t.name for t in dq.terms if isinstance(t, Var)]
+    uris = [t.value for t in dq.terms if isinstance(t, Uri)]
+    if vars_:
+        sol = compile_sparql(edges, dq.where)
+        for v in vars_:
+            subs.append(sol.select(F.col(v).alias("__node")))
+    if uris:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        subs.append(
+            edges.sparkSession.createDataFrame(
+                [(u,) for u in uris],
+                StructType([StructField("__node", StringType(), False)]),
+            )
+        )
+    nodes = subs[0]
+    for s in subs[1:]:
+        nodes = nodes.unionByName(s)
+    nodes = nodes.distinct()
+    return edges.join(nodes, edges["subj"] == nodes["__node"], "left_semi")
+
+
+def compile_query(edges: DataFrame, query) -> DataFrame:
+    """Parse-and-dispatch over all four SPARQL query forms."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if isinstance(q, AskQuery):
+        return compile_ask(edges, q)
+    if isinstance(q, ConstructQuery):
+        return compile_construct(edges, q)
+    if isinstance(q, DescribeQuery):
+        return compile_describe(edges, q)
+    return compile_sparql(edges, q)

@@ -93,9 +93,11 @@ def test_parse_filter_conjunction_and_optional():
     "text",
     [
         "SELECT * WHERE { ?s ?p ?o }",
-        "SELECT ?s WHERE { { ?s ?p ?o } UNION { ?s ?q ?o } }",
-        "PREFIX ex: <http://e/> SELECT ?s WHERE { ?s ex:p ?o . FILTER regex(?o, 'x') }",
-        "SELECT ?s WHERE { ?s <http://p> ?o } GROUP BY ?s",
+        "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
+        "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
+        "SELECT ?s WHERE { ?s <http://p>* ?o }",
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <http://p> ?o } "
+        "GROUP BY ?s HAVING (?n > 1)",
     ],
 )
 def test_unsupported_constructs_raise(text):
@@ -362,3 +364,464 @@ def test_sequence_path_intermediates_not_projected(path_edges):
         "PREFIX p: <http://p/> SELECT ?a WHERE { ?a p:has/p:has ?c . }",
     )
     assert df.columns == ["a"]
+
+
+# --- SPARQL 1.1 inverse (^p), alternation (p1|p2) and UNION ------------------
+
+def test_inverse_path_desugars_to_swapped_pattern():
+    q = sp.parse_sparql(
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a ^p:has ?b . }"
+    )
+    assert q.patterns == [(sp.Var("b"), sp.Uri("http://p/has"), sp.Var("a"))]
+
+
+def test_inverse_path_semantics(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?child ?parent "
+        "WHERE { ?child ^p:has ?parent . } ORDER BY ?child",
+    ).collect()
+    B = "http://b/"
+    assert sorted((r.child, r.parent) for r in rows) == sorted([
+        (B + "d1", "c1"), (B + "x1", B + "d1"), (B + "leaf", B + "x1"),
+    ])
+
+
+def test_inverse_closure_swaps_endpoints(path_edges):
+    # ^(p:has+) from leaf reaches every ancestor
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> PREFIX b: <http://b/> "
+        "SELECT ?anc WHERE { b:leaf ^p:has+ ?anc . } ORDER BY ?anc",
+    ).collect()
+    B = "http://b/"
+    assert [r.anc for r in rows] == sorted(["c1", B + "d1", B + "x1"])
+
+
+def test_alternation_single_slice_semantics(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b "
+        "WHERE { ?a p:has|p:other ?b . } ORDER BY ?a ?b",
+    ).collect()
+    B = "http://b/"
+    assert sorted((r.a, r.b) for r in rows) == sorted([
+        ("c1", B + "d1"), (B + "d1", B + "x1"), (B + "x1", B + "leaf"),
+        ("c1", B + "d9"),
+    ])
+
+
+def test_alternation_mixed_inverse(path_edges):
+    # p:other|^p:has from c1: d9 (forward other) — c1 has no has-parent
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?x "
+        "WHERE { <c1> p:other|^p:has ?x . }",
+    ).collect()
+    assert [r.x for r in rows] == ["http://b/d9"]
+    # and from d1: x1 arrives via ^has (d1's has-parent is c1 -> c1 via ^has)
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> PREFIX b: <http://b/> SELECT ?x "
+        "WHERE { b:d1 p:other|^p:has ?x . } ORDER BY ?x",
+    ).collect()
+    assert [r.x for r in rows] == ["c1"]
+
+
+def test_alternation_closure(path_edges):
+    # (has|other)+ from c1 reaches d9 as well as the has-chain
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b "
+        "WHERE { <c1> (p:has|p:other)+ ?b . } ORDER BY ?b",
+    ).collect()
+    B = "http://b/"
+    assert [r.b for r in rows] == sorted([B + "d1", B + "x1", B + "leaf", B + "d9"])
+
+
+def test_inverse_alternation_distributes():
+    q = sp.parse_sparql(
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a ^(p:x|p:y) ?b . }"
+    )
+    (_, p, _) = q.patterns[0]
+    assert isinstance(p, sp.PathAlt)
+    assert all(st.inverse for st in p.steps)
+
+
+def test_union_standalone(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE "
+        "{ { ?a p:other ?b } UNION { ?a p:note ?b } }",
+    ).collect()
+    assert sorted((r.a, r.b) for r in rows) == sorted([
+        ("c1", "http://b/d9"), ("http://b/d1", "lit"),
+    ])
+
+
+def test_union_joined_with_base_bgp(path_edges):
+    # base pattern anchors ?a to c1's children; union adds the second hop
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE {"
+        " <c1> p:has ?a ."
+        " { ?a p:has ?b } UNION { ?a p:note ?b } }",
+    ).collect()
+    B = "http://b/"
+    assert sorted((r.a, r.b) for r in rows) == sorted([
+        (B + "d1", B + "x1"), (B + "d1", "lit"),
+    ])
+
+
+def test_union_multiset_keeps_duplicates(path_edges):
+    # the same (a,b) solution from both branches must appear twice
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE "
+        "{ { ?a p:other ?b } UNION { ?a p:other ?b } }",
+    ).collect()
+    assert len(rows) == 2
+    # ...and DISTINCT collapses them
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT DISTINCT ?a ?b WHERE "
+        "{ { ?a p:other ?b } UNION { ?a p:other ?b } }",
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_union_mismatched_branch_vars_raises(path_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a WHERE "
+            "{ { ?a p:other ?b } UNION { ?a p:note ?c } }",
+        )
+
+
+def test_union_nested_filter_raises():
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.parse_sparql(
+            "PREFIX p: <http://p/> SELECT ?a WHERE "
+            "{ { ?a p:x ?b . FILTER (?a IN (<u>)) } UNION { ?a p:y ?b } }"
+        )
+
+
+def test_alternation_of_closures_raises():
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.parse_sparql(
+            "PREFIX p: <http://p/> SELECT ?a WHERE { ?a p:x+|p:y ?b . }"
+        )
+
+
+# --- MINUS / VALUES / extended FILTERs ----------------------------------------
+
+def test_minus_anti_join(path_edges):
+    # subjects with a has-edge MINUS those that also carry a note
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a WHERE "
+        "{ ?a p:has ?b . MINUS { ?a p:note ?n } } ORDER BY ?a",
+    ).collect()
+    assert [r.a for r in rows] == ["c1", "http://b/x1"]  # d1 has a note
+
+
+def test_minus_disjoint_domain_is_noop(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE "
+        "{ ?a p:other ?b . MINUS { ?x p:note ?n } }",
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [("c1", "http://b/d9")]
+
+
+def test_minus_on_optional_bound_var_raises(path_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a WHERE { ?a p:has ?b . "
+            "OPTIONAL { ?a p:note ?n } MINUS { ?x p:note ?n } }",
+        )
+
+
+def test_values_single_var_join(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE "
+        "{ ?a p:has ?b . VALUES ?a { <c1> <http://b/x1> } } ORDER BY ?a",
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [
+        ("c1", "http://b/d1"), ("http://b/x1", "http://b/leaf"),
+    ]
+
+
+def test_values_multi_var_with_undef_nonjoin_col(path_edges):
+    # ?tag is new (not a join var) so UNDEF is allowed there -> NULL
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?tag WHERE "
+        '{ ?a p:other ?b . VALUES (?a ?tag) { (<c1> "root") (<zz> UNDEF) } }',
+    ).collect()
+    assert [(r.a, r.tag) for r in rows] == [("c1", "root")]
+
+
+def test_values_undef_in_join_var_raises(path_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a WHERE "
+            "{ ?a p:other ?b . VALUES ?a { UNDEF } }",
+        )
+
+
+def test_filter_regex_and_flags(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?n WHERE "
+        '{ ?a p:note ?n . FILTER regex(?n, "^LI", "i") }',
+    ).collect()
+    assert [r.n for r in rows] == ["lit"]
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?n WHERE "
+        '{ ?a p:note ?n . FILTER regex(?n, "^LI") }',
+    ).collect()
+    assert rows == []
+
+
+def test_filter_neq_and_strstarts(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b WHERE "
+        '{ <c1> p:has|p:other ?b . FILTER (?b != <http://b/d9> && STRSTARTS(?b, "http://b/")) }',
+    ).collect()
+    assert [r.b for r in rows] == ["http://b/d1"]
+
+
+def test_filter_contains(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b WHERE "
+        '{ ?a p:other ?b . FILTER CONTAINS(?b, "d9") }',
+    ).collect()
+    assert [r.b for r in rows] == ["http://b/d9"]
+
+
+def test_filter_unsupported_operator_raises():
+    with pytest.raises(sp.SparqlError):
+        sp.parse_sparql(
+            'PREFIX p: <http://p/> SELECT ?t WHERE { ?d p:x ?t . FILTER (?t < "z") }'
+        )
+
+
+# --- aggregates / GROUP BY ----------------------------------------------------
+
+def test_group_by_count(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a (COUNT(?b) AS ?n) WHERE "
+        "{ ?a p:has|p:other ?b . } GROUP BY ?a ORDER BY ?a",
+    ).collect()
+    assert [(r.a, r.n) for r in rows] == [
+        ("c1", 2), ("http://b/d1", 1), ("http://b/x1", 1),
+    ]
+
+
+def test_global_aggregates(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT (COUNT(*) AS ?n) "
+        "(COUNT(DISTINCT ?a) AS ?na) (MIN(?b) AS ?mn) (MAX(?b) AS ?mx) "
+        "WHERE { ?a p:has ?b . }",
+    ).collect()
+    r = rows[0]
+    assert (r.n, r.na) == (3, 3)
+    assert r.mn == "http://b/d1" and r.mx == "http://b/x1"
+
+
+def test_sum_avg_numeric_cast(spark):
+    B = "http://b/"
+    rows = [
+        (B + "s1", "http://p/v", "2", "literal", None, None),
+        (B + "s1", "http://p/v", "3", "literal", None, None),
+        (B + "s2", "http://p/v", "5", "literal", None, None),
+        (B + "s2", "http://p/v", "oops", "literal", None, None),  # non-numeric
+    ]
+    cols = [f.name for f in EDGES.fields]
+    data = [r + (None,) * (len(cols) - len(r)) for r in rows]
+    df = spark.createDataFrame(data, schema=EDGES)
+    got = sp.compile_sparql(
+        df,
+        "PREFIX p: <http://p/> SELECT ?s (SUM(?v) AS ?t) (AVG(?v) AS ?m) "
+        "WHERE { ?s p:v ?v . } GROUP BY ?s ORDER BY ?s",
+    ).collect()
+    assert [(r.s, r.t, r.m) for r in got] == [
+        (B + "s1", 5.0, 2.5), (B + "s2", 5.0, 5.0),
+    ]
+
+
+def test_selected_var_not_grouped_raises(path_edges):
+    with pytest.raises(sp.SparqlError):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a ?b (COUNT(?b) AS ?n) WHERE "
+            "{ ?a p:has ?b . } GROUP BY ?a",
+        )
+
+
+def test_aggregate_on_unbound_var_raises(path_edges):
+    with pytest.raises(sp.SparqlError):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT (COUNT(?zz) AS ?n) WHERE "
+            "{ ?a p:has ?b . }",
+        )
+
+
+# --- ASK / CONSTRUCT / DESCRIBE -----------------------------------------------
+
+def test_ask_true_false(path_edges):
+    assert sp.compile_query(
+        path_edges, "PREFIX p: <http://p/> ASK { ?a p:note ?n }"
+    ).collect()[0].ask is True
+    assert sp.compile_query(
+        path_edges, "PREFIX p: <http://p/> ASK WHERE { ?a p:nope ?n }"
+    ).collect()[0].ask is False
+
+
+def test_construct_swapped_direction_and_typing(path_edges):
+    got = sorted(
+        tuple(r)
+        for r in sp.compile_query(
+            path_edges,
+            "PREFIX p: <http://p/> CONSTRUCT { "
+            "?b <urn:child-of> ?a . ?b a <urn:Child> } "
+            "WHERE { ?a p:has ?b . }",
+        ).collect()
+    )
+    B = "http://b/"
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    want = sorted(
+        [(B + c, "urn:child-of", p, "uri", None, None)
+         for c, p in (("d1", "c1"), ("x1", B + "d1"), ("leaf", B + "x1"))]
+        + [(B + c, RT, "urn:Child", "uri", None, None)
+           for c in ("d1", "x1", "leaf")]
+    )
+    assert got == want
+
+
+def test_construct_carries_literal_metadata(spark):
+    B = "http://b/"
+    rows = [
+        (B + "s1", "http://p/t", "hello", "literal", "en", None),
+        (B + "s2", "http://p/t", "5", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        (B + "s3", "http://p/t", B + "other", "uri", None, None),
+    ]
+    cols = [f.name for f in EDGES.fields]
+    data = [r + (None,) * (len(cols) - len(r)) for r in rows]
+    df = spark.createDataFrame(data, schema=EDGES)
+    got = sorted(
+        tuple(r)
+        for r in sp.compile_query(
+            df,
+            "PREFIX p: <http://p/> CONSTRUCT { ?s <urn:label> ?t } "
+            "WHERE { ?s p:t ?t . }",
+        ).collect()
+    )
+    assert got == sorted([
+        (B + "s1", "urn:label", "hello", "literal", "en", None),
+        (B + "s2", "urn:label", "5", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        (B + "s3", "urn:label", B + "other", "uri", None, None),
+    ])
+
+
+def test_construct_drops_literal_subject_instantiations(spark):
+    B = "http://b/"
+    rows = [
+        (B + "s1", "http://p/t", "textval", "literal", None, None),
+        (B + "s2", "http://p/t", B + "u1", "uri", None, None),
+    ]
+    cols = [f.name for f in EDGES.fields]
+    data = [r + (None,) * (len(cols) - len(r)) for r in rows]
+    df = spark.createDataFrame(data, schema=EDGES)
+    # ?t in subject position: the literal binding must be skipped, not emitted
+    got = [
+        tuple(r)
+        for r in sp.compile_query(
+            df,
+            "PREFIX p: <http://p/> CONSTRUCT { ?t <urn:from> ?s } "
+            "WHERE { ?s p:t ?t . }",
+        ).collect()
+    ]
+    assert got == [(B + "u1", "urn:from", B + "s2", "uri", None, None)]
+
+
+def test_construct_literal_object_template(path_edges):
+    got = [
+        tuple(r)
+        for r in sp.compile_query(
+            path_edges,
+            'PREFIX p: <http://p/> CONSTRUCT { ?a <urn:mark> "seen"@en } '
+            "WHERE { ?a p:other ?b . }",
+        ).collect()
+    ]
+    assert got == [("c1", "urn:mark", "seen", "literal", "en", None)]
+
+
+def test_construct_with_filter(path_edges):
+    got = [
+        tuple(r)
+        for r in sp.compile_query(
+            path_edges,
+            "PREFIX p: <http://p/> CONSTRUCT { ?a <urn:kept> ?b } "
+            'WHERE { ?a p:has ?b . FILTER CONTAINS(?b, "leaf") }',
+        ).collect()
+    ]
+    assert got == [
+        ("http://b/x1", "urn:kept", "http://b/leaf", "uri", None, None)
+    ]
+
+
+def test_construct_is_a_set(path_edges):
+    # two template triples collapsing to the same output triple -> one row
+    got = sp.compile_query(
+        path_edges,
+        "PREFIX p: <http://p/> CONSTRUCT { ?a a <urn:T> . ?a a <urn:T> } "
+        "WHERE { ?a p:has ?b . }",
+    ).collect()
+    assert len(got) == 3  # c1, d1, x1 — deduped across templates
+
+
+def test_describe_var(path_edges):
+    got = sorted(
+        (r.subj, r.pred, r.obj)
+        for r in sp.compile_query(
+            path_edges,
+            "PREFIX p: <http://p/> DESCRIBE ?a WHERE { <c1> p:has ?a . }",
+        ).collect()
+    )
+    B = "http://b/"
+    assert got == sorted([
+        (B + "d1", "http://p/has", B + "x1"),
+        (B + "d1", "http://p/note", "lit"),
+    ])
+
+
+def test_describe_uris_without_where(path_edges):
+    got = sorted(
+        (r.subj, r.obj)
+        for r in sp.compile_query(
+            path_edges, "DESCRIBE <c1> <http://b/x1>"
+        ).collect()
+    )
+    B = "http://b/"
+    assert got == sorted([
+        ("c1", B + "d1"), ("c1", B + "d9"), (B + "x1", B + "leaf"),
+    ])
+
+
+def test_compile_sparql_rejects_other_forms(path_edges):
+    with pytest.raises(sp.SparqlError):
+        sp.compile_sparql(path_edges, "PREFIX p: <http://p/> ASK { ?a p:x ?b }")

@@ -231,3 +231,246 @@ def test_fuzz_compiler_vs_naive(spark):
         if case >= 19 and n_nonempty >= 25:
             break  # enough signal; keep the suite fast
     assert n_nonempty >= 25  # the generator must actually produce matches
+
+
+# ===========================================================================
+# extended-construct fuzz: UNION / MINUS / VALUES / path alternation+inverse
+# / extended FILTERs, against the same style of naive evaluator
+# ===========================================================================
+
+import re as _re
+
+
+def gen_alt_pred(rng: random.Random) -> sp.PathAlt:
+    steps = tuple(
+        sp.PathStep(sp.Uri(rng.choice(PRED)), inverse=rng.random() < 0.4)
+        for _ in range(rng.randint(1, 3))
+    )
+    return sp.PathAlt(steps)
+
+
+def gen_query_ext(rng: random.Random) -> sp.Query:
+    patterns = []
+    for _ in range(rng.randint(1, 2)):
+        s = gen_term(rng, "subj", 0.8)
+        o = gen_term(rng, "obj", 0.8)
+        p = gen_alt_pred(rng) if rng.random() < 0.4 else gen_term(rng, "pred", 0.2)
+        if (
+            isinstance(p, sp.PathAlt)
+            and any(st.inverse for st in p.steps)
+            and isinstance(o, sp.Lit)
+        ):
+            # an inverse step puts ?o in subject position, where a literal
+            # is a (correctly) refused shape — keep the fuzz in-subset
+            o = sp.Var(rng.choice(VARS))
+        patterns.append((s, p, o))
+    bound = {
+        t.name
+        for p in patterns
+        for t in (p[0], p[2]) + ((p[1],) if isinstance(p[1], sp.Var) else ())
+        if isinstance(t, sp.Var)
+    }
+
+    unions = []
+    if rng.random() < 0.6:
+        va, vb = rng.sample(VARS, 2)
+        branches = [
+            [(sp.Var(va), sp.Uri(rng.choice(PRED)), sp.Var(vb))]
+            for _ in range(rng.randint(2, 3))
+        ]
+        unions.append(branches)
+        bound |= {va, vb}
+
+    values_blocks = []
+    if bound and rng.random() < 0.4:
+        var = rng.choice(sorted(bound))
+        vals = rng.sample(SUBJ + OBJ_URI, rng.randint(1, 3))
+        values_blocks.append(([var], [[v] for v in vals]))
+
+    minus = []
+    if bound and rng.random() < 0.5:
+        share = sp.Var(rng.choice(sorted(bound)))
+        minus.append(
+            [(share, sp.Uri(rng.choice(PRED)), gen_term(rng, "obj", 0.6))]
+        )
+
+    filter_exprs = []
+    if bound and rng.random() < 0.5:
+        var = rng.choice(sorted(bound))
+        kind = rng.choice(["cmp", "regex", "strstarts", "contains"])
+        if kind == "cmp":
+            filter_exprs.append(
+                ("cmp", var, rng.choice(["=", "!="]), rng.choice(SUBJ + OBJ_URI + ["v"]))
+            )
+        elif kind == "regex":
+            filter_exprs.append(
+                ("regex", var, rng.choice(["^v", "o[01]", "s[02]", "^W"]),
+                 rng.choice(["", "i"]))
+            )
+        elif kind == "strstarts":
+            filter_exprs.append(("strstarts", var, rng.choice(["http://x.org/", "v", "w"])))
+        else:
+            filter_exprs.append(("contains", var, rng.choice(["s0", "o", " x"])))
+
+    select = sorted(bound) or ["a"]
+    return sp.Query(
+        select=select,
+        distinct=rng.random() < 0.4,
+        patterns=patterns,
+        optionals=[],
+        filters=[],
+        order_by=[],
+        limit=None,
+        unions=unions,
+        filter_exprs=filter_exprs,
+        minus=minus,
+        values_blocks=values_blocks,
+    )
+
+
+def render_pred(p) -> str:
+    if isinstance(p, sp.PathAlt):
+        return "|".join(
+            ("^" if st.inverse else "") + f"<{st.pred.value}>" for st in p.steps
+        )
+    return render_term(p)
+
+
+def render_query_ext(q: sp.Query) -> str:
+    lines = [
+        f"{render_term(s)} {render_pred(p)} {render_term(o)} ."
+        for (s, p, o) in q.patterns
+    ]
+    for branches in q.unions:
+        parts = [
+            "{ " + " . ".join(
+                " ".join(render_term(t) for t in pat) for pat in br
+            ) + " }"
+            for br in branches
+        ]
+        lines.append(" UNION ".join(parts))
+    for vars_, rows in q.values_blocks:
+        data = " ".join(f"<{r[0]}>" if r[0].startswith("http") else f'"{r[0]}"' for r in rows)
+        lines.append(f"VALUES ?{vars_[0]} {{ {data} }}")
+    for group in q.minus:
+        inner = " . ".join(" ".join(render_term(t) for t in pat) for pat in group)
+        lines.append("MINUS { " + inner + " }")
+    for expr in q.filter_exprs:
+        if expr[0] == "cmp":
+            _, var, op, val = expr
+            rv = f"<{val}>" if val.startswith("http") else f'"{val}"'
+            lines.append(f"FILTER (?{var} {op} {rv})")
+        elif expr[0] == "regex":
+            _, var, pat, flags = expr
+            f = f', "{flags}"' if flags else ""
+            lines.append(f'FILTER regex(?{var}, "{pat}"{f})')
+        elif expr[0] == "strstarts":
+            lines.append(f'FILTER STRSTARTS(?{expr[1]}, "{expr[2]}")')
+        else:
+            lines.append(f'FILTER CONTAINS(?{expr[1]}, "{expr[2]}")')
+    sel = " ".join(f"?{v}" for v in q.select)
+    head = "SELECT DISTINCT" if q.distinct else "SELECT"
+    return f"{head} {sel} WHERE {{\n" + "\n".join(lines) + "\n}"
+
+
+def match_pattern_ext(edges, pat, binding):
+    s, p, o = pat
+    if isinstance(p, sp.PathAlt):
+        out = []
+        for st in p.steps:
+            bp = (
+                (s, sp.Uri(st.pred.value), o)
+                if not st.inverse
+                else (o, sp.Uri(st.pred.value), s)
+            )
+            out.extend(match_pattern(edges, bp, binding))
+        return out
+    return match_pattern(edges, pat, binding)
+
+
+def eval_group_ext(edges, patterns):
+    sols = [{}]
+    for pat in patterns:
+        sols = [b for s in sols for b in match_pattern_ext(edges, pat, s)]
+    return sols
+
+
+def eval_naive_ext(edges, q: sp.Query):
+    sols = eval_group_ext(edges, q.patterns) if q.patterns else None
+    bound = set()
+    for p in q.patterns:
+        for t in (p[0], p[2]) + ((p[1],) if isinstance(p[1], sp.Var) else ()):
+            if isinstance(t, sp.Var):
+                bound.add(t.name)
+    for branches in q.unions:
+        bsols = [b for br in branches for b in eval_group_ext(edges, br)]
+        bvars = {
+            t.name for br in branches for p in br for t in p
+            if isinstance(t, sp.Var)
+        }
+        if sols is None:
+            sols, bound = bsols, bvars
+        else:
+            shared = sorted(bound & bvars)
+            sols = [
+                {**r, **g}
+                for r in sols
+                for g in bsols
+                if all(g.get(v) == r.get(v) for v in shared)
+            ]
+            bound |= bvars
+    for vars_, rows in q.values_blocks:
+        var, vals = vars_[0], {r[0] for r in rows}
+        sols = [s for s in sols if s.get(var) in vals]
+    for group in q.minus:
+        gsols = eval_group_ext(edges, group)
+        gvars = {t.name for p in group for t in p if isinstance(t, sp.Var)}
+        shared = sorted(bound & gvars)
+        if not shared:
+            continue
+        sols = [
+            r for r in sols
+            if not any(all(g.get(v) == r.get(v) for v in shared) for g in gsols)
+        ]
+    for expr in q.filter_exprs:
+        kind, var = expr[0], expr[1]
+        def keep(s, expr=expr, kind=kind, var=var):
+            v = s.get(var)
+            if v is None:
+                return False
+            if kind == "cmp":
+                return v == expr[3] if expr[2] == "=" else v != expr[3]
+            if kind == "regex":
+                flags = _re.I if "i" in expr[3] else 0
+                return _re.search(expr[2], v, flags) is not None
+            if kind == "strstarts":
+                return v.startswith(expr[2])
+            return expr[2] in v
+        sols = [s for s in sols if keep(s)]
+    rows = [tuple(s.get(v) for v in q.select) for s in sols]
+    if q.distinct:
+        rows = list(set(rows))
+    return rows
+
+
+def test_fuzz_extended_constructs(spark):
+    rng = random.Random(20260819)
+    n_nonempty = 0
+    for case in range(60):
+        edges = gen_edges(rng)
+        df = spark.createDataFrame(
+            [tuple(e.values()) for e in edges], schema=EDGES_SCHEMA
+        )
+        for _ in range(3):
+            q = gen_query_ext(rng)
+            text = render_query_ext(q)
+            parsed = sp.parse_sparql(text)
+            got = sorted(
+                tuple(r) for r in sp.compile_sparql(df, parsed).collect()
+            )
+            want = sorted(eval_naive_ext(edges, q))
+            assert got == want, f"case {case}:\n{text}\nspark={got}\nnaive={want}"
+            n_nonempty += bool(want)
+        if case >= 19 and n_nonempty >= 25:
+            break
+    assert n_nonempty >= 25
