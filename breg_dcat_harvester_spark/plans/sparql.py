@@ -1416,8 +1416,11 @@ def compile_construct(
     """``CONSTRUCT { template } WHERE { … }`` → a new triple SET with the
     merged-edges term columns (subj, pred, obj, obj_kind, lang, dtype).
 
-    The KG-construction query form: one solution scan, one projection per
-    template triple, one union, one final distinct (a graph is a set).
+    The KG-construction query form, compiled as ONE pass over the solution
+    join: every template triple becomes a struct column, the row explodes
+    the k-element template array, and a final distinct makes the graph a
+    set — the WHERE join executes once however many template triples the
+    mapping emits (a per-template union would re-execute it k times).
     Object variables carry their term metadata from the WHERE clause;
     solutions that would put a literal in subject/predicate position are
     dropped per the SPARQL spec (invalid instantiations are skipped).
@@ -1442,10 +1445,10 @@ def compile_construct(
     acc = _apply_filters(acc, bound, q)
 
     null_str = F.lit(None).cast("string")
-    parts: list[DataFrame] = []
+    structs = []
     for (s, p, o) in cq.template:
-        df = acc
-        head = []
+        fields = []
+        valid = F.lit(True)
         for t, alias in ((s, "subj"), (p, "pred")):
             if isinstance(t, Lit):
                 raise SparqlError(
@@ -1453,43 +1456,48 @@ def compile_construct(
                 )
             if isinstance(t, Var):
                 if t.name in have_meta:  # may bind literals: skip those rows
-                    df = df.filter(F.col(f"{t.name}__okind") == "uri")
-                head.append(F.col(t.name).alias(alias))
+                    valid = valid & (F.col(f"{t.name}__okind") == "uri")
+                fields.append(F.col(t.name).alias(alias))
             else:
-                head.append(F.lit(t.value).alias(alias))
+                fields.append(F.lit(t.value).alias(alias))
         if isinstance(o, Var):
             if o.name in have_meta:
-                tail = [
+                fields += [
                     F.col(o.name).alias("obj"),
                     F.col(f"{o.name}__okind").alias("obj_kind"),
                     F.col(f"{o.name}__olang").alias("lang"),
                     F.col(f"{o.name}__odt").alias("dtype"),
                 ]
             else:  # bound only at subject position -> always a URI
-                tail = [
+                fields += [
                     F.col(o.name).alias("obj"),
                     F.lit("uri").alias("obj_kind"),
                     null_str.alias("lang"),
                     null_str.alias("dtype"),
                 ]
         elif isinstance(o, Uri):
-            tail = [
+            fields += [
                 F.lit(o.value).alias("obj"),
                 F.lit("uri").alias("obj_kind"),
                 null_str.alias("lang"),
                 null_str.alias("dtype"),
             ]
         else:
-            tail = [
+            fields += [
                 F.lit(o.lex).alias("obj"),
                 F.lit("literal").alias("obj_kind"),
                 (F.lit(o.lang) if o.lang is not None else null_str).alias("lang"),
                 (F.lit(o.dtype) if o.dtype is not None else null_str).alias("dtype"),
             ]
-        parts.append(df.select(*head, *tail))
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
+        # invalid instantiations (literal where a URI must go) become NULL
+        # array elements, filtered after the explode — keeping the whole
+        # template inside ONE projection over ONE solution scan
+        structs.append(F.when(valid, F.struct(*fields)))
+    out = (
+        acc.select(F.explode(F.array(*structs)).alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .select("__t.*")
+    )
     return out.distinct()
 
 
