@@ -554,6 +554,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     ).select("subj", "pred", "obj", "obj_kind", "lang", "dtype").distinct()
 
+    # HAVING: post-aggregate group filter over a genuinely varied
+    # distribution (per-subject attribution counts span 1..4 at sf0.01)
+    q["kg_sparql_having"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        SELECT ?s (COUNT(?agent) AS ?n) WHERE {
+            ?s prov:wasAttributedTo ?agent .
+        } GROUP BY ?s HAVING (?n >= 3)
+        """,
+    )
+
+    # BIND: deterministic URI minting (the skolemization idiom) — IRI over
+    # CONCAT+SHA256, all whole-stage-codegen'd Column expressions
+    q["kg_sparql_bind_skolem"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?d ?u WHERE {
+            ?d rdf:type dcat:Dataset .
+            BIND(IRI(CONCAT("urn:skolem:", SHA256(?d))) AS ?u)
+        }
+        """,
+    )
+
     # J7/J8/A5/A6: detail stage over the search result
     def _detail(spark, sf):
         merged = _merged(spark, sf)
@@ -1633,6 +1659,22 @@ WHERE e.subj IN (
     SELECT subj FROM edges
     WHERE pred = '{RDF_TYPE}' AND obj = '{CLASS_URIS["Catalog"]}'
 )
+"""
+
+    # HAVING = post-aggregate filter
+    sql["kg_sparql_having"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT subj AS s, COUNT(obj) AS n
+FROM edges WHERE pred = 'http://www.w3.org/ns/prov#wasAttributedTo'
+GROUP BY subj HAVING COUNT(obj) >= 3
+"""
+
+    # BIND skolem minting = sha256 hex (lowercase in both engines)
+    sql["kg_sparql_bind_skolem"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT subj AS d, 'urn:skolem:' || sha256(subj) AS u
+FROM edges
+WHERE pred = '{RDF_TYPE}' AND obj = '{CLASS_URIS["Dataset"]}'
 """
 
     # VALUES = IN over the inline data

@@ -52,7 +52,8 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
   ``rlike`` (both are substring-find semantics), ``STRSTARTS``/
   ``CONTAINS`` → ``startswith``/``contains``;
 * aggregates ``COUNT [DISTINCT]``/``MIN``/``MAX``/``SUM``/``AVG`` with
-  GROUP BY → one ``groupBy().agg()`` (map-side partial aggregation);
+  GROUP BY → one ``groupBy().agg()`` (map-side partial aggregation), and
+  ``HAVING (?alias <op> value)`` → a post-aggregate filter;
 * all four query forms: SELECT (``compile_sparql``), ASK (``compile_ask``
   — LocalLimit(1) under the aggregate, stops at the first solution),
   CONSTRUCT (``compile_construct`` — template projections unioned into a
@@ -63,7 +64,7 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
   orderBy on the projected variables (Virtuoso's unordered LIMIT is not
   reproducible; same convention as the hand-built builders).
 
-Out-of-subset constructs (sub-SELECT, BIND, HAVING,
+Out-of-subset constructs (sub-SELECT, GRAPH, SERVICE,
 ``p*``/``p?`` path modifiers, unparenthesized ``|``/``/`` precedence
 mixes, …) raise ``SparqlUnsupported`` — never silently mis-execute.
 """
@@ -163,6 +164,14 @@ class Query:
     # aggregate select items: alias -> (fn, var-or-None[COUNT *], distinct)
     aggs: dict[str, tuple[str, str | None, bool]] = field(default_factory=dict)
     group_by: list[str] = field(default_factory=list)
+    # HAVING atoms: (alias-or-group-var, op, value) — value int/float/str
+    having: list[tuple[str, str, "int | float | str"]] = field(
+        default_factory=list
+    )
+    # BIND items in syntactic order: (target var, expr AST) where expr is
+    # ("var", name) | ("lit", s) | (fn, [args]) for fn in
+    # concat/str/iri/sha256/lcase/ucase
+    binds: list[tuple[str, tuple]] = field(default_factory=list)
 
 
 @dataclass
@@ -216,8 +225,8 @@ _TOKEN = re.compile(
     | (?P<var>\?[A-Za-z_][\w]*)
     | (?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*)
     | (?P<kw>[A-Za-z_][\w]*)
-    | (?P<num>\d+)
-    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/|\||\^|!=|=|\*)
+    | (?P<num>\d+\.\d+|\d+)
+    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/|\||\^|!=|<=|>=|<|>|=|\*)
     """,
     re.VERBOSE,
 )
@@ -380,9 +389,10 @@ class _Parser:
         bound variable (for the non-SELECT query forms)."""
         (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks,
+            values_blocks, binds,
         ) = self._group_body()
         bound = _group_bound_vars(patterns, optionals, unions, values_blocks)
+        bound |= {v for v, _ in binds}
         return Query(
             select=sorted(bound),
             distinct=False,
@@ -395,6 +405,7 @@ class _Parser:
             filter_exprs=filter_exprs,
             minus=minus,
             values_blocks=values_blocks,
+            binds=binds,
         )
 
     def _parse_select(self) -> Query:
@@ -420,9 +431,8 @@ class _Parser:
         self.expect("WHERE")
         (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks,
+            values_blocks, binds,
         ) = self._group_body()
-
 
         group_by: list[str] = []
         if self._kw("GROUP"):
@@ -431,6 +441,33 @@ class _Parser:
                 group_by.append(self.next()[1:])
             if not group_by:
                 raise SparqlError("GROUP BY expects variables")
+
+        having: list[tuple[str, str, int | float | str]] = []
+        if self._kw("HAVING"):
+            self.expect("(")
+            while True:
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlUnsupported(
+                        "HAVING supports ?alias <op> value atoms only"
+                    )
+                op = self.next()
+                if op not in ("=", "!=", "<", "<=", ">", ">="):
+                    raise SparqlUnsupported(f"HAVING operator {op!r}")
+                tok = self.peek()
+                val: int | float | str
+                if tok is not None and re.fullmatch(r"\d+\.\d+", tok):
+                    val = float(self.next())
+                elif tok is not None and tok.isdigit():
+                    val = int(self.next())
+                else:
+                    val = self._plain_string("HAVING comparison value")
+                having.append((v[1:], op, val))
+                if self.peek() == "&&":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
 
         order_by: list[tuple[str, bool]] = []
         if self._kw("ORDER"):
@@ -459,6 +496,7 @@ class _Parser:
             select, distinct, patterns, optionals, filters, order_by, limit,
             unions=unions, filter_exprs=filter_exprs, minus=minus,
             values_blocks=values_blocks, aggs=aggs, group_by=group_by,
+            having=having, binds=binds,
         )
 
     def _agg_item(self) -> tuple[str, tuple[str, str | None, bool]]:
@@ -502,6 +540,7 @@ class _Parser:
         filter_exprs: list[tuple] = []
         minus: list[list[tuple[Term, Term, Term]]] = []
         values_blocks: list[tuple[list[str], list[list[str | None]]]] = []
+        binds: list[tuple[str, tuple]] = []
         while True:
             tok = self.peek()
             if tok is None:
@@ -551,15 +590,56 @@ class _Parser:
                 self.next()
                 values_blocks.append(self._values())
                 continue
-            if tok.upper() in ("BIND", "GRAPH", "SERVICE"):
+            if tok.upper() == "BIND":
+                self.next()
+                self.expect("(")
+                expr = self._expr()
+                self.expect("AS")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlError("BIND AS expects a variable")
+                self.expect(")")
+                binds.append((v[1:], expr))
+                continue
+            if tok.upper() in ("GRAPH", "SERVICE"):
                 raise SparqlUnsupported(
                     f"{tok.upper()} is outside the supported subset"
                 )
             patterns.extend(self._triple())
         return (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks,
+            values_blocks, binds,
         )
+
+    _EXPR_FNS = {
+        "CONCAT": None, "STR": 1, "IRI": 1, "URI": 1,
+        "SHA256": 1, "LCASE": 1, "UCASE": 1,
+    }
+
+    def _expr(self) -> tuple:
+        """BIND expression subset: ?var | "lit" | fn(args) for the URI-mint
+        / string-shaping functions a mapping workload needs."""
+        tok = self.peek()
+        if tok is None:
+            raise SparqlError("unexpected end of expression")
+        if tok.startswith("?"):
+            return ("var", self.next()[1:])
+        if tok.startswith('"'):
+            return ("lit", self._plain_string("BIND literal"))
+        fn = tok.upper()
+        if fn in self._EXPR_FNS:
+            self.next()
+            self.expect("(")
+            args = [self._expr()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self._expr())
+            self.expect(")")
+            arity = self._EXPR_FNS[fn]
+            if arity is not None and len(args) != arity:
+                raise SparqlError(f"{fn} expects {arity} argument(s)")
+            return ("iri" if fn == "URI" else fn.lower(), args)
+        raise SparqlUnsupported(f"BIND expression {tok!r}")
 
     def _group_triples(self) -> list[tuple[Term, Term, Term]]:
         """``{ triples }`` — a UNION branch.  Branches hold plain patterns
@@ -1129,6 +1209,70 @@ def _in_values(terms: list[Term]) -> list[str]:
     return [t.value if isinstance(t, Uri) else t.lex for t in terms]
 
 
+def _expr_col(expr: tuple):
+    """BIND expression AST → a Column (always whole-stage-codegen'd)."""
+    kind = expr[0]
+    if kind == "var":
+        return F.col(expr[1])
+    if kind == "lit":
+        return F.lit(expr[1])
+    args = [_expr_col(a) for a in expr[1]]
+    if kind == "concat":
+        return F.concat(*args)
+    if kind in ("str", "iri"):  # identity over our lexical strings
+        return args[0]
+    if kind == "sha256":
+        return F.sha2(args[0], 256)
+    if kind == "lcase":
+        return F.lower(args[0])
+    if kind == "ucase":
+        return F.upper(args[0])
+    raise SparqlUnsupported(f"expression {kind!r}")  # pragma: no cover
+
+
+def _expr_vars(expr: tuple) -> set[str]:
+    if expr[0] == "var":
+        return {expr[1]}
+    if expr[0] == "lit":
+        return set()
+    return set().union(*(_expr_vars(a) for a in expr[1])) if expr[1] else set()
+
+
+def _expr_is_iri(expr: tuple) -> bool:
+    """Statically-known term kind of a BIND result: IRI(...) mints a URI,
+    everything else is a (plain) literal."""
+    return expr[0] == "iri"
+
+
+def _apply_binds(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
+    """BIND stage: each target becomes a computed column.  A bind target
+    referenced by a triple pattern would need the pattern join to see the
+    computed value (patterns compile first) — refused, never mis-joined."""
+    binds = getattr(q, "binds", []) or []
+    if not binds:
+        return acc
+    targets = {v for v, _ in binds}
+    pattern_vars = _group_bound_vars(
+        q.patterns, q.optionals, q.unions, q.values_blocks
+    )
+    clash = targets & pattern_vars
+    if clash:
+        raise SparqlUnsupported(
+            f"BIND target ?{sorted(clash)[0]} also appears in a graph pattern"
+        )
+    for v, expr in binds:
+        if v in bound:
+            raise SparqlError(f"BIND target ?{v} is already bound")
+        missing = _expr_vars(expr) - bound
+        if missing:
+            raise SparqlError(
+                f"BIND references unbound variable ?{sorted(missing)[0]}"
+            )
+        acc = acc.withColumn(v, _expr_col(expr))
+        bound.add(v)
+    return acc
+
+
 def _apply_filters(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
     """IN filters + extended FILTER atoms — shared by every query form."""
     for var, terms in q.filters:
@@ -1226,6 +1370,8 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
             acc = acc.crossJoin(F.broadcast(vdf))
             bound |= set(vars_)
 
+    acc = _apply_binds(acc, bound, q)
+
     opt_bound: set[str] = set()
     for group in q.optionals:
         gdf, gvars = _join_group(edges, group)
@@ -1293,6 +1439,20 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
         cols = [_agg_col(a, s) for a, s in aggs.items()]
         acc = (acc.groupBy(*group_by) if group_by else acc.groupBy()).agg(*cols)
         bound = set(group_by) | set(aggs)
+
+    for (var, op, val) in getattr(q, "having", []) or []:
+        if not (aggs or group_by):
+            raise SparqlError("HAVING without aggregation")
+        if var not in bound:
+            raise SparqlError(f"HAVING on unknown variable ?{var}")
+        col = F.col(var)
+        acc = acc.filter(
+            {
+                "=": col == val, "!=": col != val,
+                "<": col < val, "<=": col <= val,
+                ">": col > val, ">=": col >= val,
+            }[op]
+        )
 
     # SPARQL unbound-projection semantics: a selected var no pattern binds
     # is NULL (the reference facet templates project a never-bound
@@ -1437,6 +1597,13 @@ def compile_construct(
         t.name for pat in cq.template for t in pat if isinstance(t, Var)
     }
     acc, bound, have_meta = _bgp_with_meta(edges, q.patterns, tvars)
+    acc = _apply_binds(acc, bound, q)
+    # a BIND result's term kind is statically known: IRI(...) mints a URI,
+    # everything else is a plain literal
+    bind_kind = {
+        v: ("uri" if _expr_is_iri(expr) else "literal")
+        for v, expr in (getattr(q, "binds", []) or [])
+    }
     missing = sorted(tvars - bound)
     if missing:
         raise SparqlError(
@@ -1455,13 +1622,27 @@ def compile_construct(
                     "literal in CONSTRUCT subject/predicate position"
                 )
             if isinstance(t, Var):
+                if bind_kind.get(t.name) == "literal":
+                    # statically always-invalid instantiation: every row
+                    # would be skipped — surely a query bug, refuse
+                    raise SparqlError(
+                        f"BIND literal ?{t.name} in CONSTRUCT "
+                        f"{alias} position (wrap it in IRI())"
+                    )
                 if t.name in have_meta:  # may bind literals: skip those rows
                     valid = valid & (F.col(f"{t.name}__okind") == "uri")
                 fields.append(F.col(t.name).alias(alias))
             else:
                 fields.append(F.lit(t.value).alias(alias))
         if isinstance(o, Var):
-            if o.name in have_meta:
+            if o.name in bind_kind:
+                fields += [
+                    F.col(o.name).alias("obj"),
+                    F.lit(bind_kind[o.name]).alias("obj_kind"),
+                    null_str.alias("lang"),
+                    null_str.alias("dtype"),
+                ]
+            elif o.name in have_meta:
                 fields += [
                     F.col(o.name).alias("obj"),
                     F.col(f"{o.name}__okind").alias("obj_kind"),

@@ -96,8 +96,7 @@ def test_parse_filter_conjunction_and_optional():
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
         "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
         "SELECT ?s WHERE { ?s <http://p>* ?o }",
-        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <http://p> ?o } "
-        "GROUP BY ?s HAVING (?n > 1)",
+        "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
     ],
 )
 def test_unsupported_constructs_raise(text):
@@ -825,3 +824,100 @@ def test_describe_uris_without_where(path_edges):
 def test_compile_sparql_rejects_other_forms(path_edges):
     with pytest.raises(sp.SparqlError):
         sp.compile_sparql(path_edges, "PREFIX p: <http://p/> ASK { ?a p:x ?b }")
+
+
+# --- HAVING / BIND --------------------------------------------------------------
+
+def test_having_filters_groups(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a (COUNT(?b) AS ?n) WHERE "
+        "{ ?a p:has|p:other ?b . } GROUP BY ?a HAVING (?n >= 2) ORDER BY ?a",
+    ).collect()
+    assert [(r.a, r.n) for r in rows] == [("c1", 2)]
+
+
+def test_having_without_aggregation_raises(path_edges):
+    with pytest.raises(sp.SparqlError):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a WHERE { ?a p:has ?b . } "
+            'HAVING (?a = "x")',
+        ).collect()
+
+
+def test_bind_concat_and_case(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b ?tag WHERE { <c1> p:has ?b . "
+        'BIND(UCASE(CONCAT("x-", ?b)) AS ?tag) }',
+    ).collect()
+    assert [(r.b, r.tag) for r in rows] == [
+        ("http://b/d1", "X-HTTP://B/D1"),
+    ]
+
+
+def test_bind_sha256_matches_python(path_edges):
+    import hashlib
+
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b ?u WHERE { <c1> p:has ?b . "
+        'BIND(IRI(CONCAT("urn:skolem:", SHA256(?b))) AS ?u) }',
+    ).collect()
+    want = "urn:skolem:" + hashlib.sha256(b"http://b/d1").hexdigest()
+    assert [(r.b, r.u) for r in rows] == [("http://b/d1", want)]
+
+
+def test_bind_target_in_pattern_raises(path_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?x WHERE { ?a p:has ?x . "
+            'BIND(STR(?a) AS ?x) }',
+        )
+
+
+def test_bind_unbound_ref_raises(path_edges):
+    with pytest.raises(sp.SparqlError):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?x WHERE { ?a p:has ?b . "
+            'BIND(STR(?zz) AS ?x) }',
+        )
+
+
+def test_construct_with_bind_minted_uri(path_edges):
+    import hashlib
+
+    got = [
+        tuple(r)
+        for r in sp.compile_query(
+            path_edges,
+            "PREFIX p: <http://p/> CONSTRUCT { ?u <urn:for> ?b } WHERE "
+            "{ <c1> p:has ?b . BIND(IRI(CONCAT(\"urn:s:\", SHA256(?b))) AS ?u) }",
+        ).collect()
+    ]
+    want_u = "urn:s:" + hashlib.sha256(b"http://b/d1").hexdigest()
+    assert got == [(want_u, "urn:for", "http://b/d1", "uri", None, None)]
+
+
+def test_construct_bind_literal_in_subject_raises(path_edges):
+    with pytest.raises(sp.SparqlError):
+        sp.compile_query(
+            path_edges,
+            "PREFIX p: <http://p/> CONSTRUCT { ?u <urn:for> ?b } WHERE "
+            '{ <c1> p:has ?b . BIND(STR(?b) AS ?u) }',
+        )
+
+
+def test_construct_bind_literal_object_kind(path_edges):
+    got = [
+        tuple(r)
+        for r in sp.compile_query(
+            path_edges,
+            "PREFIX p: <http://p/> CONSTRUCT { ?b <urn:tag> ?t } WHERE "
+            '{ <c1> p:has ?b . BIND(LCASE("SEEN") AS ?t) }',
+        ).collect()
+    ]
+    assert got == [("http://b/d1", "urn:tag", "seen", "literal", None, None)]
