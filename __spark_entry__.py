@@ -440,6 +440,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     )
 
+    # zero-or-more path: the containment closure catalog -> dataset ->
+    # distribution INCLUDING the zero-length identity (each catalog is
+    # reachable from itself in zero hops, per the SPARQL spec).
+    q["kg_sparql_star_path"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?root ?node WHERE {
+            ?root rdf:type dcat:Catalog .
+            ?root (dcat:dataset|dcat:distribution)* ?node .
+        }
+        """,
+    )
+
     # MINUS: datasets carrying no theme — compiles to a left anti-join on
     # the shared ?d (plans/sparql.py::compile_sparql MINUS branch).
     q["kg_sparql_minus"] = lambda spark, sf: sprq.compile_sparql(
@@ -1575,6 +1590,30 @@ WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e
 SELECT subj AS s, obj AS o FROM edges WHERE pred = '{DCAT}theme'
 UNION ALL
 SELECT subj AS s, obj AS o FROM edges WHERE pred = '{PRED_URIS["inScheme"]}'
+"""
+
+    # p* = recursive closure UNION zero-length identity on the roots
+    sql["kg_sparql_star_path"] = f"""
+WITH RECURSIVE edges AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind FROM {osql.edges_sql(glob)} AS _e
+),
+link AS (
+    SELECT DISTINCT subj AS src, obj AS dst FROM edges
+    WHERE pred IN ('{PRED_URIS["dataset"]}', '{PRED_URIS["distribution"]}')
+      AND obj_kind = 'uri' AND subj <> obj
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM link
+    UNION
+    SELECT r.src, l.dst FROM reach r JOIN link l ON l.src = r.dst
+),
+cats AS (
+    SELECT subj FROM edges
+    WHERE pred = '{RDF_TYPE}' AND obj = '{CLASS_URIS["Catalog"]}'
+)
+SELECT c.subj AS root, x.dst AS node FROM cats c JOIN reach x ON x.src = c.subj
+UNION ALL
+SELECT c.subj AS root, c.subj AS node FROM cats c
 """
 
     # MINUS = anti-join on the shared variable

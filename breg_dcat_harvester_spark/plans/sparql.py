@@ -34,7 +34,8 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
   binds yields a NULL column (SPARQL unbound semantics — the reference's
   facet templates project a never-bound ?predicate);
 * SPARQL 1.1 property paths: ``p+`` (and ``(p1|p2)+``) compile to the
-  semi-naive reachability closure (operators/paths.py), ``p1/p2`` desugars
+  semi-naive reachability closure (operators/paths.py), ``p*``/``p?`` add
+  the zero-length identity over every graph term, ``p1/p2`` desugars
   to chained equi-joins over fresh non-projected variables, ``p1|p2``
   compiles to ONE pred-IN slice of the edges scan (single parquet scan,
   filter pushed down) when all alternatives are forward, and to a 2-scan
@@ -64,9 +65,9 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
   orderBy on the projected variables (Virtuoso's unordered LIMIT is not
   reproducible; same convention as the hand-built builders).
 
-Out-of-subset constructs (sub-SELECT, GRAPH, SERVICE,
-``p*``/``p?`` path modifiers, unparenthesized ``|``/``/`` precedence
-mixes, …) raise ``SparqlUnsupported`` — never silently mis-execute.
+Out-of-subset constructs (sub-SELECT, GRAPH, SERVICE, NOT EXISTS,
+unparenthesized ``|``/``/`` precedence mixes, …) raise
+``SparqlUnsupported`` — never silently mis-execute.
 """
 
 from __future__ import annotations
@@ -113,13 +114,24 @@ class Lit:
 class PathPlus:
     """SPARQL 1.1 one-or-more property path — ``pred+`` or ``(p1|p2)+`` —
     predicate position only; compiled to operators.paths.reachable_pairs.
-    ``inverse`` marks ``^(p+)`` (the closure read backwards)."""
+    ``inverse`` marks ``^(p+)`` (the closure read backwards); ``zero``
+    marks ``p*`` (the closure unioned with the zero-length identity over
+    every term in the graph, per the SPARQL spec)."""
     preds: tuple["Uri", ...]
     inverse: bool = False
+    zero: bool = False
 
     @property
     def pred(self) -> "Uri":  # convenience for the single-pred case
         return self.preds[0]
+
+
+@dataclass(frozen=True)
+class PathOpt:
+    """SPARQL 1.1 zero-or-one path ``p?`` — the plain slice unioned with
+    the zero-length identity."""
+    preds: tuple["Uri", ...]
+    inverse: bool = False
 
 
 @dataclass(frozen=True)
@@ -226,7 +238,7 @@ _TOKEN = re.compile(
     | (?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*)
     | (?P<kw>[A-Za-z_][\w]*)
     | (?P<num>\d+\.\d+|\d+)
-    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/|\||\^|!=|<=|>=|<|>|=|\*)
+    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/|\||\^|!=|<=|>=|<|>|=|\*|\?)
     """,
     re.VERBOSE,
 )
@@ -734,21 +746,21 @@ class _Parser:
             if isinstance(p, Lit):
                 raise SparqlError("literal in predicate position")
             inner = p
-        if self.peek() == "+":
-            self.next()
+        if self.peek() in ("+", "*", "?"):
+            mod = self.next()
             if isinstance(inner, Uri):
-                inner = PathPlus((inner,), inverse)
+                preds: tuple[Uri, ...] = (inner,)
             elif isinstance(inner, PathAlt):
                 if any(st.inverse for st in inner.steps):
                     raise SparqlUnsupported(
-                        "closure over an alternation with inverse steps"
+                        f"{mod!r} over an alternation with inverse steps"
                     )
-                inner = PathPlus(
-                    tuple(st.pred for st in inner.steps), inverse
-                )
+                preds = tuple(st.pred for st in inner.steps)
             else:
                 raise SparqlUnsupported("property path on a non-URI predicate")
-            return inner
+            if mod == "?":
+                return PathOpt(preds, inverse)
+            return PathPlus(preds, inverse, zero=(mod == "*"))
         if not inverse:
             return inner
         # distribute a leading ^ over whatever the primary parsed to
@@ -761,7 +773,9 @@ class _Parser:
                 tuple(PathStep(st.pred, not st.inverse) for st in inner.steps)
             )
         if isinstance(inner, PathPlus):
-            return PathPlus(inner.preds, not inner.inverse)
+            return PathPlus(inner.preds, not inner.inverse, inner.zero)
+        if isinstance(inner, PathOpt):
+            return PathOpt(inner.preds, not inner.inverse)
         raise SparqlUnsupported("^ on a variable predicate")
 
     def _fresh(self) -> int:
@@ -1035,22 +1049,24 @@ def build_detail_query(dataset_uris: list[str]) -> str:
 # compiler
 # ---------------------------------------------------------------------------
 
-def _path_pattern_df(
-    edges: DataFrame, s: Term, p: PathPlus, o: Term
-) -> tuple[DataFrame, set[str]]:
-    """``?s pred+ ?o`` → the reachability closure as a 2-column pattern.
-
-    Endpoint constants become filters on the closure (Catalyst pushes them
-    below the iteration's final union); literal endpoints are impossible
-    (paths traverse URI nodes only).  ``^(p+)`` is the same closure with
-    the endpoint roles swapped — the BFS itself always runs forward.
-    """
-    from ..operators.paths import reachable_pairs
-
-    df = reachable_pairs(edges, preds=[u.value for u in p.preds]).select(
-        "src", "dst"
+def _graph_node_identity(edges: DataFrame) -> DataFrame:
+    """Zero-length path rows: (x, x) for every term in the graph —
+    the SPARQL spec's semantics for the ``*``/``?`` zero-length match."""
+    nodes = (
+        edges.select(F.col("subj").alias("n"))
+        .union(edges.select(F.col("obj").alias("n")))
+        .distinct()
     )
-    if p.inverse:
+    return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+
+
+def _bind_path_endpoints(
+    df: DataFrame, s: Term, o: Term, inverse: bool
+) -> tuple[DataFrame, set[str]]:
+    """Endpoint binding shared by the closure/optional path forms: the
+    2-column (src, dst) relation gets its endpoints named or filtered;
+    constants are pushed below the closure's final union by Catalyst."""
+    if inverse:
         s, o = o, s
     cols: dict[str, str] = {}
     for term, col in ((s, "src"), (o, "dst")):
@@ -1065,6 +1081,39 @@ def _path_pattern_df(
         else:
             raise SparqlUnsupported("literal endpoint on a property path")
     return df.select(*[F.col(src).alias(var) for var, src in cols.items()]), set(cols)
+
+
+def _path_pattern_df(
+    edges: DataFrame, s: Term, p: PathPlus, o: Term
+) -> tuple[DataFrame, set[str]]:
+    """``?s pred+ ?o`` → the reachability closure as a 2-column pattern;
+    ``pred*`` adds the zero-length identity rows.  ``^(p+)`` is the same
+    closure with the endpoint roles swapped — the BFS always runs
+    forward."""
+    from ..operators.paths import reachable_pairs
+
+    df = reachable_pairs(edges, preds=[u.value for u in p.preds]).select(
+        "src", "dst"
+    )
+    if p.zero:
+        # closure ∪ identity: a node reached in >=1 hops is also identical
+        # to itself, so dedup the union (the closure itself is a set)
+        df = df.union(_graph_node_identity(edges)).distinct()
+    return _bind_path_endpoints(df, s, o, p.inverse)
+
+
+def _opt_pattern_df(
+    edges: DataFrame, s: Term, p: PathOpt, o: Term
+) -> tuple[DataFrame, set[str]]:
+    """``?s pred? ?o`` → the single-hop slice unioned with the zero-length
+    identity (deduped: a self-loop edge and the identity row coincide)."""
+    step = edges.filter(
+        F.col("pred") == p.preds[0].value
+        if len(p.preds) == 1
+        else F.col("pred").isin([u.value for u in p.preds])
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    df = step.union(_graph_node_identity(edges)).distinct()
+    return _bind_path_endpoints(df, s, o, p.inverse)
 
 
 def _alt_pattern_df(
@@ -1152,6 +1201,8 @@ def _pattern_df(
         return _path_pattern_df(edges, s, p, o)
     if isinstance(p, PathAlt):
         return _alt_pattern_df(edges, s, p, o)
+    if isinstance(p, PathOpt):
+        return _opt_pattern_df(edges, s, p, o)
     df = edges
     cols: dict[str, str] = {}  # var name -> source column
 
@@ -1505,7 +1556,7 @@ def _pattern_df_meta(
     (obj_kind, lang, dtype) for variables a CONSTRUCT template needs —
     aliased ``{v}__okind/__olang/__odt`` so they ride the joins unchanged."""
     s, p, o = pat
-    if isinstance(p, (PathPlus, PathAlt)):
+    if isinstance(p, (PathPlus, PathAlt, PathOpt)):
         raise SparqlUnsupported("property path in a CONSTRUCT WHERE clause")
     df = edges
     cols: dict[str, str] = {}

@@ -95,7 +95,8 @@ def test_parse_filter_conjunction_and_optional():
         "SELECT * WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
         "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
-        "SELECT ?s WHERE { ?s <http://p>* ?o }",
+        "SELECT ?s WHERE { ?s <http://p> ?o . "
+        "FILTER NOT EXISTS { ?s <http://q> ?o } }",
         "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
     ],
 )
@@ -921,3 +922,45 @@ def test_construct_bind_literal_object_kind(path_edges):
         ).collect()
     ]
     assert got == [("http://b/d1", "urn:tag", "seen", "literal", None, None)]
+
+
+# --- zero-or-more (p*) / zero-or-one (p?) paths --------------------------------
+
+def test_star_path_includes_identity(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b WHERE { <c1> p:has* ?b . } ORDER BY ?b",
+    ).collect()
+    B = "http://b/"
+    # c1 itself (zero hops) plus the full has-closure
+    assert [r.b for r in rows] == sorted(["c1", B + "d1", B + "x1", B + "leaf"])
+
+
+def test_star_path_identity_covers_literals(path_edges):
+    # zero-length paths relate every term in the graph to itself,
+    # including literal objects ("lit")
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?x WHERE "
+        '{ ?x p:nosuch* ?x2 . FILTER (?x = "lit") }',
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_opt_path_zero_or_one(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b WHERE { <c1> p:has? ?b . } ORDER BY ?b",
+    ).collect()
+    # c1 itself plus its direct has-child only (no deeper closure)
+    assert [r.b for r in rows] == sorted(["c1", "http://b/d1"])
+
+
+def test_inverse_star(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> PREFIX b: <http://b/> "
+        "SELECT ?anc WHERE { b:x1 ^(p:has*) ?anc . } ORDER BY ?anc",
+    ).collect()
+    B = "http://b/"
+    assert [r.anc for r in rows] == sorted(["c1", B + "d1", B + "x1"])
