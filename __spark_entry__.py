@@ -569,6 +569,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     ).select("subj", "pred", "obj", "obj_kind", "lang", "dtype").distinct()
 
+    # sub-SELECT: aggregate inside, enrich outside — per-catalog dataset
+    # counts joined with each catalog's language edge.
+    q["kg_sparql_subselect"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?catalog ?lang ?n WHERE {
+            ?catalog dct:LinguisticSystem ?lang .
+            { SELECT ?catalog (COUNT(?d) AS ?n) WHERE {
+                ?catalog dcat:dataset ?d .
+            } GROUP BY ?catalog }
+        }
+        """,
+    )
+
     # HAVING: post-aggregate group filter over a genuinely varied
     # distribution (per-subject attribution counts span 1..4 at sf0.01)
     q["kg_sparql_having"] = lambda spark, sf: sprq.compile_sparql(
@@ -1698,6 +1714,18 @@ WHERE e.subj IN (
     SELECT subj FROM edges
     WHERE pred = '{RDF_TYPE}' AND obj = '{CLASS_URIS["Catalog"]}'
 )
+"""
+
+    # sub-SELECT = aggregate subquery joined on the shared key
+    sql["kg_sparql_subselect"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT lg.subj AS catalog, lg.obj AS lang, sub.n AS n
+FROM edges lg
+JOIN (
+    SELECT subj, COUNT(obj) AS n FROM edges
+    WHERE pred = '{PRED_URIS["dataset"]}' GROUP BY subj
+) sub ON sub.subj = lg.subj
+WHERE lg.pred = '{PRED_URIS["language"]}'
 """
 
     # HAVING = post-aggregate filter

@@ -184,6 +184,8 @@ class Query:
     # ("var", name) | ("lit", s) | (fn, [args]) for fn in
     # concat/str/iri/sha256/lcase/ucase
     binds: list[tuple[str, tuple]] = field(default_factory=list)
+    # sub-SELECTs: each compiles independently and joins on shared vars
+    subqueries: list["Query"] = field(default_factory=list)
 
 
 @dataclass
@@ -401,10 +403,11 @@ class _Parser:
         bound variable (for the non-SELECT query forms)."""
         (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks, binds,
+            values_blocks, binds, subqueries,
         ) = self._group_body()
         bound = _group_bound_vars(patterns, optionals, unions, values_blocks)
         bound |= {v for v, _ in binds}
+        bound |= {v for sq in subqueries for v in sq.select}
         return Query(
             select=sorted(bound),
             distinct=False,
@@ -418,9 +421,10 @@ class _Parser:
             minus=minus,
             values_blocks=values_blocks,
             binds=binds,
+            subqueries=subqueries,
         )
 
-    def _parse_select(self) -> Query:
+    def _parse_select(self, top: bool = True) -> Query:
         self.expect("SELECT")
         distinct = self._kw("DISTINCT")
         select: list[str] = []
@@ -443,7 +447,7 @@ class _Parser:
         self.expect("WHERE")
         (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks, binds,
+            values_blocks, binds, subqueries,
         ) = self._group_body()
 
         group_by: list[str] = []
@@ -502,13 +506,13 @@ class _Parser:
         limit = None
         if self._kw("LIMIT"):
             limit = int(self.next())
-        if self.peek() is not None:
+        if top and self.peek() is not None:
             raise SparqlUnsupported(f"trailing content at {self.peek()!r}")
         return Query(
             select, distinct, patterns, optionals, filters, order_by, limit,
             unions=unions, filter_exprs=filter_exprs, minus=minus,
             values_blocks=values_blocks, aggs=aggs, group_by=group_by,
-            having=having, binds=binds,
+            having=having, binds=binds, subqueries=subqueries,
         )
 
     def _agg_item(self) -> tuple[str, tuple[str, str | None, bool]]:
@@ -553,6 +557,7 @@ class _Parser:
         minus: list[list[tuple[Term, Term, Term]]] = []
         values_blocks: list[tuple[list[str], list[list[str | None]]]] = []
         binds: list[tuple[str, tuple]] = []
+        subqueries: list[Query] = []
         while True:
             tok = self.peek()
             if tok is None:
@@ -563,7 +568,17 @@ class _Parser:
             if tok == ".":  # stray separator (the reference emits `} .`)
                 self.next()
                 continue
-            if tok == "{":  # braced group: plain grouping or UNION chain
+            if tok == "{":  # braced group: subquery, grouping or UNION chain
+                nxt = (
+                    self.toks[self.i + 1]
+                    if self.i + 1 < len(self.toks)
+                    else None
+                )
+                if nxt is not None and nxt.upper() == "SELECT":
+                    self.next()
+                    subqueries.append(self._parse_select(top=False))
+                    self.expect("}")
+                    continue
                 branches = [self._group_triples()]
                 while self._kw("UNION"):
                     branches.append(self._group_triples())
@@ -620,7 +635,7 @@ class _Parser:
             patterns.extend(self._triple())
         return (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks, binds,
+            values_blocks, binds, subqueries,
         )
 
     _EXPR_FNS = {
@@ -1369,7 +1384,11 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
             f"{type(q).__name__}: use compile_query for the non-SELECT forms"
         )
 
-    if not q.patterns and not getattr(q, "unions", None):
+    if (
+        not q.patterns
+        and not getattr(q, "unions", None)
+        and not getattr(q, "subqueries", None)
+    ):
         raise SparqlError("empty graph pattern")
     acc: DataFrame | None = None
     bound: set[str] = set()
@@ -1396,6 +1415,43 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
             on = sorted(bound & allv)
             acc = acc.join(udf, on) if on else acc.crossJoin(udf)
             bound |= allv
+    # sub-SELECTs: each compiles independently (its own joins, aggregates,
+    # modifiers) and joins the outer group on the shared variables — the
+    # standard "aggregate inside, enrich outside" shape
+    for subq in getattr(q, "subqueries", []) or []:
+        svars = set(subq.select)
+        inner_bound = (
+            _group_bound_vars(
+                subq.patterns, subq.optionals, subq.unions, subq.values_blocks
+            )
+            | {v for v, _ in (getattr(subq, "binds", []) or [])}
+            | set(getattr(subq, "aggs", {}) or {})
+            | {v for isq in (getattr(subq, "subqueries", []) or [])
+               for v in isq.select}
+        )
+        if not svars <= inner_bound:
+            raise SparqlUnsupported(
+                "sub-SELECT projecting variables its own group never binds"
+            )
+        sdf = compile_sparql(edges, subq)
+        if acc is None:
+            acc, bound = sdf, svars
+            continue
+        on = sorted(bound & svars)
+        # an OPTIONAL-bound projected var can be NULL in the subquery's
+        # rows; joining on it outside would diverge from SPARQL's
+        # unbound-compatible semantics
+        opt_only = _group_bound_vars(
+            subq.patterns, [], subq.unions, subq.values_blocks
+        )
+        nullable = svars - opt_only - {v for v, _ in subq.binds} - set(subq.aggs)
+        if set(on) & nullable:
+            raise SparqlUnsupported(
+                "join on an OPTIONAL-bound sub-SELECT variable"
+            )
+        acc = acc.join(sdf, on) if on else acc.crossJoin(sdf)
+        bound |= svars
+
     # VALUES: inline data — definitionally tiny (parsed literal rows), so a
     # broadcast hint is always right; joined on the shared vars (UNDEF in a
     # join var would need SPARQL's unbound-compatible semantics, refuse).

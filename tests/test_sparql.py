@@ -94,7 +94,7 @@ def test_parse_filter_conjunction_and_optional():
     [
         "SELECT * WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
-        "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
+        "SELECT ?s WHERE { ?s <http://p> ?o ; <http://q> ?r }",
         "SELECT ?s WHERE { ?s <http://p> ?o . "
         "FILTER NOT EXISTS { ?s <http://q> ?o } }",
         "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
@@ -964,3 +964,53 @@ def test_inverse_star(path_edges):
     ).collect()
     B = "http://b/"
     assert [r.anc for r in rows] == sorted(["c1", B + "d1", B + "x1"])
+
+
+# --- sub-SELECT -----------------------------------------------------------------
+
+def test_subselect_aggregate_then_enrich(path_edges):
+    # inner: out-degree per node over has|other; outer: join the note label
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?n ?note WHERE { "
+        "{ SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a p:has|p:other ?b . } "
+        "GROUP BY ?a } "
+        "OPTIONAL { ?a p:note ?note } } ORDER BY ?a",
+    ).collect()
+    B = "http://b/"
+    assert [(r.a, r.n, r.note) for r in rows] == [
+        ("c1", 2, None), (B + "d1", 1, "lit"), (B + "x1", 1, None),
+    ]
+
+
+def test_subselect_joined_with_outer_pattern(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b ?n WHERE { "
+        "?a p:has ?b . "
+        "{ SELECT ?a (COUNT(?x) AS ?n) WHERE { ?a p:has ?x . } GROUP BY ?a } "
+        "} ORDER BY ?a",
+    ).collect()
+    assert [(r.a, r.n) for r in rows] == [
+        ("c1", 1), ("http://b/d1", 1), ("http://b/x1", 1),
+    ]
+
+
+def test_subselect_limit_is_local(path_edges):
+    # the inner LIMIT applies to the subquery, not the outer result
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { "
+        "?a p:has ?b . "
+        "{ SELECT ?a WHERE { ?a p:has ?x . } ORDER BY ?a LIMIT 1 } }",
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [("c1", "http://b/d1")]
+
+
+def test_subselect_projecting_unbound_raises(path_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a WHERE { "
+            "?a p:has ?b . { SELECT ?a ?zz WHERE { ?a p:has ?x . } } }",
+        )
