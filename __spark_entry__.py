@@ -597,6 +597,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     )
 
+    # FILTER NOT EXISTS: datasets with no theme edge — left-anti join
+    q["kg_sparql_not_exists"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?d WHERE {
+            ?d rdf:type dcat:Dataset .
+            FILTER NOT EXISTS { ?d dcat:theme ?t }
+        }
+        """,
+    )
+
+    # FILTER EXISTS: the semi-join twin (no multiplicity change, unlike a
+    # plain pattern join against a multi-theme dataset)
+    q["kg_sparql_exists"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?d WHERE {
+            ?d rdf:type dcat:Dataset .
+            FILTER EXISTS { ?d dcat:theme ?t }
+        }
+        """,
+    )
+
+    # GROUP_CONCAT (sorted, custom separator) + SAMPLE (deterministic MIN)
+    q["kg_sparql_group_concat"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?d (GROUP_CONCAT(?t; SEPARATOR="|") AS ?themes)
+                  (SAMPLE(?t) AS ?first_theme)
+        WHERE { ?d dcat:theme ?t . } GROUP BY ?d
+        """,
+    )
+
+    # variable-to-variable FILTER: distinct theme pairs per dataset
+    q["kg_sparql_theme_pairs"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT ?d ?t1 ?t2 WHERE {
+            ?d dcat:theme ?t1 .
+            ?d dcat:theme ?t2 .
+            FILTER (?t1 != ?t2)
+        }
+        """,
+    )
+
     # BIND: deterministic URI minting (the skolemization idiom) — IRI over
     # CONCAT+SHA256, all whole-stage-codegen'd Column expressions
     q["kg_sparql_bind_skolem"] = lambda spark, sf: sprq.compile_sparql(
@@ -1734,6 +1785,46 @@ WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e
 SELECT subj AS s, COUNT(obj) AS n
 FROM edges WHERE pred = 'http://www.w3.org/ns/prov#wasAttributedTo'
 GROUP BY subj HAVING COUNT(obj) >= 3
+"""
+
+    # FILTER [NOT] EXISTS = SQL [NOT] EXISTS correlated subquery
+    sql["kg_sparql_not_exists"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS d FROM edges t
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+  AND NOT EXISTS (
+      SELECT 1 FROM edges th
+      WHERE th.subj = t.subj AND th.pred = '{PRED_URIS["theme"]}'
+  )
+"""
+
+    sql["kg_sparql_exists"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS d FROM edges t
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+  AND EXISTS (
+      SELECT 1 FROM edges th
+      WHERE th.subj = t.subj AND th.pred = '{PRED_URIS["theme"]}'
+  )
+"""
+
+    # GROUP_CONCAT = string_agg ordered by value; SAMPLE = MIN
+    sql["kg_sparql_group_concat"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT subj AS d,
+       string_agg(obj, '|' ORDER BY obj) AS themes,
+       MIN(obj) AS first_theme
+FROM edges WHERE pred = '{PRED_URIS["theme"]}'
+GROUP BY subj
+"""
+
+    # variable-to-variable FILTER = self-join with an inequality
+    sql["kg_sparql_theme_pairs"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT a.subj AS d, a.obj AS t1, b.obj AS t2
+FROM edges a JOIN edges b ON a.subj = b.subj
+WHERE a.pred = '{PRED_URIS["theme"]}' AND b.pred = '{PRED_URIS["theme"]}'
+  AND a.obj <> b.obj
 """
 
     # BIND skolem minting = sha256 hex (lowercase in both engines)

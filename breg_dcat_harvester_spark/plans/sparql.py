@@ -49,12 +49,21 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
   shared variable is OPTIONAL-bound — the NULL-compatibility divergence);
 * ``VALUES`` → broadcast inline-table join (UNDEF allowed only in
   non-join columns);
-* extended FILTERs: ``=``/``!=`` → Column comparisons, ``regex`` →
-  ``rlike`` (both are substring-find semantics), ``STRSTARTS``/
-  ``CONTAINS`` → ``startswith``/``contains``;
-* aggregates ``COUNT [DISTINCT]``/``MIN``/``MAX``/``SUM``/``AVG`` with
-  GROUP BY → one ``groupBy().agg()`` (map-side partial aggregation), and
-  ``HAVING (?alias <op> value)`` → a post-aggregate filter;
+* extended FILTERs: ``=``/``!=`` against a constant OR another variable
+  → Column comparisons (over the lexical columns, same term model as the
+  rest of the compiler), ``regex`` → ``rlike`` (both are substring-find
+  semantics), ``STRSTARTS``/``CONTAINS`` → ``startswith``/``contains``;
+* ``FILTER [NOT] EXISTS { … }`` → left-semi / left-anti join on the
+  shared variables (refused when a shared variable is OPTIONAL-bound or
+  when the group shares nothing with the outer pattern);
+* aggregates ``COUNT [DISTINCT]``/``MIN``/``MAX``/``SUM``/``AVG``/
+  ``SAMPLE`` (→ MIN, a deterministic sample)/``GROUP_CONCAT`` (sorted
+  before joining — SPARQL leaves the order undefined, determinism makes
+  it oracle-comparable) with GROUP BY → one ``groupBy().agg()`` (map-side
+  partial aggregation), and ``HAVING (?alias <op> value)`` → a
+  post-aggregate filter;
+* sub-SELECTs compile recursively and join the outer group on the shared
+  projected variables (aggregate-inside, enrich-outside);
 * all four query forms: SELECT (``compile_sparql``), ASK (``compile_ask``
   — LocalLimit(1) under the aggregate, stops at the first solution),
   CONSTRUCT (``compile_construct`` — template projections unioned into a
@@ -65,9 +74,9 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
   orderBy on the projected variables (Virtuoso's unordered LIMIT is not
   reproducible; same convention as the hand-built builders).
 
-Out-of-subset constructs (sub-SELECT, GRAPH, SERVICE, NOT EXISTS,
-unparenthesized ``|``/``/`` precedence mixes, …) raise
-``SparqlUnsupported`` — never silently mis-execute.
+Out-of-subset constructs (GRAPH, SERVICE, unparenthesized ``|``/``/``
+precedence mixes, …) raise ``SparqlUnsupported`` — never silently
+mis-execute.
 """
 
 from __future__ import annotations
@@ -173,8 +182,11 @@ class Query:
     values_blocks: list[tuple[list[str], list[list[str | None]]]] = field(
         default_factory=list
     )
-    # aggregate select items: alias -> (fn, var-or-None[COUNT *], distinct)
-    aggs: dict[str, tuple[str, str | None, bool]] = field(default_factory=dict)
+    # aggregate select items:
+    # alias -> (fn, var-or-None[COUNT *], distinct, group_concat separator)
+    aggs: dict[str, tuple[str, str | None, bool, str | None]] = field(
+        default_factory=dict
+    )
     group_by: list[str] = field(default_factory=list)
     # HAVING atoms: (alias-or-group-var, op, value) — value int/float/str
     having: list[tuple[str, str, "int | float | str"]] = field(
@@ -186,6 +198,10 @@ class Query:
     binds: list[tuple[str, tuple]] = field(default_factory=list)
     # sub-SELECTs: each compiles independently and joins on shared vars
     subqueries: list["Query"] = field(default_factory=list)
+    # FILTER [NOT] EXISTS groups: (positive, triple list) — semi/anti join
+    exists: list[tuple[bool, list[tuple[Term, Term, Term]]]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
@@ -403,7 +419,7 @@ class _Parser:
         bound variable (for the non-SELECT query forms)."""
         (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks, binds, subqueries,
+            values_blocks, binds, subqueries, exists,
         ) = self._group_body()
         bound = _group_bound_vars(patterns, optionals, unions, values_blocks)
         bound |= {v for v, _ in binds}
@@ -422,6 +438,7 @@ class _Parser:
             values_blocks=values_blocks,
             binds=binds,
             subqueries=subqueries,
+            exists=exists,
         )
 
     def _parse_select(self, top: bool = True) -> Query:
@@ -447,7 +464,7 @@ class _Parser:
         self.expect("WHERE")
         (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks, binds, subqueries,
+            values_blocks, binds, subqueries, exists,
         ) = self._group_body()
 
         group_by: list[str] = []
@@ -512,14 +529,18 @@ class _Parser:
             select, distinct, patterns, optionals, filters, order_by, limit,
             unions=unions, filter_exprs=filter_exprs, minus=minus,
             values_blocks=values_blocks, aggs=aggs, group_by=group_by,
-            having=having, binds=binds, subqueries=subqueries,
+            having=having, binds=binds, subqueries=subqueries, exists=exists,
         )
 
-    def _agg_item(self) -> tuple[str, tuple[str, str | None, bool]]:
-        """``( AGG([DISTINCT] ?v | *) AS ?alias )`` in the SELECT clause."""
+    def _agg_item(self) -> tuple[str, tuple[str, str | None, bool, str | None]]:
+        """``( AGG([DISTINCT] ?v | *) AS ?alias )`` in the SELECT clause;
+        GROUP_CONCAT additionally takes ``; SEPARATOR = "sep"`` (default
+        single space, per the SPARQL 1.1 spec)."""
         self.expect("(")
         fn = self.next().upper()
-        if fn not in ("COUNT", "MIN", "MAX", "SUM", "AVG"):
+        if fn not in (
+            "COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE",
+        ):
             raise SparqlUnsupported(f"aggregate {fn!r}")
         self.expect("(")
         distinct = self._kw("DISTINCT")
@@ -536,13 +557,25 @@ class _Parser:
                     f"aggregate over {v!r}: only ?var or * supported"
                 )
             var = v[1:]
+        sep: str | None = None
+        if fn == "GROUP_CONCAT":
+            sep = " "
+            if self.peek() == ";":
+                self.next()
+                kw = self.next()
+                if kw.upper() != "SEPARATOR":
+                    raise SparqlUnsupported(
+                        f"GROUP_CONCAT modifier {kw!r}"
+                    )
+                self.expect("=")
+                sep = self._plain_string("GROUP_CONCAT separator")
         self.expect(")")
         self.expect("AS")
         alias = self.next()
         if not alias.startswith("?"):
             raise SparqlError("AS expects a variable")
         self.expect(")")
-        return alias[1:], (fn.lower(), var, distinct)
+        return alias[1:], (fn.lower(), var, distinct, sep)
 
     def _group_body(self):
         """``{ … }`` — the group-graph-pattern body shared by every query
@@ -558,6 +591,7 @@ class _Parser:
         values_blocks: list[tuple[list[str], list[list[str | None]]]] = []
         binds: list[tuple[str, tuple]] = []
         subqueries: list[Query] = []
+        exists: list[tuple[bool, list[tuple[Term, Term, Term]]]] = []
         while True:
             tok = self.peek()
             if tok is None:
@@ -605,6 +639,15 @@ class _Parser:
                 continue
             if tok.upper() == "FILTER":
                 self.next()
+                nxt = self.peek()
+                up = nxt.upper() if nxt is not None else ""
+                if up in ("EXISTS", "NOT"):
+                    positive = up == "EXISTS"
+                    self.next()
+                    if not positive:
+                        self.expect("EXISTS")
+                    exists.append((positive, self._group_triples()))
+                    continue
                 ins, exprs = self._filter()
                 filters.extend(ins)
                 filter_exprs.extend(exprs)
@@ -635,7 +678,7 @@ class _Parser:
             patterns.extend(self._triple())
         return (
             patterns, optionals, filters, unions, filter_exprs, minus,
-            values_blocks, binds, subqueries,
+            values_blocks, binds, subqueries, exists,
         )
 
     _EXPR_FNS = {
@@ -870,7 +913,11 @@ class _Parser:
         if op in ("=", "!="):
             t = self.term()
             if isinstance(t, Var):
-                raise SparqlUnsupported("variable-to-variable comparison")
+                # term equality over the lexical columns; NULL (an
+                # OPTIONAL-unbound side) is a SPARQL evaluation error →
+                # the row drops, exactly Spark's NULL-comparison behavior
+                exprs.append(("vcmp", var[1:], op, t.name))
+                return
             if isinstance(t, Lit) and (t.lang or t.dtype):
                 raise SparqlUnsupported(
                     "comparison with a lang/datatype-tagged literal"
@@ -1354,6 +1401,12 @@ def _apply_filters(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
         if kind == "cmp":
             _, _, op, val = expr
             acc = acc.filter(col == val if op == "=" else col != val)
+        elif kind == "vcmp":
+            _, _, op, other = expr
+            if other not in bound:
+                raise SparqlError(f"FILTER on unbound variable ?{other}")
+            oc = F.col(other)
+            acc = acc.filter(col == oc if op == "=" else col != oc)
         elif kind == "regex":
             _, _, pat, flags = expr
             if flags:
@@ -1502,6 +1555,26 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
             raise SparqlUnsupported("MINUS on an OPTIONAL-bound variable")
         acc = acc.join(gdf.select(*shared), shared, "left_anti")
 
+    # FILTER [NOT] EXISTS: correlated group → left-semi / left-anti join on
+    # the shared variables.  The semi-join needs no distinct (Spark emits
+    # each left row at most once); vars bound only inside the EXISTS group
+    # stay invisible outside, per the spec.  Refusals mirror MINUS: a
+    # never-shared group (its truth is row-independent — a driver-side
+    # decision, not a join) and OPTIONAL-bound shared vars (NULL-
+    # compatibility divergence) are out of subset.
+    for positive, group in getattr(q, "exists", []) or []:
+        gdf, gvars = _join_group(edges, group)
+        shared = sorted(bound & gvars)
+        if not shared:
+            raise SparqlUnsupported(
+                "EXISTS group sharing no variables with the outer pattern"
+            )
+        if set(shared) & opt_bound:
+            raise SparqlUnsupported("EXISTS on an OPTIONAL-bound variable")
+        acc = acc.join(
+            gdf.select(*shared), shared, "left_semi" if positive else "left_anti"
+        )
+
     acc = _apply_filters(acc, bound, q)
 
     # aggregation: groupBy().agg() — Catalyst plans a map-side partial
@@ -1519,8 +1592,8 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
             if v not in bound:
                 raise SparqlError(f"aggregate/GROUP BY on unbound variable ?{v}")
 
-        def _agg_col(alias: str, spec: tuple[str, str | None, bool]):
-            fn, var, distinct = spec
+        def _agg_col(alias: str, spec: tuple[str, str | None, bool, str | None]):
+            fn, var, distinct, sep = spec
             if fn == "count":
                 if var is None:
                     c = F.count(F.lit(1))
@@ -1530,6 +1603,15 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
                     c = F.count(var)
             elif fn in ("min", "max"):  # DISTINCT is a no-op for min/max
                 c = getattr(F, fn)(var)
+            elif fn == "sample":
+                # SAMPLE returns an arbitrary group value; MIN is a valid
+                # (and deterministic, hence oracle-comparable) choice
+                c = F.min(var)
+            elif fn == "group_concat":
+                # SPARQL leaves concat order undefined; sort for
+                # determinism (collect_list/set order is plan-dependent)
+                lst = F.collect_set(var) if distinct else F.collect_list(var)
+                c = F.array_join(F.array_sort(lst), sep)
             else:
                 # SUM/AVG over lexical forms: try_cast (NULL for
                 # non-numeric lexicals — never an ANSI cast error — and

@@ -95,8 +95,7 @@ def test_parse_filter_conjunction_and_optional():
         "SELECT * WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
         "SELECT ?s WHERE { ?s <http://p> ?o ; <http://q> ?r }",
-        "SELECT ?s WHERE { ?s <http://p> ?o . "
-        "FILTER NOT EXISTS { ?s <http://q> ?o } }",
+        "SELECT ?s WHERE { ?s <http://p> ?o . FILTER (?s < \"x\") }",
         "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
     ],
 )
@@ -1014,3 +1013,113 @@ def test_subselect_projecting_unbound_raises(path_edges):
             "PREFIX p: <http://p/> SELECT ?a WHERE { "
             "?a p:has ?b . { SELECT ?a ?zz WHERE { ?a p:has ?x . } } }",
         )
+
+
+# --- FILTER [NOT] EXISTS ---------------------------------------------------------
+
+def test_filter_exists_semi_join(path_edges):
+    # keep only pairs whose object carries a p:note edge
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { "
+        "?a p:has ?b . FILTER EXISTS { ?b p:note ?n } } ORDER BY ?a",
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [("c1", "http://b/d1")]
+
+
+def test_filter_not_exists_anti_join(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { "
+        "?a p:has ?b . FILTER NOT EXISTS { ?b p:note ?n } } ORDER BY ?a",
+    ).collect()
+    B = "http://b/"
+    assert [(r.a, r.b) for r in rows] == [
+        (B + "d1", B + "x1"), (B + "x1", B + "leaf"),
+    ]
+
+
+def test_exists_vars_stay_local(path_edges):
+    # ?n is bound only inside EXISTS: outside the group it is unbound, so
+    # projecting it yields NULL (the module's unbound-projection rule)
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?n WHERE { "
+        "?a p:has ?b . FILTER EXISTS { ?b p:note ?n } }",
+    ).collect()
+    assert [(r.a, r.n) for r in rows] == [("c1", None)]
+
+
+def test_exists_disjoint_group_raises(path_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a WHERE { "
+            "?a p:has ?b . FILTER EXISTS { ?x p:note ?n } }",
+        )
+
+
+def test_exists_on_optional_bound_var_raises(path_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(
+            path_edges,
+            "PREFIX p: <http://p/> SELECT ?a WHERE { "
+            "?a p:has ?b . OPTIONAL { ?b p:has ?c } "
+            "FILTER NOT EXISTS { ?c p:has ?d } }",
+        )
+
+
+# --- GROUP_CONCAT / SAMPLE -------------------------------------------------------
+
+def test_group_concat_sorted_with_separator(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?a (GROUP_CONCAT(?b; SEPARATOR=",") AS ?bs) WHERE { '
+        "?a p:has|p:other ?b . } GROUP BY ?a ORDER BY ?a",
+    ).collect()
+    B = "http://b/"
+    assert [(r.a, r.bs) for r in rows] == [
+        ("c1", f"{B}d1,{B}d9"), (B + "d1", B + "x1"), (B + "x1", B + "leaf"),
+    ]
+
+
+def test_group_concat_default_separator_and_distinct(path_edges):
+    # p:has|p:has duplicates every solution; DISTINCT collapses them
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> "
+        "SELECT ?a (GROUP_CONCAT(DISTINCT ?b) AS ?bs) WHERE { "
+        "?a p:has ?b . ?a p:has ?b2 . } GROUP BY ?a ORDER BY ?a",
+    ).collect()
+    assert rows[0].a == "c1" and rows[0].bs == "http://b/d1"
+
+
+def test_sample_is_deterministic_min(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> "
+        "SELECT ?a (SAMPLE(?b) AS ?sb) WHERE { "
+        "?a p:has|p:other ?b . } GROUP BY ?a ORDER BY ?a",
+    ).collect()
+    assert rows[0].a == "c1" and rows[0].sb == "http://b/d1"
+
+
+# --- variable-to-variable FILTER ---------------------------------------------------
+
+def test_filter_var_neq_var(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b ?c WHERE { "
+        "?a p:has ?b . ?a p:other ?c . FILTER (?b != ?c) }",
+    ).collect()
+    assert [(r.b, r.c) for r in rows] == [("http://b/d1", "http://b/d9")]
+
+
+def test_filter_var_eq_var(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?b ?c WHERE { "
+        "?a p:has ?b . ?a p:other ?c . FILTER (?b = ?c) }",
+    ).collect()
+    assert rows == []
