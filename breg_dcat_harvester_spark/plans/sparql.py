@@ -1386,6 +1386,35 @@ def _apply_binds(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
     return acc
 
 
+def _apply_exists(
+    edges: DataFrame,
+    acc: DataFrame,
+    bound: set[str],
+    q: Query,
+    opt_bound: set[str],
+) -> DataFrame:
+    """FILTER [NOT] EXISTS: correlated group → left-semi / left-anti join
+    on the shared variables.  The semi-join needs no distinct (Spark emits
+    each left row at most once); vars bound only inside the EXISTS group
+    stay invisible outside, per the spec.  Refusals mirror MINUS: a
+    never-shared group (its truth is row-independent — a driver-side
+    decision, not a join) and OPTIONAL-bound shared vars (NULL-
+    compatibility divergence) are out of subset."""
+    for positive, group in getattr(q, "exists", []) or []:
+        gdf, gvars = _join_group(edges, group)
+        shared = sorted(bound & gvars)
+        if not shared:
+            raise SparqlUnsupported(
+                "EXISTS group sharing no variables with the outer pattern"
+            )
+        if set(shared) & opt_bound:
+            raise SparqlUnsupported("EXISTS on an OPTIONAL-bound variable")
+        acc = acc.join(
+            gdf.select(*shared), shared, "left_semi" if positive else "left_anti"
+        )
+    return acc
+
+
 def _apply_filters(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
     """IN filters + extended FILTER atoms — shared by every query form."""
     for var, terms in q.filters:
@@ -1555,25 +1584,7 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
             raise SparqlUnsupported("MINUS on an OPTIONAL-bound variable")
         acc = acc.join(gdf.select(*shared), shared, "left_anti")
 
-    # FILTER [NOT] EXISTS: correlated group → left-semi / left-anti join on
-    # the shared variables.  The semi-join needs no distinct (Spark emits
-    # each left row at most once); vars bound only inside the EXISTS group
-    # stay invisible outside, per the spec.  Refusals mirror MINUS: a
-    # never-shared group (its truth is row-independent — a driver-side
-    # decision, not a join) and OPTIONAL-bound shared vars (NULL-
-    # compatibility divergence) are out of subset.
-    for positive, group in getattr(q, "exists", []) or []:
-        gdf, gvars = _join_group(edges, group)
-        shared = sorted(bound & gvars)
-        if not shared:
-            raise SparqlUnsupported(
-                "EXISTS group sharing no variables with the outer pattern"
-            )
-        if set(shared) & opt_bound:
-            raise SparqlUnsupported("EXISTS on an OPTIONAL-bound variable")
-        acc = acc.join(
-            gdf.select(*shared), shared, "left_semi" if positive else "left_anti"
-        )
+    acc = _apply_exists(edges, acc, bound, q, opt_bound)
 
     acc = _apply_filters(acc, bound, q)
 
@@ -1773,12 +1784,16 @@ def compile_construct(
     Object variables carry their term metadata from the WHERE clause;
     solutions that would put a literal in subject/predicate position are
     dropped per the SPARQL spec (invalid instantiations are skipped).
-    The v1 WHERE subset is BGP + FILTER (no OPTIONAL/UNION/paths)."""
+    The WHERE subset is BGP + BIND + FILTER incl. [NOT] EXISTS
+    (no OPTIONAL/UNION/paths/sub-SELECT — refused, never dropped)."""
     cq = parse_sparql(query) if isinstance(query, str) else query
     if not isinstance(cq, ConstructQuery):
         raise SparqlError("compile_construct expects a CONSTRUCT query")
     q = cq.where
-    if q.optionals or q.unions or q.minus or q.values_blocks:
+    if (
+        q.optionals or q.unions or q.minus or q.values_blocks
+        or getattr(q, "subqueries", None)
+    ):
         raise SparqlUnsupported(
             "CONSTRUCT WHERE supports basic graph patterns + FILTER only"
         )
@@ -1798,6 +1813,7 @@ def compile_construct(
         raise SparqlError(
             f"CONSTRUCT template variable ?{missing[0]} is unbound in WHERE"
         )
+    acc = _apply_exists(edges, acc, bound, q, opt_bound=set())
     acc = _apply_filters(acc, bound, q)
 
     null_str = F.lit(None).cast("string")

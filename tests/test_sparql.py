@@ -1123,3 +1123,25 @@ def test_filter_var_eq_var(path_edges):
         "?a p:has ?b . ?a p:other ?c . FILTER (?b = ?c) }",
     ).collect()
     assert rows == []
+
+
+def test_construct_honors_not_exists(path_edges):
+    # without the anti-join, d1 (which has a note) would also be emitted
+    rows = sp.compile_construct(
+        path_edges,
+        "PREFIX p: <http://p/> CONSTRUCT { ?b <http://out/noteless> ?a } "
+        "WHERE { ?a p:has ?b . FILTER NOT EXISTS { ?b p:note ?n } }",
+    ).collect()
+    B = "http://b/"
+    assert sorted((r.subj, r.obj) for r in rows) == [
+        (B + "leaf", B + "x1"), (B + "x1", B + "d1"),
+    ]
+
+
+def test_construct_refuses_subselect(path_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_construct(
+            path_edges,
+            "PREFIX p: <http://p/> CONSTRUCT { ?a <http://out/x> ?b } "
+            "WHERE { ?a p:has ?b . { SELECT ?a WHERE { ?a p:note ?n } } }",
+        )
