@@ -597,6 +597,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     )
 
+    # SELECT * + predicate-object list + OFFSET paging: star projects the
+    # bound vars sorted (catalog, d, lang); bare OFFSET/LIMIT uses the
+    # deterministic projected-var ordering convention
+    q["kg_sparql_star_page"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT * WHERE {
+            ?catalog dct:LinguisticSystem ?lang ; dcat:dataset ?d .
+        } OFFSET 10 LIMIT 20
+        """,
+    )
+
     # FILTER NOT EXISTS: datasets with no theme edge — left-anti join
     q["kg_sparql_not_exists"] = lambda spark, sf: sprq.compile_sparql(
         _merged(spark, sf),
@@ -1785,6 +1799,17 @@ WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e
 SELECT subj AS s, COUNT(obj) AS n
 FROM edges WHERE pred = 'http://www.w3.org/ns/prov#wasAttributedTo'
 GROUP BY subj HAVING COUNT(obj) >= 3
+"""
+
+    # SELECT * page = explicit projection ordered by the same sorted vars
+    sql["kg_sparql_star_page"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT lg.subj AS catalog, ds.obj AS d, lg.obj AS lang
+FROM edges lg
+JOIN edges ds ON ds.subj = lg.subj AND ds.pred = '{PRED_URIS["dataset"]}'
+WHERE lg.pred = '{PRED_URIS["language"]}'
+ORDER BY catalog, d, lang
+LIMIT 20 OFFSET 10
 """
 
     # FILTER [NOT] EXISTS = SQL [NOT] EXISTS correlated subquery

@@ -64,6 +64,11 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
   post-aggregate filter;
 * sub-SELECTs compile recursively and join the outer group on the shared
   projected variables (aggregate-inside, enrich-outside);
+* ``SELECT *`` projects every user-visible bound variable (sorted;
+  internal sequence-path hop vars excluded); predicate-object lists
+  (``;`` / ``,``) desugar to subject-sharing patterns; ``OFFSET`` skips
+  solutions before LIMIT (deterministic: same projected-var ordering
+  convention as bare LIMIT);
 * all four query forms: SELECT (``compile_sparql``), ASK (``compile_ask``
   — LocalLimit(1) under the aggregate, stops at the first solution),
   CONSTRUCT (``compile_construct`` — template projections unioned into a
@@ -202,6 +207,8 @@ class Query:
     exists: list[tuple[bool, list[tuple[Term, Term, Term]]]] = field(
         default_factory=list
     )
+    # OFFSET solutions skipped before LIMIT applies
+    offset: int | None = None
 
 
 @dataclass
@@ -445,8 +452,12 @@ class _Parser:
         self.expect("SELECT")
         distinct = self._kw("DISTINCT")
         select: list[str] = []
-        aggs: dict[str, tuple[str, str | None, bool]] = {}
-        while (tok := self.peek()) is not None:
+        aggs: dict[str, tuple[str, str | None, bool, str | None]] = {}
+        star = False
+        if self.peek() == "*":
+            self.next()
+            star = True
+        while not star and (tok := self.peek()) is not None:
             if tok.startswith("?"):
                 select.append(self.next()[1:])
                 continue
@@ -458,8 +469,8 @@ class _Parser:
                 aggs[alias] = spec
                 continue
             break
-        if not select:
-            raise SparqlUnsupported("SELECT * / expressions not supported")
+        if not select and not star:
+            raise SparqlUnsupported("SELECT expressions not supported")
 
         self.expect("WHERE")
         (
@@ -474,6 +485,19 @@ class _Parser:
                 group_by.append(self.next()[1:])
             if not group_by:
                 raise SparqlError("GROUP BY expects variables")
+
+        if star:
+            if group_by:
+                raise SparqlUnsupported("SELECT * with GROUP BY")
+            bound = _group_bound_vars(
+                patterns, optionals, unions, values_blocks
+            )
+            bound |= {v for v, _ in binds}
+            bound |= {v for sq in subqueries for v in sq.select}
+            # internal sequence-path hop vars are never user-visible
+            select = sorted(v for v in bound if not v.startswith("__seq"))
+            if not select:
+                raise SparqlError("SELECT * over a pattern binding nothing")
 
         having: list[tuple[str, str, int | float | str]] = []
         if self._kw("HAVING"):
@@ -520,9 +544,20 @@ class _Parser:
                     raise SparqlError("ORDER BY expects variables")
                 order_by.append((var[1:], asc))
 
-        limit = None
-        if self._kw("LIMIT"):
-            limit = int(self.next())
+        limit: int | None = None
+        offset: int | None = None
+        while (tok := self.peek()) is not None and tok.upper() in (
+            "LIMIT", "OFFSET",
+        ):
+            kw = self.next().upper()
+            if kw == "LIMIT":
+                if limit is not None:
+                    raise SparqlError("duplicate LIMIT")
+                limit = int(self.next())
+            else:
+                if offset is not None:
+                    raise SparqlError("duplicate OFFSET")
+                offset = int(self.next())
         if top and self.peek() is not None:
             raise SparqlUnsupported(f"trailing content at {self.peek()!r}")
         return Query(
@@ -530,6 +565,7 @@ class _Parser:
             unions=unions, filter_exprs=filter_exprs, minus=minus,
             values_blocks=values_blocks, aggs=aggs, group_by=group_by,
             having=having, binds=binds, subqueries=subqueries, exists=exists,
+            offset=offset,
         )
 
     def _agg_item(self) -> tuple[str, tuple[str, str | None, bool, str | None]]:
@@ -737,19 +773,46 @@ class _Parser:
         return group
 
     def _triple(self) -> list[tuple[Term, Term | PathPlus, Term]]:
-        """One triple, or a SPARQL 1.1 sequence path ``p1/p2/...`` desugared
-        into chained patterns over fresh ``?__seqN`` join variables (never
-        projected — they only co-locate the hops).  A bare inverse step
-        ``^p`` desugars by swapping the hop's endpoints — same edges slice,
-        read backwards, zero extra plan cost."""
+        """One triples-block: a subject, ``;``-separated predicate branches,
+        each with a ``,``-separated object list — desugared into plain
+        patterns sharing the subject.  Predicates may be SPARQL 1.1 paths:
+        a sequence ``p1/p2/...`` desugars into chained patterns over fresh
+        ``?__seqN`` join variables (never projected — they only co-locate
+        the hops; fresh per object, so each object gets its own chain), and
+        a bare inverse step ``^p`` desugars by swapping the hop's endpoints
+        — same edges slice, read backwards, zero extra plan cost."""
         s = self.term()
-        segs: list[Term | PathPlus | PathStep | PathAlt] = [self._path_segment()]
-        while self.peek() == "/":
-            self.next()
-            segs.append(self._path_segment())
-        o = self.term()
+        out: list[tuple[Term, Term | PathPlus, Term]] = []
+        while True:
+            segs: list[Term | PathPlus | PathStep | PathAlt] = [
+                self._path_segment()
+            ]
+            while self.peek() == "/":
+                self.next()
+                segs.append(self._path_segment())
+            while True:
+                o = self.term()
+                out.extend(self._hops(s, segs, o))
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                nxt = self.peek()
+                if nxt is not None and nxt not in ("}", "."):
+                    continue  # next predicate branch; else trailing ';'
+            break
         if self.peek() == ".":
             self.next()
+        return out
+
+    def _hops(
+        self,
+        s: Term,
+        segs: "list[Term | PathPlus | PathStep | PathAlt]",
+        o: Term,
+    ) -> list[tuple[Term, Term | PathPlus, Term]]:
         out: list[tuple[Term, Term | PathPlus, Term]] = []
         cur = s
         for i, seg in enumerate(segs):
@@ -1665,16 +1728,19 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
     if q.distinct:
         out = out.distinct()
 
+    offset = getattr(q, "offset", None)
     if q.order_by:
         out = out.orderBy(
             *[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by]
         )
-    elif q.limit is not None:
-        # deterministic LIMIT: order by the bound projected vars (compiles
-        # to TakeOrdered, no full sort shuffle)
+    elif q.limit is not None or offset:
+        # deterministic LIMIT/OFFSET: order by the bound projected vars
+        # (compiles to TakeOrdered, no full sort shuffle)
         keys = [v for v in q.select if v in bound]
         if keys:
             out = out.orderBy(*keys)
+    if offset:
+        out = out.offset(offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

@@ -92,9 +92,9 @@ def test_parse_filter_conjunction_and_optional():
 @pytest.mark.parametrize(
     "text",
     [
-        "SELECT * WHERE { ?s ?p ?o }",
+        "SELECT (1 AS ?x) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
-        "SELECT ?s WHERE { ?s <http://p> ?o ; <http://q> ?r }",
+        "SELECT ?s WHERE { SERVICE <http://svc> { ?s <http://p> ?o } }",
         "SELECT ?s WHERE { ?s <http://p> ?o . FILTER (?s < \"x\") }",
         "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
     ],
@@ -1145,3 +1145,84 @@ def test_construct_refuses_subselect(path_edges):
             "PREFIX p: <http://p/> CONSTRUCT { ?a <http://out/x> ?b } "
             "WHERE { ?a p:has ?b . { SELECT ?a WHERE { ?a p:note ?n } } }",
         )
+
+
+# --- SELECT * / predicate-object lists / OFFSET ------------------------------------
+
+def test_select_star_projects_sorted_bound_vars(path_edges):
+    df = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT * WHERE { ?b p:note ?note . "
+        "?a p:has ?b . }",
+    )
+    assert df.columns == ["a", "b", "note"]
+    rows = df.collect()
+    assert [(r.a, r.b, r.note) for r in rows] == [
+        ("c1", "http://b/d1", "lit"),
+    ]
+
+
+def test_select_star_hides_sequence_hop_vars(path_edges):
+    df = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT * WHERE { ?a p:has/p:has ?b . }",
+    )
+    assert df.columns == ["a", "b"]
+
+
+def test_predicate_object_lists_desugar(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b ?c WHERE { "
+        "?a p:has ?b ; p:other ?c . }",
+    ).collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [
+        ("c1", "http://b/d1", "http://b/d9"),
+    ]
+
+
+def test_object_list_shares_subject_and_predicate(path_edges):
+    q = sp.parse_sparql(
+        "PREFIX p: <http://p/> SELECT ?a WHERE { ?a p:has ?x , ?y . }"
+    )
+    assert q.patterns == [
+        (sp.Var("a"), sp.Uri("http://p/has"), sp.Var("x")),
+        (sp.Var("a"), sp.Uri("http://p/has"), sp.Var("y")),
+    ]
+
+
+def test_trailing_semicolon_is_legal(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a p:other ?b ; . }",
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [("c1", "http://b/d9")]
+
+
+def test_offset_with_order_by(path_edges):
+    rows = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a p:has ?b . } "
+        "ORDER BY ?a OFFSET 1 LIMIT 1",
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [("http://b/d1", "http://b/x1")]
+
+
+def test_offset_without_order_is_deterministic(path_edges):
+    # OFFSET alone triggers the projected-var ordering convention:
+    # page 2 + page 1 == the full ordered result
+    full = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a p:has ?b . } "
+        "ORDER BY ?a ?b",
+    ).collect()
+    page1 = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a p:has ?b . } LIMIT 2",
+    ).collect()
+    page2 = sp.compile_sparql(
+        path_edges,
+        "PREFIX p: <http://p/> SELECT ?a ?b WHERE { ?a p:has ?b . } "
+        "OFFSET 2 LIMIT 2",
+    ).collect()
+    assert page1 + page2 == full
