@@ -1198,6 +1198,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_order_priority"] = _priority_semijoin
 
+    def _events_asof(spark, sf):
+        """Every purchase + the user's most recent prior-or-equal click
+        (operators/asof.py union-window as-of join; DuckDB replays it with
+        its native ASOF LEFT JOIN)."""
+        from breg_dcat_harvester_spark.operators.asof import asof_join
+
+        ev = _events(spark, sf)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        out = asof_join(
+            purchases, clicks, on=["user_id"], left_ts="ts",
+            right_ts="click_ts", right_tiebreak="click_id",
+        )
+        return out.select(
+            "purchase_id",
+            "user_id",
+            F.col("click_id_r").alias("click_id"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts_r").cast("timestamp"))
+            ).alias("lag_us"),
+            F.col("click_value_r").alias("click_value"),
+        )
+
+    q["rel_events_asof"] = _events_asof
+
+    def _events_in_windows(spark, sf):
+        """Per-(campaign window, event type) rollup via the binned interval
+        join (operators/asof.py): 40 overlapping 18h windows starting every
+        17h — overlap means some events land in two windows, which a plain
+        equi-join cannot express.  Value summed in integer cents so the
+        rollup is order-exact against the oracle."""
+        from breg_dcat_harvester_spark.operators.asof import range_join_intervals
+
+        windows = spark.range(40).select(
+            F.col("id").alias("window_id"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 17 * 3600)
+            .cast("timestamp_ntz")
+            .alias("ws"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("id") * 17 * 3600 + 18 * 3600
+            )
+            .cast("timestamp_ntz")
+            .alias("we"),
+        )
+        joined = range_join_intervals(
+            _events(spark, sf), windows, "ts", "ws", "we", bin_seconds=18 * 3600
+        )
+        return joined.groupBy("window_id", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+
+    q["rel_events_in_windows"] = _events_in_windows
+
     return q
 
 
@@ -2620,5 +2682,34 @@ SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
 GROUP BY o_orderpriority
+"""
+
+    # independent replay of the union-window as-of join through DuckDB's
+    # NATIVE ASOF JOIN implementation (both sides inclusive on ts equality;
+    # the events table has no (user_id, ts) ties, so the tiebreak that makes
+    # the Spark side bit-deterministic under ties cannot diverge here)
+    sql["rel_events_asof"] = """
+SELECT l.event_id AS purchase_id, l.user_id, r.event_id AS click_id,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us,
+       r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    # the binned interval join replayed as a plain inequality join
+    sql["rel_events_in_windows"] = """
+WITH w AS (
+    SELECT i AS window_id,
+           TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 17 HOUR) AS ws,
+           TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 17 HOUR)
+               + INTERVAL 18 HOUR AS we
+    FROM range(40) t(i)
+)
+SELECT w.window_id, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY 1, 2
 """
     return sql
