@@ -829,6 +829,8 @@ HEADLINE = [
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_events_sessionize",
+    "rel_events_asof",
+    "rel_events_in_windows",
     "kg_windowed_turn_counts",
 ]
 

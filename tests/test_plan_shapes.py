@@ -49,6 +49,8 @@ EXCHANGE_BUDGET = {
     "text_repetition": 0,
     "sample_stratified": 0,  # Bernoulli sha-bucket filter: map-side only
     "rel_events_sessionize": 1,  # one window partitioning
+    "rel_events_asof": 1,  # union-window as-of join: the one hash partition
+    "rel_events_in_windows": 2,  # broadcast bin equi-join + rollup agg
     "rel_pricing_summary": 1,  # single groupBy
     "dedup_exact": 2,  # group hash + two-stage sample top-k
     "corpus_shuffle_shards": 1,  # map-side shard assign + one manifest agg
