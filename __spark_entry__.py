@@ -486,6 +486,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     )
 
+    # negated property set (SPARQL 1.1 `!(p|…)`): every dataset property
+    # EXCEPT title/description/type — ONE complement pred-slice of the
+    # edges scan (filter pushed down), joined to the type anchor.
+    q["kg_sparql_neg_path"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?o WHERE {
+            ?d rdf:type dcat:Dataset .
+            ?d !(dct:title|dct:description|rdf:type) ?o .
+        }
+        """,
+    )
+
+    # extended FILTER builtins: string ordering (codepoint, exact for the
+    # plain-literal titles), STRLEN and STRENDS — all codegen'd Column
+    # exprs on the scan, no shuffle added.
+    q["kg_sparql_filters_ext"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?t WHERE {
+            ?d rdf:type dcat:Dataset .
+            ?d dct:title ?t .
+            FILTER (?t >= "c" && ?t < "s" && STRLEN(?t) > 20 && STRENDS(?t, "9"))
+        }
+        """,
+    )
+
+    # !BOUND over an OPTIONAL-bound variable: the SPARQL spelling of the
+    # MINUS/anti-join shape — datasets carrying no theme, with their titles.
+    q["kg_sparql_not_bound"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?t WHERE {
+            ?d rdf:type dcat:Dataset .
+            ?d dct:title ?t .
+            OPTIONAL { ?d dcat:theme ?th }
+            FILTER (!BOUND(?th))
+        }
+        """,
+    )
+
     # VALUES: inline data joined (broadcast) on the shared variable — the
     # catalog-language restriction over the fixed EU language vocabulary.
     q["kg_sparql_values"] = lambda spark, sf: sprq.compile_sparql(
@@ -1779,6 +1829,41 @@ FROM edges t
 JOIN edges ti ON ti.subj = t.subj AND ti.pred = '{DCT}title'
 WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
   AND regexp_matches(ti.obj, '^[a-d]')
+"""
+
+    # negated property set = complement pred-slice joined to the anchor
+    sql["kg_sparql_neg_path"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS d, f.obj AS o
+FROM edges t
+JOIN edges f ON f.subj = t.subj
+    AND f.pred NOT IN ('{DCT}title', '{DCT}description', '{RDF_TYPE}')
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+"""
+
+    # string ordering (binary collation = codepoint on ASCII), STRLEN,
+    # STRENDS
+    sql["kg_sparql_filters_ext"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS d, ti.obj AS t
+FROM edges t
+JOIN edges ti ON ti.subj = t.subj AND ti.pred = '{DCT}title'
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+  AND ti.obj >= 'c' AND ti.obj < 's'
+  AND length(ti.obj) > 20 AND ti.obj LIKE '%9'
+"""
+
+    # FILTER (!BOUND(?th)) after OPTIONAL = anti-join
+    sql["kg_sparql_not_bound"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS d, ti.obj AS t
+FROM edges t
+JOIN edges ti ON ti.subj = t.subj AND ti.pred = '{DCT}title'
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+  AND NOT EXISTS (
+    SELECT 1 FROM edges th
+    WHERE th.subj = t.subj AND th.pred = '{DCAT}theme'
+  )
 """
 
     # GROUP BY + COUNT

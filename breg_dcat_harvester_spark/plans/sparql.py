@@ -49,10 +49,20 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
   shared variable is OPTIONAL-bound — the NULL-compatibility divergence);
 * ``VALUES`` → broadcast inline-table join (UNDEF allowed only in
   non-join columns);
-* extended FILTERs: ``=``/``!=`` against a constant OR another variable
-  → Column comparisons (over the lexical columns, same term model as the
-  rest of the compiler), ``regex`` → ``rlike`` (both are substring-find
-  semantics), ``STRSTARTS``/``CONTAINS`` → ``startswith``/``contains``;
+* extended FILTERs: ``=``/``!=``/``<``/``<=``/``>``/``>=`` against a
+  constant OR another variable → Column comparisons (over the lexical
+  columns, same term model as the rest of the compiler; ordering is
+  codepoint order — exact for the plain/xsd:string literals this graph
+  holds; a bare-number comparand compares by numeric value via try_cast,
+  non-numeric forms → NULL → row drops, SPARQL's type-error semantics;
+  IRI ordering is refused per spec), ``regex`` → ``rlike`` (both are
+  substring-find semantics), ``STRSTARTS``/``STRENDS``/``CONTAINS`` →
+  ``startswith``/``endswith``/``contains``, ``STRLEN(?v) <op> n`` →
+  ``length``, ``BOUND``/``!BOUND`` → ``isNotNull``/``isNull`` (applied
+  after the OPTIONAL left joins);
+* negated property sets ``!p`` / ``!(p1|p2|…)`` → ONE complement
+  ``pred NOT IN (…)`` slice of the edges scan (forward members only;
+  inverse members and modifiers over the set are refused);
 * ``FILTER [NOT] EXISTS { … }`` → left-semi / left-anti join on the
   shared variables (refused when a shared variable is OPTIONAL-bound or
   when the group shares nothing with the outer pattern);
@@ -161,6 +171,16 @@ class PathAlt:
     steps: tuple[PathStep, ...]
 
 
+@dataclass(frozen=True)
+class PathNeg:
+    """SPARQL 1.1 negated property set ``!p`` / ``!(p1|p2|…)`` — matches
+    any edge whose predicate is NOT one of the members.  Forward members
+    only (``!^p`` is out of subset); compiles to a single
+    ``pred NOT IN (…)`` slice of the edges scan — the same one-scan shape
+    as the positive alternation, with the filter pushed down."""
+    preds: tuple["Uri", ...]
+
+
 Term = Var | Uri | Lit
 
 
@@ -263,7 +283,7 @@ _TOKEN = re.compile(
     | (?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*)
     | (?P<kw>[A-Za-z_][\w]*)
     | (?P<num>\d+\.\d+|\d+)
-    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/|\||\^|!=|<=|>=|<|>|=|\*|\?)
+    | (?P<punct>\{|\}|\(|\)|\.|,|;|&&|\|\||\+|/|\||\^|!=|<=|>=|<|>|=|\*|\?|!)
     """,
     re.VERBOSE,
 )
@@ -852,12 +872,17 @@ class _Parser:
             "only simple (optionally inverse) predicates inside an alternation"
         )
 
-    def _path_unit(self) -> Term | PathPlus | PathStep | PathAlt:
-        """unit := '^'? primary '+'? ;  primary := term | '(' pathAlt ')'."""
+    def _path_unit(self) -> Term | PathPlus | PathStep | PathAlt | PathNeg:
+        """unit := '!'? '^'? primary '+'? ;  primary := term | '(' pathAlt ')'."""
+        if self.peek() == "!":
+            self.next()
+            return self._neg_path()
         inverse = False
         if self.peek() == "^":
             self.next()
             inverse = True
+            if self.peek() == "!":
+                raise SparqlUnsupported("^ over a negated property set")
         if self.peek() == "(":
             self.next()
             inner = self._path_segment()
@@ -897,7 +922,38 @@ class _Parser:
             return PathPlus(inner.preds, not inner.inverse, inner.zero)
         if isinstance(inner, PathOpt):
             return PathOpt(inner.preds, not inner.inverse)
+        if isinstance(inner, PathNeg):
+            raise SparqlUnsupported("^ over a negated property set")
         raise SparqlUnsupported("^ on a variable predicate")
+
+    def _neg_path(self) -> PathNeg:
+        """``!p`` / ``!(p1|p2|…)`` — negated property set, forward members
+        only.  Inverse members (``!^p``) and path modifiers over the set
+        are refused, never silently mis-compiled."""
+        if self.peek() == "(":
+            self.next()
+            members: list[Uri] = [self._neg_member()]
+            while self.peek() == "|":
+                self.next()
+                members.append(self._neg_member())
+            self.expect(")")
+        else:
+            members = [self._neg_member()]
+        if self.peek() in ("+", "*", "?"):
+            raise SparqlUnsupported(
+                f"path modifier {self.peek()!r} over a negated property set"
+            )
+        return PathNeg(tuple(members))
+
+    def _neg_member(self) -> Uri:
+        if self.peek() == "^":
+            raise SparqlUnsupported(
+                "inverse member inside a negated property set"
+            )
+        p = self.term()
+        if not isinstance(p, Uri):
+            raise SparqlError("negated property set expects IRIs")
+        return p
 
     def _fresh(self) -> int:
         n = getattr(self, "_fresh_n", 0)
@@ -935,7 +991,9 @@ class _Parser:
         self, ins: list[tuple[str, list[Term]]], exprs: list[tuple]
     ) -> None:
         tok = self.peek()
-        if tok is not None and tok.upper() in ("REGEX", "STRSTARTS", "CONTAINS"):
+        if tok is not None and tok.upper() in (
+            "REGEX", "STRSTARTS", "STRENDS", "CONTAINS",
+        ):
             fn = self.next().upper()
             self.expect("(")
             var = self.next()
@@ -953,10 +1011,43 @@ class _Parser:
             else:
                 exprs.append((fn.lower(), var[1:], arg))
             return
+        if tok == "!" or (tok is not None and tok.upper() == "BOUND"):
+            positive = tok != "!"
+            if not positive:
+                self.next()
+                nxt = self.peek()
+                if nxt is None or nxt.upper() != "BOUND":
+                    raise SparqlUnsupported(
+                        "'!' in FILTER: only !BOUND(?v) is in subset"
+                    )
+            self.expect("BOUND")
+            self.expect("(")
+            var = self.next()
+            if not var.startswith("?"):
+                raise SparqlError("BOUND expects a variable")
+            self.expect(")")
+            exprs.append(("bound", var[1:], positive))
+            return
+        if tok is not None and tok.upper() == "STRLEN":
+            self.next()
+            self.expect("(")
+            var = self.next()
+            if not var.startswith("?"):
+                raise SparqlUnsupported("STRLEN on a non-variable argument")
+            self.expect(")")
+            op = self.next()
+            if op not in ("=", "!=", "<", "<=", ">", ">="):
+                raise SparqlUnsupported(f"STRLEN comparison operator {op!r}")
+            num = self.next()
+            if not re.fullmatch(r"\d+", num):
+                raise SparqlUnsupported("STRLEN compares against an integer")
+            exprs.append(("strlen", var[1:], op, int(num)))
+            return
         var = self.next()
         if not var.startswith("?"):
             raise SparqlUnsupported(
-                f"FILTER on {var!r}: expected ?var or regex/STRSTARTS/CONTAINS"
+                f"FILTER on {var!r}: expected ?var or a builtin "
+                "(regex/STRSTARTS/STRENDS/CONTAINS/BOUND/STRLEN)"
             )
         op = self.next()
         if op.upper() == "IN":
@@ -973,18 +1064,31 @@ class _Parser:
             self.next()
             ins.append((var[1:], vals))
             return
-        if op in ("=", "!="):
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            nxt = self.peek()
+            if nxt is not None and re.fullmatch(r"\d+(\.\d+)?", nxt):
+                # numeric shorthand literal → value comparison: the lexical
+                # column is cast (NULL for non-numeric forms → row drops,
+                # SPARQL's type-error semantics)
+                self.next()
+                exprs.append(("ncmp", var[1:], op, float(nxt)))
+                return
             t = self.term()
             if isinstance(t, Var):
-                # term equality over the lexical columns; NULL (an
+                # term comparison over the lexical columns; NULL (an
                 # OPTIONAL-unbound side) is a SPARQL evaluation error →
-                # the row drops, exactly Spark's NULL-comparison behavior
+                # the row drops, exactly Spark's NULL-comparison behavior.
+                # Ordering ops use codepoint order — exact for the plain/
+                # xsd:string literals this graph holds.
                 exprs.append(("vcmp", var[1:], op, t.name))
                 return
             if isinstance(t, Lit) and (t.lang or t.dtype):
                 raise SparqlUnsupported(
                     "comparison with a lang/datatype-tagged literal"
                 )
+            if isinstance(t, Uri) and op not in ("=", "!="):
+                # SPARQL defines no < ordering over IRIs (type error)
+                raise SparqlUnsupported("ordering comparison with an IRI")
             exprs.append(
                 ("cmp", var[1:], op, t.value if isinstance(t, Uri) else t.lex)
             )
@@ -1276,17 +1380,20 @@ def _alt_pattern_df(
 
 
 def _endpoint_df(
-    edges: DataFrame, s: Term, pred_values: list[str], o: Term
+    edges: DataFrame, s: Term, pred_values: list[str], o: Term,
+    negate: bool = False,
 ) -> tuple[DataFrame, set[str]]:
-    """Edges slice with the predicate fixed to an IN-set, endpoints bound
+    """Edges slice with the predicate fixed to an IN-set (or, for a negated
+    property set, its complement — ``negate=True``), endpoints bound
     like a plain pattern (shared variable at both ends → self-equality
     filter; URI object → obj_kind guard; literal object → RDF term
     equality incl. lang/dtype)."""
-    df = edges.filter(
+    in_pred = (
         F.col("pred") == pred_values[0]
         if len(pred_values) == 1
         else F.col("pred").isin(pred_values)
     )
+    df = edges.filter(~in_pred if negate else in_pred)
     cols: dict[str, str] = {}
 
     def bind(term: Term, col: str, is_obj: bool) -> None:
@@ -1328,6 +1435,10 @@ def _pattern_df(
         return _alt_pattern_df(edges, s, p, o)
     if isinstance(p, PathOpt):
         return _opt_pattern_df(edges, s, p, o)
+    if isinstance(p, PathNeg):
+        return _endpoint_df(
+            edges, s, [u.value for u in p.preds], o, negate=True
+        )
     df = edges
     cols: dict[str, str] = {}  # var name -> source column
 
@@ -1478,6 +1589,16 @@ def _apply_exists(
     return acc
 
 
+_CMP_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
 def _apply_filters(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
     """IN filters + extended FILTER atoms — shared by every query form."""
     for var, terms in q.filters:
@@ -1492,13 +1613,25 @@ def _apply_filters(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
         col = F.col(var)
         if kind == "cmp":
             _, _, op, val = expr
-            acc = acc.filter(col == val if op == "=" else col != val)
+            acc = acc.filter(_CMP_OPS[op](col, F.lit(val)))
         elif kind == "vcmp":
             _, _, op, other = expr
             if other not in bound:
                 raise SparqlError(f"FILTER on unbound variable ?{other}")
-            oc = F.col(other)
-            acc = acc.filter(col == oc if op == "=" else col != oc)
+            acc = acc.filter(_CMP_OPS[op](col, F.col(other)))
+        elif kind == "ncmp":
+            _, _, op, val = expr
+            # numeric value comparison: try_cast the lexical form (ANSI-safe);
+            # non-numeric forms cast to NULL and the row drops (SPARQL type
+            # error semantics)
+            acc = acc.filter(_CMP_OPS[op](col.try_cast("double"), F.lit(val)))
+        elif kind == "strlen":
+            _, _, op, val = expr
+            acc = acc.filter(_CMP_OPS[op](F.length(col), F.lit(val)))
+        elif kind == "bound":
+            acc = acc.filter(col.isNotNull() if expr[2] else col.isNull())
+        elif kind == "strends":
+            acc = acc.filter(col.endswith(expr[2]))
         elif kind == "regex":
             _, _, pat, flags = expr
             if flags:

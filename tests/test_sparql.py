@@ -95,7 +95,7 @@ def test_parse_filter_conjunction_and_optional():
         "SELECT (1 AS ?x) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
         "SELECT ?s WHERE { SERVICE <http://svc> { ?s <http://p> ?o } }",
-        "SELECT ?s WHERE { ?s <http://p> ?o . FILTER (?s < \"x\") }",
+        "SELECT ?s WHERE { ?s <http://p> ?o . FILTER (LANG(?o) = \"en\") }",
         "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
     ],
 )
@@ -609,7 +609,7 @@ def test_filter_contains(path_edges):
 def test_filter_unsupported_operator_raises():
     with pytest.raises(sp.SparqlError):
         sp.parse_sparql(
-            'PREFIX p: <http://p/> SELECT ?t WHERE { ?d p:x ?t . FILTER (?t < "z") }'
+            'PREFIX p: <http://p/> SELECT ?t WHERE { ?d p:x ?t . FILTER (?t ~ "z") }'
         )
 
 
@@ -1226,3 +1226,102 @@ def test_offset_without_order_is_deterministic(path_edges):
         "OFFSET 2 LIMIT 2",
     ).collect()
     assert page1 + page2 == full
+
+
+# --- negated property sets + extended FILTER builtins (round 3) --------------
+
+
+def test_negated_property_set(tiny_edges):
+    # !(title|rdf:type) over s1/s2: every edge whose pred is neither
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX p: <http://p/> "
+        "SELECT ?s ?o WHERE { ?s !(p:title|rdf:type) ?o . } ORDER BY ?s ?o",
+    ).collect()
+    assert [(r.s, r.o) for r in rows] == [("s2", "3"), ("s2", "hello")]
+
+
+def test_negated_single_pred(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX dcat: <http://www.w3.org/ns/dcat#> "
+        "PREFIX p: <http://p/> "
+        "SELECT ?o WHERE { ?s rdf:type dcat:Dataset . ?s !p:title ?o . "
+        "FILTER (?o != <http://www.w3.org/ns/dcat#Dataset>) } ORDER BY ?o",
+    ).collect()
+    assert [r.o for r in rows] == ["3", "hello"]
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        # inverse member inside a negated set
+        "PREFIX p: <http://p/> SELECT ?s WHERE { ?s !(^p:title) ?o . }",
+        # modifier over a negated set
+        "PREFIX p: <http://p/> SELECT ?s WHERE { ?s !(p:title)+ ?o . }",
+        # inverse of a negated set
+        "PREFIX p: <http://p/> SELECT ?s WHERE { ?s ^!p:title ?o . }",
+    ],
+)
+def test_negated_property_set_refusals(text):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.parse_sparql(text)
+
+
+def test_filter_bound_and_not_bound(tiny_edges):
+    base = (
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX dcat: <http://www.w3.org/ns/dcat#> "
+        "PREFIX p: <http://p/> "
+        "SELECT ?s WHERE {{ ?s rdf:type dcat:Dataset . "
+        "OPTIONAL {{ ?s p:size ?sz }} FILTER ({}BOUND(?sz)) }}"
+    )
+    has = sp.compile_sparql(tiny_edges, base.format("")).collect()
+    not_has = sp.compile_sparql(tiny_edges, base.format("!")).collect()
+    assert [r.s for r in has] == ["s2"]
+    assert [r.s for r in not_has] == ["s1"]
+
+
+def test_filter_strends_strlen_and_ordering(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s ?t WHERE { ?s p:title ?t . '
+        'FILTER (STRENDS(?t, "llo") && STRLEN(?t) >= 5 && ?t > "h" && ?t < "i") }',
+    ).collect()
+    assert sorted((r.s, r.t) for r in rows) == [("s1", "hello"), ("s1", "hello")]
+
+
+def test_filter_numeric_comparison(tiny_edges):
+    # "3"^^xsd:int passes > 2; "hello" casts to NULL and drops (type error)
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        "SELECT ?s ?v WHERE { ?s !p:nothing ?v . FILTER (?v > 2) }",
+    ).collect()
+    assert [(r.s, r.v) for r in rows] == [("s2", "3")]
+    none = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        "SELECT ?s WHERE { ?s p:size ?v . FILTER (?v > 3.5) }",
+    ).collect()
+    assert none == []
+
+
+def test_filter_var_to_var_ordering(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        "SELECT ?a ?b WHERE { ?s p:size ?a . ?s p:link ?b . FILTER (?a < ?b) }",
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [("3", "hello")]
+
+
+def test_filter_iri_ordering_refused():
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.parse_sparql(
+            "PREFIX p: <http://p/> "
+            "SELECT ?s WHERE { ?s p:link ?o . FILTER (?o < <http://z>) }"
+        )
