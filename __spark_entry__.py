@@ -801,6 +801,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_connected_components_star"] = _cc_star
 
+    # J11 incremental form: fold a deterministic ~25% shard of the link
+    # pairs into the canonical mapping built from the other 75% WITHOUT
+    # re-running CC on the base — every join/agg runs on the increment
+    # (contracted merge graph), the base mapping is rewritten by ONE
+    # map-only broadcast join.  Gated by the SAME recursive-CTE oracle as
+    # the batch algorithms: incremental ≡ batch, row for row.
+    def _cc_incremental(spark, sf):
+        pairs = _link(spark, sf).localCheckpoint(eager=True)
+        is_inc = (F.abs(F.xxhash64("a", "b")) % F.lit(4)) == 0
+        base = ccm.connected_components(pairs.filter(~is_inc))
+        return ccm.incremental_components(base, pairs.filter(is_inc))
+
+    q["kg_cc_incremental"] = _cc_incremental
+
     # §2.9 applyInPandas surface: order-dependent per-conversation features
     q["kg_conversation_stats"] = lambda spark, sf: conv.conversation_stats(
         _transcripts(spark, sf)
@@ -2118,6 +2132,8 @@ SELECT x AS node_id, min(c) AS canonical_id FROM walk GROUP BY x
     )
     # the star algorithm must reproduce the exact same canonical mapping
     sql["kg_connected_components_star"] = sql["kg_connected_components"]
+    # incremental fold-in must too (incremental ≡ batch is the contract)
+    sql["kg_cc_incremental"] = sql["kg_connected_components"]
 
     sql["kg_conversation_stats"] = f"""
 WITH t AS (SELECT * FROM read_parquet('{glob}')),

@@ -252,3 +252,114 @@ def build_nodes(edges: DataFrame, labels: DataFrame) -> DataFrame:
             "label",
         )
     )
+
+
+def incremental_components_delta(
+    base_labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a shard of newly discovered link pairs into an existing
+    canonical mapping WITHOUT re-running CC over the base graph.
+
+    Returns ``(remap, new_node_labels)``:
+
+    * ``remap`` — (node_id=old canonical, canonical_id=new canonical) rows
+      for every EXISTING component whose canonical id changes;
+    * ``new_node_labels`` — (node_id, canonical_id) for every node the base
+      mapping has never seen.
+
+    The union of {base rows rewritten through remap} ∪ {new_node_labels} is
+    exactly ``connected_components(base_pairs ∪ new_pairs)`` (tested) —
+    because contracting each base component to its canonical id preserves
+    connectivity, and the base canonical is the minimum of its component, so
+    the min-label of the contracted merge graph is the global minimum of the
+    merged component.
+
+    Scale shape (the whole point): every join/agg here runs on the
+    INCREMENT (new pairs + their endpoints + the touched components), never
+    on the base graph.  The base mapping is probed once with a left join to
+    anchor endpoints — at 10^12-edge scale that probe is a bucketed/
+    broadcast-right lookup of |increment endpoints| keys, and applying the
+    remap afterwards is one map-only broadcast join over the base table
+    (``incremental_components``).  Mirrors dedup.incremental_minhash_pairs:
+    cost ∝ arriving shard, the ingested corpus is never re-shuffled.
+    """
+    ends = (
+        new_pairs.select(F.col(a_col).alias("node_id"))
+        .unionByName(new_pairs.select(F.col(b_col).alias("node_id")))
+        .distinct()
+    )
+    # anchor each endpoint to its current component; unseen nodes anchor to
+    # themselves (their own 1-node component)
+    anchored = (
+        ends.join(base_labels, "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("canonical_id", "node_id").alias("comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    aa = anchored.select(F.col("node_id").alias(a_col), F.col("comp").alias("_ca"))
+    ab = anchored.select(F.col("node_id").alias(b_col), F.col("comp").alias("_cb"))
+    contracted = (
+        new_pairs.select(a_col, b_col)
+        .join(aa, a_col)
+        .join(ab, b_col)
+        .select(F.col("_ca").alias("a"), F.col("_cb").alias("b"))
+    )
+    # CC over the contracted merge graph — |touched components| nodes, an
+    # increment-sized problem regardless of base size.  Vertices are base
+    # canonical ids (each the min of its base component) and fresh node ids,
+    # so min-label canonicals here are the true merged-component minima.
+    merged = connected_components(contracted, max_iter=max_iter)
+    remap = merged.filter(F.col("node_id") != F.col("canonical_id")).join(
+        base_labels.select(F.col("canonical_id").alias("node_id")).distinct(),
+        "node_id",
+        "left_semi",
+    )
+    new_node_labels = (
+        anchored.join(base_labels, "node_id", "left_anti")
+        .join(
+            merged.withColumnRenamed("node_id", "comp").withColumnRenamed(
+                "canonical_id", "_merged"
+            ),
+            "comp",
+            "left",
+        )
+        .select("node_id", F.coalesce("_merged", "comp").alias("canonical_id"))
+    )
+    return remap, new_node_labels
+
+
+def incremental_components(
+    base_labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Full updated (node_id, canonical_id) mapping after folding
+    ``new_pairs`` into ``base_labels`` — equals
+    ``connected_components(base_pairs ∪ new_pairs)`` row-for-row.
+
+    One pass over the base table: the increment-sized remap is broadcast
+    and left-joined (map-only — the base is never shuffled), then the
+    brand-new nodes are appended.
+    """
+    remap, new_node_labels = incremental_components_delta(
+        base_labels, new_pairs, a_col=a_col, b_col=b_col, max_iter=max_iter
+    )
+    rm = F.broadcast(
+        remap.select(F.col("node_id").alias("canonical_id"), F.col("canonical_id").alias("_new"))
+    )
+    updated = (
+        base_labels.join(rm, "canonical_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("_new", "canonical_id").alias("canonical_id"),
+        )
+    )
+    return updated.unionByName(new_node_labels)

@@ -167,3 +167,98 @@ def test_nodes_table(spark, merged):
         .count()
     )
     assert nodes.count() == n_terms
+
+
+# --- incremental connected components (round 3) -------------------------------
+
+
+def _batch_cc(spark, pairs_list):
+    pairs = spark.createDataFrame(pairs_list, "a string, b string")
+    return {
+        (r.node_id, r.canonical_id)
+        for r in ccm.connected_components(pairs, max_iter=100).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_incremental_cc_equals_batch_random(spark, seed):
+    """incremental fold-in over ANY split == one batch CC over the union —
+    on seeded random graphs covering merges across base components, fresh
+    nodes bridging into old components, fresh-only components, and
+    increments that land inside one existing component."""
+    import random
+
+    rng = random.Random(seed)
+    n = 120
+    edges = list(
+        {
+            (f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+            for _ in range(140)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    cut = len(edges) * 2 // 3
+    base_pairs, inc_pairs = edges[:cut], edges[cut:]
+
+    base = ccm.connected_components(
+        spark.createDataFrame(base_pairs, "a string, b string"), max_iter=100
+    )
+    inc = spark.createDataFrame(inc_pairs, "a string, b string")
+    got = {
+        (r.node_id, r.canonical_id)
+        for r in ccm.incremental_components(base, inc).collect()
+    }
+    assert got == _batch_cc(spark, edges)
+
+
+def test_incremental_cc_delta_is_increment_scoped(spark):
+    """the delta names ONLY touched components and fresh nodes — an
+    untouched base component must not appear in either output."""
+    base = ccm.connected_components(
+        spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("y", "z")], "a string, b string"
+        )
+    )
+    inc = spark.createDataFrame([("c", "d"), ("q", "r")], "a string, b string")
+    remap, fresh = ccm.incremental_components_delta(base, inc)
+    assert {(r.node_id, r.canonical_id) for r in remap.collect()} == set()
+    assert {(r.node_id, r.canonical_id) for r in fresh.collect()} == {
+        ("d", "a"),
+        ("q", "q"),
+        ("r", "q"),
+    }
+    # the y/z component is untouched: full output still carries it unchanged
+    full = ccm.incremental_components(base, inc)
+    assert ("y", "y") in {(r.node_id, r.canonical_id) for r in full.collect()}
+
+
+def test_incremental_cc_fresh_node_lowers_canonical(spark):
+    """a fresh node with a smaller id than the old canonical re-labels the
+    WHOLE old component through the remap."""
+    base = ccm.connected_components(
+        spark.createDataFrame([("m", "p")], "a string, b string")
+    )
+    inc = spark.createDataFrame([("a", "p")], "a string, b string")
+    remap, fresh = ccm.incremental_components_delta(base, inc)
+    assert {(r.node_id, r.canonical_id) for r in remap.collect()} == {("m", "a")}
+    assert {(r.node_id, r.canonical_id) for r in fresh.collect()} == {("a", "a")}
+    got = {
+        (r.node_id, r.canonical_id)
+        for r in ccm.incremental_components(base, inc).collect()
+    }
+    assert got == {("a", "a"), ("m", "a"), ("p", "a")}
+
+
+def test_incremental_cc_intra_component_pair_is_noop(spark):
+    """an increment entirely inside one existing component changes nothing."""
+    base = ccm.connected_components(
+        spark.createDataFrame([("b", "a"), ("c", "a")], "a string, b string")
+    )
+    inc = spark.createDataFrame([("b", "c")], "a string, b string")
+    remap, fresh = ccm.incremental_components_delta(base, inc)
+    assert remap.count() == 0 and fresh.count() == 0
+    got = {
+        (r.node_id, r.canonical_id)
+        for r in ccm.incremental_components(base, inc).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
