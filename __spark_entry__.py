@@ -536,6 +536,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     )
 
+    # term-metadata FILTER builtins: LANG over the whole graph — exactly
+    # the reference's preferredLabel(lang="en") selection (browser.py:126,
+    # 140-142) expressed in query text; the pattern's object binding
+    # carries (obj_kind, lang, dtype) columns alongside the lexical value,
+    # so the filter is a codegen'd Column expr on the same scan.
+    q["kg_sparql_lang_filter"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        SELECT ?s ?p ?o WHERE {
+            ?s ?p ?o .
+            FILTER isLiteral(?o)
+            FILTER LANGMATCHES(LANG(?o), "en")
+        }
+        """,
+    )
+
+    # DATATYPE + negated kind test: untagged identifier literals are
+    # xsd:string per RDF 1.1 (lang-tagged would be rdf:langString; IRIs a
+    # type error that drops the row).
+    q["kg_sparql_datatype"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX dct: <http://purl.org/dc/terms/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s ?o WHERE {
+            ?s dct:identifier ?o .
+            FILTER (DATATYPE(?o) = xsd:string)
+            FILTER (!isURI(?o))
+        }
+        """,
+    )
+
     # VALUES: inline data joined (broadcast) on the shared variable — the
     # catalog-language restriction over the fixed EU language vocabulary.
     q["kg_sparql_values"] = lambda spark, sf: sprq.compile_sparql(
@@ -1878,6 +1910,36 @@ WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
     SELECT 1 FROM edges th
     WHERE th.subj = t.subj AND th.pred = '{DCAT}theme'
   )
+"""
+
+    # LANG over every literal: the merged set keeps full term identity, so
+    # the oracle filters on the lang column directly (LANGMATCHES "en"
+    # matches "en" and "en-*"; the corpus emits plain "en" tags)
+    sql["kg_sparql_lang_filter"] = f"""
+WITH edges AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang FROM {osql.edges_sql(glob)} AS _e
+)
+SELECT subj AS s, pred AS p, obj AS o
+FROM edges
+WHERE obj_kind = 'literal'
+  AND (lower(coalesce(lang, '')) = 'en' OR lower(coalesce(lang, '')) LIKE 'en-%')
+"""
+
+    # DATATYPE per RDF 1.1: lang-tagged -> rdf:langString, else
+    # coalesce(dtype, xsd:string); IRIs are a type error (dropped)
+    sql["kg_sparql_datatype"] = f"""
+WITH edges AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype
+    FROM {osql.edges_sql(glob)} AS _e
+)
+SELECT subj AS s, obj AS o
+FROM edges
+WHERE pred = '{DCT}identifier'
+  AND obj_kind = 'literal'
+  AND (CASE WHEN lang IS NOT NULL AND lang <> ''
+            THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+            ELSE coalesce(dtype, 'http://www.w3.org/2001/XMLSchema#string')
+       END) = 'http://www.w3.org/2001/XMLSchema#string'
 """
 
     # GROUP BY + COUNT

@@ -63,6 +63,15 @@ plan shapes the hand-built operators were tuned to (PLANS.md audit):
 * negated property sets ``!p`` / ``!(p1|p2|…)`` → ONE complement
   ``pred NOT IN (…)`` slice of the edges scan (forward members only;
   inverse members and modifiers over the set are refused);
+* term-metadata builtins ``LANG``/``LANGMATCHES`` (RFC 4647 basic),
+  ``DATATYPE`` (RDF 1.1: lang-tagged → rdf:langString, plain →
+  xsd:string, IRI → type error → row drops), ``isURI``/``isIRI``/
+  ``isLiteral``/``isBlank`` (negatable with ``!``): the pattern binding
+  the filtered variable also carries its ``(obj_kind, lang, dtype)``
+  columns (the CONSTRUCT-template metadata machinery), so each builtin
+  is a codegen'd Column expr on the same scan; variables bound only by
+  paths/UNION/VALUES/BIND/subject positions carry no metadata — such
+  filters are refused, never mis-answered;
 * ``FILTER [NOT] EXISTS { … }`` → left-semi / left-anti join on the
   shared variables (refused when a shared variable is OPTIONAL-bound or
   when the group shares nothing with the outer pattern);
@@ -103,6 +112,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
 class SparqlError(ValueError):
@@ -1011,22 +1022,76 @@ class _Parser:
             else:
                 exprs.append((fn.lower(), var[1:], arg))
             return
-        if tok == "!" or (tok is not None and tok.upper() == "BOUND"):
+        _KIND_TESTS = {
+            "ISURI": "uri", "ISIRI": "uri",
+            "ISLITERAL": "literal", "ISBLANK": "bnode",
+        }
+        if tok == "!" or (
+            tok is not None and tok.upper() in ({"BOUND"} | set(_KIND_TESTS))
+        ):
             positive = tok != "!"
             if not positive:
                 self.next()
                 nxt = self.peek()
-                if nxt is None or nxt.upper() != "BOUND":
+                if nxt is None or nxt.upper() not in (
+                    {"BOUND"} | set(_KIND_TESTS)
+                ):
                     raise SparqlUnsupported(
-                        "'!' in FILTER: only !BOUND(?v) is in subset"
+                        "'!' in FILTER: only !BOUND/!isURI/!isLiteral/"
+                        "!isBlank are in subset"
                     )
-            self.expect("BOUND")
+            fn = self.next().upper()
             self.expect("(")
             var = self.next()
             if not var.startswith("?"):
-                raise SparqlError("BOUND expects a variable")
+                raise SparqlError(f"{fn} expects a variable")
             self.expect(")")
-            exprs.append(("bound", var[1:], positive))
+            if fn == "BOUND":
+                exprs.append(("bound", var[1:], positive))
+            else:
+                exprs.append(("kindtest", var[1:], _KIND_TESTS[fn], positive))
+            return
+        if tok is not None and tok.upper() == "LANG":
+            self.next()
+            self.expect("(")
+            var = self.next()
+            if not var.startswith("?"):
+                raise SparqlUnsupported("LANG on a non-variable argument")
+            self.expect(")")
+            op = self.next()
+            if op not in ("=", "!="):
+                raise SparqlUnsupported(f"LANG comparison operator {op!r}")
+            val = self._plain_string("LANG comparison")
+            exprs.append(("lang", var[1:], op, val))
+            return
+        if tok is not None and tok.upper() == "LANGMATCHES":
+            self.next()
+            self.expect("(")
+            self.expect("LANG")
+            self.expect("(")
+            var = self.next()
+            if not var.startswith("?"):
+                raise SparqlUnsupported("LANGMATCHES on a non-variable LANG")
+            self.expect(")")
+            self.expect(",")
+            rng = self._plain_string("LANGMATCHES range")
+            self.expect(")")
+            exprs.append(("langmatches", var[1:], rng))
+            return
+        if tok is not None and tok.upper() == "DATATYPE":
+            self.next()
+            self.expect("(")
+            var = self.next()
+            if not var.startswith("?"):
+                raise SparqlUnsupported("DATATYPE on a non-variable argument")
+            self.expect(")")
+            op = self.next()
+            if op not in ("=", "!="):
+                raise SparqlUnsupported(f"DATATYPE comparison operator {op!r}")
+            t = self.term()
+            if not isinstance(t, Uri):
+                raise SparqlError("DATATYPE compares against an IRI")
+            exprs.append(("datatype", var[1:], op, t.value))
             return
         if tok is not None and tok.upper() == "STRLEN":
             self.next()
@@ -1589,6 +1654,20 @@ def _apply_exists(
     return acc
 
 
+_META_FILTER_KINDS = ("lang", "langmatches", "datatype", "kindtest")
+
+
+def _meta_filter_vars(q) -> set[str]:
+    """Variables whose FILTER atoms read term metadata (LANG/DATATYPE/
+    isURI/isLiteral/isBlank) — their pattern bindings must carry the
+    obj_kind/lang/dtype columns."""
+    return {
+        e[1]
+        for e in (getattr(q, "filter_exprs", []) or [])
+        if e[0] in _META_FILTER_KINDS
+    }
+
+
 _CMP_OPS = {
     "=": lambda a, b: a == b,
     "!=": lambda a, b: a != b,
@@ -1630,6 +1709,50 @@ def _apply_filters(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
             acc = acc.filter(_CMP_OPS[op](F.length(col), F.lit(val)))
         elif kind == "bound":
             acc = acc.filter(col.isNotNull() if expr[2] else col.isNull())
+        elif kind in _META_FILTER_KINDS:
+            if f"{var}__okind" not in acc.columns:
+                raise SparqlUnsupported(
+                    f"{kind.upper()} on ?{var}: term metadata is only "
+                    "available for variables bound as a plain triple "
+                    "pattern's object (not paths/UNION/VALUES/BIND/"
+                    "subject positions)"
+                )
+            kind_c = F.col(f"{var}__okind")
+            lang_c = F.col(f"{var}__olang")
+            dt_c = F.col(f"{var}__odt")
+            # SPARQL LANG(): the tag, "" for plain literals, a type error
+            # (NULL here → the row drops) for IRIs
+            lang_of = F.when(
+                kind_c == "literal", F.coalesce(lang_c, F.lit(""))
+            )
+            if kind == "lang":
+                _, _, op, val = expr
+                acc = acc.filter(_CMP_OPS[op](lang_of, F.lit(val)))
+            elif kind == "langmatches":
+                rng = expr[2]
+                if rng == "*":
+                    acc = acc.filter(lang_of != "")
+                else:
+                    low = rng.lower()
+                    lo = F.lower(lang_of)
+                    # RFC 4647 basic filtering: exact tag or prefix + "-"
+                    acc = acc.filter((lo == low) | lo.startswith(low + "-"))
+            elif kind == "datatype":
+                _, _, op, uri = expr
+                # RDF 1.1: lang-tagged → rdf:langString; plain → xsd:string;
+                # IRIs are a type error (NULL → row drops)
+                dt_of = F.when(
+                    kind_c == "literal",
+                    F.when(
+                        lang_c.isNotNull() & (lang_c != ""),
+                        F.lit(RDF_LANGSTRING),
+                    ).otherwise(F.coalesce(dt_c, F.lit(XSD_STRING))),
+                )
+                acc = acc.filter(_CMP_OPS[op](dt_of, F.lit(uri)))
+            else:  # kindtest
+                _, _, want, positive = expr
+                cond = kind_c == want
+                acc = acc.filter(cond if positive else ~cond)
         elif kind == "strends":
             acc = acc.filter(col.endswith(expr[2]))
         elif kind == "regex":
@@ -1670,8 +1793,18 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
         raise SparqlError("empty graph pattern")
     acc: DataFrame | None = None
     bound: set[str] = set()
+    # variables whose term metadata (obj_kind/lang/dtype) a FILTER builtin
+    # needs: their plain-pattern object bindings also carry the metadata
+    # columns (same machinery as CONSTRUCT templates)
+    meta_vars = _meta_filter_vars(q)
+    have_meta: set[str] = set()
     if q.patterns:
-        acc, bound = _join_group(edges, q.patterns)
+        if meta_vars:
+            acc, bound, have_meta = _bgp_with_meta(
+                edges, q.patterns, meta_vars, allow_paths=True
+            )
+        else:
+            acc, bound = _join_group(edges, q.patterns)
     for branches in getattr(q, "unions", []) or []:
         compiled = [_join_group(edges, b) for b in branches]
         allv = set().union(*(v for _, v in compiled))
@@ -1759,7 +1892,14 @@ def compile_sparql(edges: DataFrame, query: str | Query) -> DataFrame:
 
     opt_bound: set[str] = set()
     for group in q.optionals:
-        gdf, gvars = _join_group(edges, group)
+        need = meta_vars - have_meta
+        if need:
+            gdf, gvars, got = _bgp_with_meta(
+                edges, group, need, allow_paths=True
+            )
+            have_meta |= got
+        else:
+            gdf, gvars = _join_group(edges, group)
         on = sorted(bound & gvars)
         if not on:
             raise SparqlUnsupported("OPTIONAL sharing no variables with the BGP")
@@ -1899,12 +2039,23 @@ def _pattern_df_meta(
     edges: DataFrame,
     pat: tuple[Term, Term, Term],
     meta_for: set[str],
+    allow_paths: bool = False,
 ) -> tuple[DataFrame, set[str], set[str]]:
     """Plain-pattern slice that also carries the object term's
-    (obj_kind, lang, dtype) for variables a CONSTRUCT template needs —
-    aliased ``{v}__okind/__olang/__odt`` so they ride the joins unchanged."""
+    (obj_kind, lang, dtype) for variables a CONSTRUCT template or a
+    term-metadata FILTER (LANG/DATATYPE/isURI/…) needs — aliased
+    ``{v}__okind/__olang/__odt`` so they ride the joins unchanged.
+
+    ``allow_paths=True`` (the SELECT filter path) compiles path patterns
+    normally WITHOUT metadata — a closure binds no single edge, so a
+    metadata filter on its variable is later refused by _apply_filters;
+    CONSTRUCT keeps the hard refusal (its templates need every object's
+    metadata)."""
     s, p, o = pat
-    if isinstance(p, (PathPlus, PathAlt, PathOpt)):
+    if isinstance(p, (PathPlus, PathAlt, PathOpt, PathNeg)):
+        if allow_paths:
+            df, vars_ = _pattern_df(edges, pat)
+            return df, vars_, set()
         raise SparqlUnsupported("property path in a CONSTRUCT WHERE clause")
     df = edges
     cols: dict[str, str] = {}
@@ -1951,12 +2102,15 @@ def _bgp_with_meta(
     edges: DataFrame,
     patterns: list[tuple[Term, Term, Term]],
     meta_for: set[str],
+    allow_paths: bool = False,
 ) -> tuple[DataFrame, set[str], set[str]]:
     acc: DataFrame | None = None
     bound: set[str] = set()
     have_meta: set[str] = set()
     for pat in patterns:
-        df, vars_, got = _pattern_df_meta(edges, pat, meta_for - have_meta)
+        df, vars_, got = _pattern_df_meta(
+            edges, pat, meta_for - have_meta, allow_paths=allow_paths
+        )
         if acc is None:
             acc, bound, have_meta = df, vars_, got
             continue
@@ -1999,7 +2153,9 @@ def compile_construct(
     tvars = {
         t.name for pat in cq.template for t in pat if isinstance(t, Var)
     }
-    acc, bound, have_meta = _bgp_with_meta(edges, q.patterns, tvars)
+    acc, bound, have_meta = _bgp_with_meta(
+        edges, q.patterns, tvars | _meta_filter_vars(q)
+    )
     acc = _apply_binds(acc, bound, q)
     # a BIND result's term kind is statically known: IRI(...) mints a URI,
     # everything else is a plain literal

@@ -95,7 +95,8 @@ def test_parse_filter_conjunction_and_optional():
         "SELECT (1 AS ?x) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
         "SELECT ?s WHERE { SERVICE <http://svc> { ?s <http://p> ?o } }",
-        "SELECT ?s WHERE { ?s <http://p> ?o . FILTER (LANG(?o) = \"en\") }",
+        'SELECT ?s WHERE { ?s <http://p> ?o . '
+        'FILTER (?s = <http://a> || ?s = <http://b>) }',
         "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
     ],
 )
@@ -1324,4 +1325,114 @@ def test_filter_iri_ordering_refused():
         sp.parse_sparql(
             "PREFIX p: <http://p/> "
             "SELECT ?s WHERE { ?s p:link ?o . FILTER (?o < <http://z>) }"
+        )
+
+
+# --- term-metadata FILTER builtins: LANG / DATATYPE / isURI / isLiteral ------
+
+
+def test_filter_lang(tiny_edges):
+    base = (
+        "PREFIX p: <http://p/> "
+        'SELECT ?s WHERE {{ ?s p:title ?t . FILTER (LANG(?t) {} "{}") }}'
+    )
+    en = sp.compile_sparql(tiny_edges, base.format("=", "en")).collect()
+    plain = sp.compile_sparql(tiny_edges, base.format("=", "")).collect()
+    not_en = sp.compile_sparql(tiny_edges, base.format("!=", "en")).collect()
+    assert [r.s for r in en] == ["s1"]      # the @en row only
+    assert [r.s for r in plain] == ["s1"]   # the untagged row only
+    assert [r.s for r in not_en] == ["s1"]  # ditto (LANG()="" != "en")
+
+
+def test_filter_langmatches(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s ?t WHERE { ?s p:title ?t . '
+        'FILTER LANGMATCHES(LANG(?t), "EN") }',
+    ).collect()
+    assert len(rows) == 1  # case-insensitive; plain literal has LANG ""
+    star = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s WHERE { ?s p:title ?t . FILTER LANGMATCHES(LANG(?t), "*") }',
+    ).collect()
+    assert len(star) == 1  # any non-empty tag
+
+
+def test_filter_datatype(tiny_edges):
+    got = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?v WHERE { ?s p:size ?v . FILTER (DATATYPE(?v) = xsd:int) }",
+    ).collect()
+    assert [r.v for r in got] == ["3"]
+    # untagged plain literal -> xsd:string; @en row -> rdf:langString
+    plain = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?t WHERE { ?s p:title ?t . FILTER (DATATYPE(?t) = xsd:string) }",
+    ).collect()
+    lstr = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "SELECT ?t WHERE { ?s p:title ?t . "
+        "FILTER (DATATYPE(?t) = rdf:langString) }",
+    ).collect()
+    assert len(plain) == 1 and len(lstr) == 1
+    # DATATYPE of a URI is a type error -> row drops
+    uri = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?o WHERE { ?s p:link ?o . FILTER (DATATYPE(?o) = xsd:string) }",
+    ).collect()
+    assert uri == []
+
+
+def test_filter_kind_tests(tiny_edges):
+    q = (
+        "PREFIX p: <http://p/> "
+        "SELECT ?o WHERE {{ ?s ?pp ?o . FILTER {} }}"
+    )
+    uris = {r.o for r in sp.compile_sparql(tiny_edges, q.format("isURI(?o)")).collect()}
+    lits = {r.o for r in sp.compile_sparql(tiny_edges, q.format("isLiteral(?o)")).collect()}
+    not_lit = {r.o for r in sp.compile_sparql(tiny_edges, q.format("(!isLiteral(?o))")).collect()}
+    blanks = sp.compile_sparql(tiny_edges, q.format("isBlank(?o)")).collect()
+    assert "hello" in lits and "3" in lits
+    assert uris == not_lit and "hello" in uris  # the p:link URI object
+    assert blanks == []  # the store is skolemized — no bnodes by construction
+
+
+def test_filter_lang_on_uri_is_type_error(tiny_edges):
+    got = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?o WHERE { ?s p:link ?o . FILTER (LANG(?o) = "") }',
+    ).collect()
+    assert got == []
+
+
+def test_filter_lang_over_optional_unbound_drops(tiny_edges):
+    # LANG of an OPTIONAL-unbound var is a type error -> row drops
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX dcat: <http://www.w3.org/ns/dcat#> "
+        "PREFIX p: <http://p/> "
+        "SELECT ?s WHERE { ?s rdf:type dcat:Dataset . "
+        'OPTIONAL { ?s p:size ?sz } FILTER (LANG(?sz) = "") }',
+    ).collect()
+    assert [r.s for r in rows] == ["s2"]  # s1 has no p:size -> dropped
+
+
+def test_filter_meta_on_path_var_refused(tiny_edges):
+    with pytest.raises(sp.SparqlUnsupported):
+        sp.compile_sparql(
+            tiny_edges,
+            "PREFIX p: <http://p/> "
+            'SELECT ?o WHERE { ?s p:title+ ?o . FILTER (LANG(?o) = "en") }',
         )
