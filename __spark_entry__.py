@@ -847,6 +847,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_cc_incremental"] = _cc_incremental
 
+    # J10 incremental form: a shard of conversations (sha256(conv_id) last
+    # hex digit ≡ 0 mod 4 — replayable in both engines) arrives into an
+    # already-linked graph; its entities link against the base's PERSISTED
+    # band-key index (entity_band_keys) — candidate cost ∝ shard, the base
+    # graph is hashed zero times and scanned once (the verify pass).
+    # Oracle: brute-force jaccard linking restricted to pairs touching the
+    # shard's entities.
+    def _link_incremental(spark, sf):
+        t = _transcripts(spark, sf)
+        is_inc = F.substring(F.sha2(F.col("conv_id"), 256), 64, 1).isin(
+            "0", "4", "8", "c"
+        )
+        # localCheckpoint stands in for the materialized tables a real
+        # deployment reads (the base edge table + its persisted band-key
+        # index): without it every consumer re-runs the extraction DAG
+        new = merge_triples(
+            extract_edges(t.filter(is_inc), emit_provenance=False)
+        ).localCheckpoint(eager=True)
+        base = merge_triples(
+            extract_edges(t.filter(~is_inc), emit_provenance=False)
+        ).localCheckpoint(eager=True)
+        index = lnk.entity_band_keys(
+            lnk.with_grams(lnk.entity_labels(base))
+        ).localCheckpoint(eager=True)
+        counts = index.groupBy("entity_type", "band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        return lnk.incremental_link_pairs(
+            new, base, base_index=index, base_bucket_counts=counts
+        )
+
+    q["kg_link_incremental"] = _link_incremental
+
     # §2.9 applyInPandas surface: order-dependent per-conversation features
     q["kg_conversation_stats"] = lambda spark, sf: conv.conversation_stats(
         _transcripts(spark, sf)
@@ -2137,7 +2170,8 @@ ORDER BY dataset, distribution
     # brute-force exact-jaccard pairs (the LSH path must equal this w.h.p.:
     # P(miss) = (1-j^5)^20 ~ 3e-6 at j=0.86, the fixture's true-pair floor)
     link_core = f"""
-WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e),
+WITH eraw AS (SELECT * FROM {osql.edges_sql(glob)} AS _e),
+edges AS (SELECT DISTINCT subj, pred, obj FROM eraw),
 labeled AS (
     SELECT t.subj AS node_id, t.entity_type, l.label
     FROM (SELECT subj, min(obj) AS entity_type FROM edges
@@ -2176,6 +2210,18 @@ linked AS (
         link_core + "SELECT entity_type, a, b, g_inter, g_union FROM linked"
     )
 
+    # incremental = the same brute force restricted to pairs touching the
+    # shard's entities (subjects extracted from conversations whose
+    # sha256(conv_id) last hex digit is 0/4/8/c — the engine's exact split)
+    sql["kg_link_incremental"] = link_core + """
+, touched AS (
+    SELECT DISTINCT subj FROM eraw
+    WHERE substr(sha256(conv_id), 64, 1) IN ('0', '4', '8', 'c')
+)
+SELECT entity_type, a, b, g_inter, g_union FROM linked
+WHERE a IN (SELECT subj FROM touched) OR b IN (SELECT subj FROM touched)
+"""
+
     sql["kg_connected_components"] = link_core + """
 , sym AS (
     SELECT a AS x, b AS y FROM linked
@@ -2190,7 +2236,7 @@ walk(x, c) AS (
 SELECT x AS node_id, min(c) AS canonical_id FROM walk GROUP BY x
 """
     sql["kg_connected_components"] = (
-        sql["kg_connected_components"].replace("WITH edges AS", "WITH RECURSIVE edges AS")
+        sql["kg_connected_components"].replace("WITH eraw AS", "WITH RECURSIVE eraw AS")
     )
     # the star algorithm must reproduce the exact same canonical mapping
     sql["kg_connected_components_star"] = sql["kg_connected_components"]

@@ -100,6 +100,38 @@ def minhash_signature(
     return grammed.select("node_id", *keep, *cols)
 
 
+def entity_band_keys(
+    labeled: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """(node_id, entity_type, n_g, band_id, band_hash) — the LSH blocking
+    keys of each labeled entity.  This is the SEPARABLE index artifact of
+    entity linking (mirror of dedup.minhash_band_keys): persist it at
+    ingest time (on a cluster: bucketed by (entity_type, band_id,
+    band_hash)) and incremental_link_pairs joins an arriving shard's keys
+    against it instead of re-hashing the whole graph."""
+    grammed = with_grams(labeled)
+    keyed = minhash_signature(
+        grammed.withColumn("n_g", F.size("grams")),
+        bands * rows_per_band,
+        keep=("entity_type", "n_g"),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)],
+                F.lit(i),
+            ).alias("band_hash"),
+        )
+        for i in range(bands)
+    ]
+    return keyed.select(
+        "node_id", "entity_type", "n_g", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("node_id", "entity_type", "n_g", "bk.band_id", "bk.band_hash")
+
+
 def lsh_candidates(
     labeled: DataFrame,
     bands: int = DEFAULT_BANDS,
@@ -117,26 +149,7 @@ def lsh_candidates(
     sizes table against the candidate list afterwards, and it shrinks the
     distinct's input.
     """
-    grammed = with_grams(labeled)
-    keyed = minhash_signature(
-        grammed.withColumn("n_g", F.size("grams")),
-        bands * rows_per_band,
-        keep=("entity_type", "n_g"),
-    )
-
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)],
-                F.lit(i),
-            ).alias("band_hash"),
-        )
-        for i in range(bands)
-    ]
-    banded = keyed.select(
-        "node_id", "entity_type", "n_g", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("node_id", "entity_type", "n_g", "bk.band_id", "bk.band_hash")
+    banded = entity_band_keys(labeled, bands=bands, rows_per_band=rows_per_band)
 
     # Pair generation: ONE groupBy collects each bucket's (sorted) members
     # and pairs them in-array — no self-join stage, no window sort, and the
@@ -282,3 +295,155 @@ def link_pairs(
     return scored.filter(F.col("g_inter") * 1000 >= F.col("g_union") * num).select(
         "entity_type", "a", "b", "g_inter", "g_union"
     )
+
+
+def incremental_link_pairs(
+    new_edges: DataFrame,
+    base_edges: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    scorer: str = "sql",
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    base_index: DataFrame | None = None,
+    base_bucket_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Link pairs INVOLVING at least one entity of an arriving edge shard.
+
+    The ingestion shape of J10 (mirror of dedup.incremental_minhash_pairs):
+    when a transcript shard arrives into an already-linked graph, re-running
+    LSH over base∪increment re-hashes and re-shuffles every entity for every
+    shard.  Instead the base graph is represented by its persisted band-key
+    index (``entity_band_keys``; pass ``base_index`` to skip recomputation —
+    on a cluster a table bucketed by (entity_type, band_id, band_hash), so
+    the candidate join is co-located) and only the increment computes fresh
+    signatures.  Candidates:
+
+    * new × base — equi-join of the increment's band keys against the index
+      (cost ∝ increment, never |graph|²);
+    * new × new  — the standard in-array bucket pairing within the shard.
+
+    SYMMETRIC skew guard: a band bucket flooded from EITHER side beyond
+    ``max_bucket`` (combined count — identical semantics to the batch
+    operator's ``size(members) <= max_bucket``) is dropped from pairing;
+    ``base_bucket_counts`` is the second persistable artifact so a shard
+    never re-aggregates the full index to find hot buckets.
+
+    Verification is exact 3-gram Jaccard: the base graph is scanned exactly
+    once (entity_labels semi-join-pruned to candidate ids) and only
+    colliding entities' gram arrays cross the verify shuffle.  Output
+    schema matches ``link_pairs`` with (a < b) canonical ordering; feeding
+    the result to ``cc.incremental_components`` completes the
+    shard-arrival path end-to-end (link → canonicalize) without touching
+    the base graph.
+
+    Assumes the shard's entities are NEW node ids (true by construction
+    here: subject URIs are skolemized per (conv_id, turn_idx), so a new
+    conversation can never extend an existing entity's label).  If an
+    upstream ever re-labels existing entities, their old pairs would need
+    revocation — that is a compaction re-run, not an incremental fold.
+    """
+    labeled_new = with_grams(entity_labels(new_edges)).cache()
+    new_keys = entity_band_keys(
+        labeled_new, bands=bands, rows_per_band=rows_per_band
+    )
+    if base_index is None:
+        base_index = entity_band_keys(
+            with_grams(entity_labels(base_edges)),
+            bands=bands,
+            rows_per_band=rows_per_band,
+        )
+    if base_bucket_counts is None:
+        base_bucket_counts = base_index.groupBy(
+            "entity_type", "band_id", "band_hash"
+        ).agg(F.count(F.lit(1)).alias("_n"))
+    key = ["entity_type", "band_id", "band_hash"]
+    hot = (
+        new_keys.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .unionAll(base_bucket_counts)
+        .groupBy(*key)
+        .agg(F.sum("_n").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*key)
+    )
+    new_g = new_keys.join(F.broadcast(hot), key, "left_anti")
+    base_g = base_index.join(F.broadcast(hot), key, "left_anti")
+
+    num = int(round(threshold * 1000))
+
+    nk = new_g.select(
+        *key, F.col("node_id").alias("_nid"), F.col("n_g").alias("_nng")
+    )
+    bk = base_g.select(
+        *key, F.col("node_id").alias("_bid"), F.col("n_g").alias("_bng")
+    )
+    cross = (
+        nk.join(bk, key)
+        .filter(F.col("_nid") != F.col("_bid"))
+        .select(
+            "entity_type",
+            F.least("_nid", "_bid").alias("a"),
+            F.greatest("_nid", "_bid").alias("b"),
+            F.least("_nng", "_bng").alias("na"),
+            F.greatest("_nng", "_bng").alias("nb"),
+        )
+    )
+    # new × new: same in-array pairing as the batch operator (members are
+    # bounded by max_bucket via the hot-key filter above)
+    buckets = (
+        new_g.groupBy(*key)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("node_id", "n_g"))).alias(
+                "members"
+            )
+        )
+        .filter(F.size("members") >= 2)
+    )
+    nn = buckets.select(
+        "entity_type",
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (m, i) ->"
+                " transform(slice(members, i + 2, size(members)),"
+                " m2 -> struct(m.node_id as a, m2.node_id as b,"
+                "              m.n_g as na, m2.n_g as nb))))"
+            )
+        ).alias("p"),
+    ).select("entity_type", "p.a", "p.b", "p.na", "p.nb")
+
+    # cached: candidate generation feeds THREE consumers (a-side ids,
+    # b-side ids, the scoring join) — uncached it would re-run the band
+    # joins per consumer
+    cands = (
+        cross.unionByName(nn)
+        .filter(
+            (F.col("na") * 1000 >= F.col("nb") * num)
+            & (F.col("nb") * 1000 >= F.col("na") * num)
+        )
+        .select("entity_type", "a", "b")
+        .distinct()
+        .cache()
+    )
+
+    # grams for verification: the increment's are cached; the base is
+    # scanned ONCE, semi-join-pruned to candidate ids
+    cand_ids = (
+        cands.select(F.col("a").alias("node_id"))
+        .unionAll(cands.select(F.col("b").alias("node_id")))
+        .distinct()
+    )
+    base_labeled = with_grams(entity_labels(base_edges)).join(
+        cand_ids, "node_id", "left_semi"
+    )
+    labeled_all = (
+        labeled_new.select("node_id", "entity_type", "label", "grams")
+        .unionByName(
+            base_labeled.select("node_id", "entity_type", "label", "grams")
+        )
+        .dropDuplicates(["node_id"])
+    )
+    scored = score_candidates(cands, labeled_all, scorer=scorer)
+    return scored.filter(
+        F.col("g_inter") * 1000 >= F.col("g_union") * num
+    ).select("entity_type", "a", "b", "g_inter", "g_union")

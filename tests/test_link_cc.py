@@ -262,3 +262,65 @@ def test_incremental_cc_intra_component_pair_is_noop(spark):
         for r in ccm.incremental_components(base, inc).collect()
     }
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+# --- incremental entity linking (round 3) -------------------------------------
+
+
+def test_incremental_link_equals_batch_restricted(spark, small_transcripts):
+    """incremental shard linking (band keys joined against the base's
+    persisted index) == batch link_pairs over the union, restricted to
+    pairs touching the shard's entities."""
+    from breg_dcat_harvester_spark.operators.extract import extract_edges as ee
+    from breg_dcat_harvester_spark.operators.merge import merge_triples as mt
+
+    is_inc = F.substring(F.sha2(F.col("conv_id"), 256), 64, 1).isin(
+        "0", "4", "8", "c"
+    )
+    new = mt(ee(small_transcripts.filter(is_inc), emit_provenance=False)).cache()
+    base = mt(ee(small_transcripts.filter(~is_inc), emit_provenance=False)).cache()
+    combined = mt(ee(small_transcripts, emit_provenance=False)).cache()
+
+    got = {
+        (r.entity_type, r.a, r.b, r.g_inter, r.g_union)
+        for r in lnk.incremental_link_pairs(new, base).collect()
+    }
+    assert got, "split must produce linkable shard entities"
+
+    touched = {r.node_id for r in lnk.entity_labels(new).collect()}
+    want = {
+        (r.entity_type, r.a, r.b, r.g_inter, r.g_union)
+        for r in lnk.link_pairs(combined).collect()
+        if r.a in touched or r.b in touched
+    }
+    assert got == want
+
+
+def test_incremental_link_accepts_persisted_index(spark, small_transcripts):
+    """passing the persisted index artifacts is result-identical to
+    recomputing them from the base edges."""
+    from breg_dcat_harvester_spark.operators.extract import extract_edges as ee
+    from breg_dcat_harvester_spark.operators.merge import merge_triples as mt
+
+    is_inc = F.substring(F.sha2(F.col("conv_id"), 256), 64, 1).isin(
+        "0", "4", "8", "c"
+    )
+    new = mt(ee(small_transcripts.filter(is_inc), emit_provenance=False)).cache()
+    base = mt(ee(small_transcripts.filter(~is_inc), emit_provenance=False)).cache()
+    index = lnk.entity_band_keys(
+        lnk.with_grams(lnk.entity_labels(base))
+    ).cache()
+    counts = index.groupBy("entity_type", "band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    direct = {
+        tuple(r)
+        for r in lnk.incremental_link_pairs(new, base).collect()
+    }
+    via_index = {
+        tuple(r)
+        for r in lnk.incremental_link_pairs(
+            new, base, base_index=index, base_bucket_counts=counts
+        ).collect()
+    }
+    assert direct == via_index
