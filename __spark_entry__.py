@@ -880,6 +880,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_link_incremental"] = _link_incremental
 
+    # END-TO-END incremental harvest (plans/harvest.py::harvest_increment
+    # dataflow, storage side effects elided): shard extract → delta
+    # anti-join → touched-subject re-validation → index-joined incremental
+    # linking → contracted-graph incremental CC → broadcast-remap
+    # canonicalization.  Gated against ONE batch SQL oracle that replays
+    # the whole pipeline (merge → SHACL verdicts → brute-force linking →
+    # recursive-CTE CC → canonical rewrite): the incrementally-maintained
+    # graph must equal the from-scratch graph, term for term.
+    def _harvest_incremental(spark, sf):
+        from breg_dcat_harvester_spark.operators.validate import (
+            conforms_column,
+            partition_valid,
+        )
+
+        t = _transcripts(spark, sf)
+        is_inc = F.substring(F.sha2(F.col("conv_id"), 256), 64, 1).isin(
+            "0", "4", "8", "c"
+        )
+        tc = ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
+        base = merge_triples(
+            extract_edges(t.filter(~is_inc))
+        ).localCheckpoint(eager=True)
+        new = merge_triples(
+            extract_edges(t.filter(is_inc))
+        ).localCheckpoint(eager=True)
+
+        # null-safe term identity: lang/dtype are NULL for URIs, and an
+        # equi-join key never matches NULL
+        cond = None
+        for c in tc:
+            e = new[c].eqNullSafe(base[c])
+            cond = e if cond is None else (cond & e)
+        delta = new.join(base, cond, "left_anti")
+        touched = delta.select("subj").distinct().localCheckpoint(eager=True)
+        sl = base.join(touched, "subj", "left_semi").unionByName(delta)
+
+        base_valid, _ = partition_valid(base, conforms_column(base))
+        base_valid = base_valid.localCheckpoint(eager=True)
+        valid_touched, _ = partition_valid(sl, conforms_column(sl))
+        valid = base_valid.join(touched, "subj", "left_anti").unionByName(
+            valid_touched
+        ).localCheckpoint(eager=True)
+
+        base_links = lnk.link_pairs(base_valid).localCheckpoint(eager=True)
+        inc_links = lnk.incremental_link_pairs(
+            valid.join(touched, "subj", "left_semi"), base_valid
+        )
+        kept = base_links.join(
+            touched.select(F.col("subj").alias("a")), "a", "left_anti"
+        ).join(touched.select(F.col("subj").alias("b")), "b", "left_anti")
+        links = kept.unionByName(inc_links).distinct().localCheckpoint(eager=True)
+
+        base_labels = ccm.connected_components(base_links)
+        new_pairs = links.join(
+            base_links.select("entity_type", "a", "b"),
+            ["entity_type", "a", "b"],
+            "left_anti",
+        ).select("a", "b")
+        labels = ccm.incremental_components(base_labels, new_pairs)
+        return (
+            ccm.canonicalize_edges(valid, labels)
+            .select(*tc)
+            .dropDuplicates(tc)
+        )
+
+    q["kg_harvest_incremental"] = _harvest_incremental
+
     # §2.9 applyInPandas surface: order-dependent per-conversation features
     q["kg_conversation_stats"] = lambda spark, sf: conv.conversation_stats(
         _transcripts(spark, sf)
@@ -2242,6 +2309,89 @@ SELECT x AS node_id, min(c) AS canonical_id FROM walk GROUP BY x
     sql["kg_connected_components_star"] = sql["kg_connected_components"]
     # incremental fold-in must too (incremental ≡ batch is the contract)
     sql["kg_cc_incremental"] = sql["kg_connected_components"]
+
+    # END-TO-END: the from-scratch pipeline in ONE query — merged set →
+    # SHACL verdicts (lenient: Violation severity quarantines the subject)
+    # → brute-force jaccard linking over the VALID triples → recursive-CTE
+    # connected components → canonical URI rewrite.  kg_harvest_incremental
+    # must reproduce this exactly while maintaining the graph incrementally.
+    sql["kg_harvest_incremental"] = f"""
+WITH RECURSIVE eraw AS (SELECT * FROM {osql.edges_sql(glob)} AS _e),
+edges AS (SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype FROM eraw),
+typed_cls AS (
+    SELECT DISTINCT subj, obj AS entity_type FROM edges WHERE pred = '{RDF_TYPE}'
+),
+vcounts AS (
+    SELECT subj, pred, count(DISTINCT obj) AS cnt FROM edges
+    WHERE pred <> '{RDF_TYPE}' GROUP BY subj, pred
+),
+shapes(target_class, path, min_count, max_count, severity) AS (VALUES {shapes_rows}),
+viol AS (
+    SELECT DISTINCT t.subj
+    FROM typed_cls t
+    JOIN shapes s ON t.entity_type = s.target_class
+    LEFT JOIN vcounts c ON c.subj = t.subj AND c.pred = s.path
+    WHERE s.severity = 'Violation'
+      AND (coalesce(c.cnt, 0) < s.min_count
+           OR (s.max_count IS NOT NULL AND coalesce(c.cnt, 0) > s.max_count))
+),
+valid AS (
+    SELECT * FROM edges WHERE subj NOT IN (SELECT subj FROM viol)
+),
+labeled AS (
+    SELECT t.subj AS node_id, t.entity_type, l.label
+    FROM (SELECT subj, min(obj) AS entity_type FROM valid
+          WHERE pred = '{RDF_TYPE}' GROUP BY subj) t
+    JOIN (SELECT subj, min(obj) AS label FROM valid
+          WHERE pred IN ('{FOAF}name', '{DCT}title') GROUP BY subj) l
+      ON l.subj = t.subj
+),
+grams AS (
+    SELECT DISTINCT node_id, entity_type,
+           unnest(list_transform(
+               generate_series(1, greatest(length(label) - 2, 1)),
+               i -> substr(lower(label), CAST(i AS INTEGER), 3))) AS gram
+    FROM labeled
+),
+pair_inter AS (
+    SELECT g1.node_id AS a, g2.node_id AS b, count(*) AS g_inter
+    FROM grams g1
+    JOIN grams g2 ON g2.gram = g1.gram AND g2.entity_type = g1.entity_type
+                 AND g1.node_id < g2.node_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT node_id, count(*) AS n FROM grams GROUP BY 1),
+linked AS (
+    SELECT p.a, p.b
+    FROM pair_inter p
+    JOIN sizes sa ON sa.node_id = p.a
+    JOIN sizes sb ON sb.node_id = p.b
+    WHERE p.g_inter * 1000 >= (sa.n + sb.n - p.g_inter) * 800
+),
+sym AS (
+    SELECT a AS x, b AS y FROM linked
+    UNION
+    SELECT b AS x, a AS y FROM linked
+),
+walk(x, c) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM sym) AS n
+    UNION
+    SELECT s.y, w.c FROM walk w JOIN sym s ON s.x = w.x
+),
+cmap AS (
+    SELECT x AS node_id, min(c) AS canonical_id FROM walk GROUP BY x
+    HAVING x <> min(c)
+)
+SELECT DISTINCT
+    coalesce(cs.canonical_id, v.subj) AS subj,
+    v.pred,
+    CASE WHEN v.obj_kind = 'uri'
+         THEN coalesce(co.canonical_id, v.obj) ELSE v.obj END AS obj,
+    v.obj_kind, v.lang, v.dtype
+FROM valid v
+LEFT JOIN cmap cs ON cs.node_id = v.subj
+LEFT JOIN cmap co ON co.node_id = v.obj
+"""
 
     sql["kg_conversation_stats"] = f"""
 WITH t AS (SELECT * FROM read_parquet('{glob}')),

@@ -201,3 +201,188 @@ def run_harvest(
             {"stage": s, "rows": n, "seconds": round(dt, 3)} for s, n, dt in metrics
         ],
     }
+
+
+def harvest_increment(
+    spark: SparkSession,
+    base_dir: str,
+    new_transcripts_path: str,
+    cfg: HarvestConfig,
+    run_id: str | None = None,
+) -> dict:
+    """Fold a shard of NEW transcripts into an existing harvest output.
+
+    Reads the base harvest's materialized stages from ``base_dir``
+    (``triples`` / ``valid_triples`` / ``links`` / ``cc_labels``) and writes
+    the UPDATED graph under ``cfg.out_dir`` with the same staged-snapshot
+    protocol as ``run_harvest`` (each stage checkpointed + resumable).  The
+    whole point is the cost model at 10^12-turn scale:
+
+    * extract/merge/validate run on the SHARD (plus the touched-subject
+      slice of the base triple set — a semi-join probe, co-located when the
+      base is bucketed on subj);
+    * linking reads the base only through its band-key index
+      (``link.incremental_link_pairs``) and one verify scan;
+    * canonicalization folds the shard's link pairs into the existing
+      mapping (``cc.incremental_components``) — CC runs on the contracted
+      increment-sized merge graph;
+    * the base tables are rewritten by map-only passes (anti-join +
+      unionByName / broadcast remap); nothing in the base is re-extracted,
+      re-hashed, or re-linked.
+
+    Validation is exact, including verdict FLIPS: a touched subject is
+    re-validated over its COMBINED triple set (base slice ∪ delta), so an
+    entity that gains a mandatory property moves quarantine→valid and one
+    that gains a violating triple moves valid→quarantine.
+
+    Precondition (inherited from incremental_link_pairs): add-only entity
+    labels — a shard never changes an existing entity's minimum label.
+    True by construction for conversation shards here (mention URIs embed
+    conv/turn; shared explicit URIs carry stable titles); the
+    incremental ≡ batch equality test asserts it on the corpus.
+    """
+    run_id = run_id or f"inc-{uuid.uuid4().hex[:12]}"
+    runlog = RunLog(spark, os.path.join(cfg.out_dir, "runs"))
+    metrics = []
+
+    def stage(name: str, builder):
+        tbl = table_for(os.path.join(cfg.out_dir, name))
+        prior = runlog.snapshot_for(run_id, name)
+        if prior:
+            return tbl.read(spark, prior)
+        t0 = time.time()
+        runlog.record(run_id, name, "started")
+        try:
+            df = builder()
+            sid = tbl.write(df, mode="overwrite")
+            out = tbl.read(spark, sid)
+            n = out.count()
+            metrics.append((name, n, time.time() - t0))
+            runlog.record(run_id, name, "finished", snapshot_id=sid, num_triples=n)
+            return out
+        except Exception as ex:
+            runlog.record(run_id, name, "failed", exc_info=repr(ex))
+            raise
+
+    base_triples = table_for(os.path.join(base_dir, "triples")).read(spark)
+    base_valid = table_for(os.path.join(base_dir, "valid_triples")).read(spark)
+    base_links = table_for(os.path.join(base_dir, "links")).read(spark)
+    base_labels = table_for(os.path.join(base_dir, "cc_labels")).read(spark)
+
+    transcripts = spark.read.parquet(new_transcripts_path)
+    inc_triples = stage(
+        "inc_triples",
+        lambda: merge_triples(
+            extract_edges(
+                transcripts,
+                emit_provenance=cfg.emit_provenance,
+                impl=cfg.extract_impl,
+            )
+        ),
+    )
+    term_cols = ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
+    # the genuinely-new triples: anti-join keyed on the full TERM identity
+    # (base bucketed on subj on a cluster -> co-located probe).  Lineage
+    # semantics are FIRST-SEEN: a triple already in the base keeps the
+    # base's (conv_id, turn_idx) even if the shard re-emits it from an
+    # earlier-sorting conversation — arrival order, the natural provenance
+    # of an incremental pipeline (a batch rebuild would pick the global
+    # minimum instead; term sets are identical either way).
+    def _delta():
+        # NULL-SAFE term equality: lang/dtype are NULL for URIs and plain
+        # literals, and an equi-join key never matches NULL — a plain
+        # anti-join on the 6 columns would re-admit every such duplicate
+        bt = base_triples.select(*term_cols)
+        cond = None
+        for c in term_cols:
+            e = inc_triples[c].eqNullSafe(bt[c])
+            cond = e if cond is None else (cond & e)
+        return inc_triples.join(bt, cond, "left_anti")
+
+    delta = stage("delta_triples", _delta)
+    touched = delta.select("subj").distinct()
+
+    # the combined triple set of every touched subject (terms are disjoint
+    # between the base slice and the delta by construction of the anti-join)
+    def _touched_slice():
+        base_slice = base_triples.join(touched, "subj", "left_semi")
+        return base_slice.unionByName(delta)
+
+    touched_slice = stage("touched_slice", _touched_slice)
+
+    merged = stage("triples", lambda: base_triples.unionByName(delta))
+
+    # re-validate ONLY touched subjects, over their combined triple set
+    def _updated_valid():
+        verdicts = conforms_column(
+            touched_slice,
+            strict=cfg.strict_validation,
+            disabled=cfg.validation_disabled,
+        )
+        valid_touched, quarantine_touched = partition_valid(
+            touched_slice, verdicts
+        )
+        # updated quarantine: untouched base verdicts carry over, touched
+        # subjects get their re-validated rows (verdict flips included)
+        base_quarantine = table_for(os.path.join(base_dir, "quarantine")).read(
+            spark
+        )
+        table_for(os.path.join(cfg.out_dir, "quarantine")).write(
+            base_quarantine.join(touched, "subj", "left_anti").unionByName(
+                quarantine_touched
+            )
+        )
+        kept = base_valid.join(touched, "subj", "left_anti")
+        return kept.unionByName(valid_touched)
+
+    valid = stage("valid_triples", _updated_valid)
+
+    def _updated_links():
+        valid_touched = valid.join(touched, "subj", "left_semi")
+        inc_links = lnk.incremental_link_pairs(
+            valid_touched,
+            base_valid,
+            threshold=cfg.link_threshold,
+        )
+        kept = (
+            base_links.join(
+                touched.select(F.col("subj").alias("a")), "a", "left_anti"
+            ).join(touched.select(F.col("subj").alias("b")), "b", "left_anti")
+        ).select("entity_type", "a", "b", "g_inter", "g_union")
+        return kept.unionByName(inc_links).distinct()
+
+    links = stage("links", _updated_links)
+
+    def _updated_labels():
+        new_pairs = links.join(
+            base_links.select("entity_type", "a", "b"),
+            ["entity_type", "a", "b"],
+            "left_anti",
+        ).select("a", "b")
+        return ccm.incremental_components(base_labels, new_pairs)
+
+    labels = stage("cc_labels", _updated_labels)
+
+    edges_final = stage(
+        "edges",
+        lambda: ccm.canonicalize_edges(valid, labels).transform(
+            lambda d: _bucketed(d, cfg)
+        ),
+    )
+    nodes = stage("nodes", lambda: ccm.build_nodes(valid, labels))
+
+    from ..operators.export import partition_lineage
+
+    lineage = stage("lineage", lambda: partition_lineage(edges_final))
+
+    n_triples = num_triples(edges_final)
+    runlog.record(run_id, "job", "finished", num_triples=n_triples)
+    return {
+        "run_id": run_id,
+        "num_triples": n_triples,
+        "num_nodes": nodes.count(),
+        "num_lineage_buckets": lineage.count(),
+        "stages": [
+            {"stage": s, "rows": n, "seconds": round(dt, 3)} for s, n, dt in metrics
+        ],
+    }
