@@ -823,6 +823,8 @@ HEADLINE = [
     "kg_triangles",
     "sample_upsample",
     "ingest_increment",
+    "kg_link_incremental",
+    "kg_harvest_incremental",
     "dedup_boilerplate",
     "pack_sequences",
     "corpus_shuffle_shards",

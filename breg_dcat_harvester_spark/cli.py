@@ -42,6 +42,23 @@ def _cmd_harvest(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_harvest_increment(args: argparse.Namespace) -> int:
+    from .plans.harvest import harvest_increment
+
+    spark = get_spark(app_name="harvest-increment")
+    cfg = HarvestConfig(
+        out_dir=args.out,
+        extract_impl=args.impl,
+        strict_validation=args.strict,
+        num_buckets=args.buckets,
+    )
+    res = harvest_increment(
+        spark, args.base, args.transcripts, cfg, run_id=args.resume
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def _cmd_facets(args: argparse.Namespace) -> int:
     from .operators import facets as fac
 
@@ -138,6 +155,20 @@ def main(argv: list[str] | None = None) -> int:
         "harvest shape) through the same staged pipeline",
     )
     h.set_defaults(fn=_cmd_harvest)
+
+    hi = sub.add_parser(
+        "harvest-increment",
+        help="fold a shard of NEW transcripts into an existing harvest "
+        "output (cost ∝ shard; base tables probed + rewritten map-only)",
+    )
+    hi.add_argument("--base", required=True, help="out dir of the base harvest")
+    hi.add_argument("--transcripts", required=True, help="the NEW shard")
+    hi.add_argument("--out", required=True, help="out dir for the updated graph")
+    hi.add_argument("--impl", default="arrow", choices=["arrow", "pandas", "sql"])
+    hi.add_argument("--strict", action="store_true")
+    hi.add_argument("--buckets", type=int, default=32)
+    hi.add_argument("--resume", default=None, help="run_id to resume")
+    hi.set_defaults(fn=_cmd_harvest_increment)
 
     f = sub.add_parser("facets", help="compute the five facet lists")
     f.add_argument("--out", required=True)

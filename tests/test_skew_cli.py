@@ -103,3 +103,43 @@ def test_partition_metrics(spark, tmp_path, small_transcripts):
     rows = m.filter((F.col("run_id") == "m-run") & (F.col("stage") == "edges"))
     assert rows.count() > 0
     assert rows.agg(F.sum("rows_out")).head()[0] > 0
+
+
+def test_cli_harvest_increment(spark, tmp_path, small_transcripts, capsys):
+    """harvest-increment arg wiring: base harvest + shard fold-in via the
+    CLI entry (in-process — get_spark getOrCreate's the test session);
+    result equals a batch harvest over the combined corpus."""
+    from breg_dcat_harvester_spark.cli import main
+    from breg_dcat_harvester_spark.plans.harvest import HarvestConfig, run_harvest
+    from pyspark.sql import functions as F
+
+    is_inc = F.substring(F.sha2(F.col("conv_id"), 256), 64, 1).isin(
+        "0", "1", "2", "3", "4", "5"
+    )
+    base_src = str(tmp_path / "tb")
+    inc_src = str(tmp_path / "ti")
+    all_src = str(tmp_path / "ta")
+    small_transcripts.filter(~is_inc).write.parquet(base_src)
+    small_transcripts.filter(is_inc).write.parquet(inc_src)
+    small_transcripts.write.parquet(all_src)
+
+    base_out = str(tmp_path / "kg_base")
+    run_harvest(
+        spark, base_src, HarvestConfig(out_dir=base_out, extract_impl="sql"),
+        run_id="b",
+    )
+    rc = main([
+        "harvest-increment", "--base", base_out,
+        "--transcripts", inc_src, "--out", str(tmp_path / "kg_inc"),
+        "--impl", "sql", "--buckets", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    payload = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    batch = run_harvest(
+        spark, all_src,
+        HarvestConfig(out_dir=str(tmp_path / "kg_all"), extract_impl="sql"),
+        run_id="a",
+    )
+    assert payload["num_triples"] == batch["num_triples"]
+    assert payload["num_nodes"] == batch["num_nodes"]
