@@ -536,6 +536,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     )
 
+    # FILTER disjunction with full ||/&& precedence: one boolean Column on
+    # the scan — (starts-with-a-to-c && long-title) OR ends-with-9.
+    q["kg_sparql_or_filter"] = lambda spark, sf: sprq.compile_sparql(
+        _merged(spark, sf),
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT ?d ?t WHERE {
+            ?d rdf:type dcat:Dataset .
+            ?d dct:title ?t .
+            FILTER (regex(?t, "^[a-c]") && STRLEN(?t) > 25 || STRENDS(?t, "9"))
+        }
+        """,
+    )
+
     # term-metadata FILTER builtins: LANG over the whole graph — exactly
     # the reference's preferredLabel(lang="en") selection (browser.py:126,
     # 140-142) expressed in query text; the pattern's object binding
@@ -2010,6 +2026,17 @@ WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
     SELECT 1 FROM edges th
     WHERE th.subj = t.subj AND th.pred = '{DCAT}theme'
   )
+"""
+
+    # ||/&& precedence: && binds tighter
+    sql["kg_sparql_or_filter"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj AS d, ti.obj AS t
+FROM edges t
+JOIN edges ti ON ti.subj = t.subj AND ti.pred = '{DCT}title'
+WHERE t.pred = '{RDF_TYPE}' AND t.obj = '{CLASS_URIS["Dataset"]}'
+  AND ((regexp_matches(ti.obj, '^[a-c]') AND length(ti.obj) > 25)
+       OR ti.obj LIKE '%9')
 """
 
     # LANG over every literal: the merged set keeps full term identity, so

@@ -972,35 +972,54 @@ class _Parser:
         return n
 
     def _filter(self) -> tuple[list[tuple[str, list[Term]]], list[tuple]]:
-        """One FILTER clause — ``&&``-joined atoms, each one of:
+        """One FILTER clause — a boolean expression over atoms with full
+        ``||`` / ``&&`` precedence (|| binds loosest) and nested parens.
 
-        * ``?v IN (t, …)`` (the only form the reference emits,
-          browser.py:350-356, 295) → legacy IN filters;
-        * ``?v = term`` / ``?v != term``;
-        * ``regex(?v, "pat" [, "flags"])`` (flags ⊆ i/m/s);
-        * ``STRSTARTS(?v, "s")`` / ``CONTAINS(?v, "s")``.
+        Atoms: ``?v IN (t, …)``; comparisons ``?v <op> term`` (op ∈
+        =/!=/</<=/>/>=); ``regex``/``STRSTARTS``/``STRENDS``/``CONTAINS``/
+        ``STRLEN``; ``BOUND``/``!BOUND``; the term-metadata builtins
+        (LANG/LANGMATCHES/DATATYPE/isURI/isIRI/isLiteral/isBlank).
 
-        The outer parens are optional for bare function atoms
-        (``FILTER regex(?t, "x")`` is the common SPARQL spelling).
-        """
+        Top-level conjunctive ``?v IN (…)`` atoms stay in the legacy
+        q.filters list (the only form the reference emits,
+        browser.py:350-356, 295); everything else — including any IN
+        appearing under a ``||`` — compiles through filter_exprs.  The
+        outer parens are optional for bare function atoms
+        (``FILTER regex(?t, "x")`` is the common SPARQL spelling)."""
         ins: list[tuple[str, list[Term]]] = []
         exprs: list[tuple] = []
-        parens = self.peek() == "("
-        if parens:
-            self.next()
-        while True:
-            self._filter_atom(ins, exprs)
-            if self.peek() == "&&":
-                self.next()
-                continue
-            break
-        if parens:
-            self.expect(")")
+        tree = self._or_expr()
+        atoms = list(tree[1]) if tree[0] == "and" else [tree]
+        for a in atoms:
+            if a[0] == "in":
+                ins.append((a[1], a[2]))
+            else:
+                exprs.append(a)
         return ins, exprs
 
-    def _filter_atom(
-        self, ins: list[tuple[str, list[Term]]], exprs: list[tuple]
-    ) -> None:
+    def _or_expr(self) -> tuple:
+        parts = [self._and_expr()]
+        while self.peek() == "||":
+            self.next()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else ("or", tuple(parts))
+
+    def _and_expr(self) -> tuple:
+        parts = [self._filter_primary()]
+        while self.peek() == "&&":
+            self.next()
+            parts.append(self._filter_primary())
+        return parts[0] if len(parts) == 1 else ("and", tuple(parts))
+
+    def _filter_primary(self) -> tuple:
+        if self.peek() == "(":
+            self.next()
+            e = self._or_expr()
+            self.expect(")")
+            return e
+        return self._filter_atom()
+
+    def _filter_atom(self) -> tuple:
         tok = self.peek()
         if tok is not None and tok.upper() in (
             "REGEX", "STRSTARTS", "STRENDS", "CONTAINS",
@@ -1018,10 +1037,8 @@ class _Parser:
                 flags = self._plain_string("regex flags")
             self.expect(")")
             if fn == "REGEX":
-                exprs.append(("regex", var[1:], arg, flags))
-            else:
-                exprs.append((fn.lower(), var[1:], arg))
-            return
+                return ("regex", var[1:], arg, flags)
+            return (fn.lower(), var[1:], arg)
         _KIND_TESTS = {
             "ISURI": "uri", "ISIRI": "uri",
             "ISLITERAL": "literal", "ISBLANK": "bnode",
@@ -1047,10 +1064,8 @@ class _Parser:
                 raise SparqlError(f"{fn} expects a variable")
             self.expect(")")
             if fn == "BOUND":
-                exprs.append(("bound", var[1:], positive))
-            else:
-                exprs.append(("kindtest", var[1:], _KIND_TESTS[fn], positive))
-            return
+                return ("bound", var[1:], positive)
+            return ("kindtest", var[1:], _KIND_TESTS[fn], positive)
         if tok is not None and tok.upper() == "LANG":
             self.next()
             self.expect("(")
@@ -1062,8 +1077,7 @@ class _Parser:
             if op not in ("=", "!="):
                 raise SparqlUnsupported(f"LANG comparison operator {op!r}")
             val = self._plain_string("LANG comparison")
-            exprs.append(("lang", var[1:], op, val))
-            return
+            return ("lang", var[1:], op, val)
         if tok is not None and tok.upper() == "LANGMATCHES":
             self.next()
             self.expect("(")
@@ -1076,8 +1090,7 @@ class _Parser:
             self.expect(",")
             rng = self._plain_string("LANGMATCHES range")
             self.expect(")")
-            exprs.append(("langmatches", var[1:], rng))
-            return
+            return ("langmatches", var[1:], rng)
         if tok is not None and tok.upper() == "DATATYPE":
             self.next()
             self.expect("(")
@@ -1091,8 +1104,7 @@ class _Parser:
             t = self.term()
             if not isinstance(t, Uri):
                 raise SparqlError("DATATYPE compares against an IRI")
-            exprs.append(("datatype", var[1:], op, t.value))
-            return
+            return ("datatype", var[1:], op, t.value)
         if tok is not None and tok.upper() == "STRLEN":
             self.next()
             self.expect("(")
@@ -1106,8 +1118,7 @@ class _Parser:
             num = self.next()
             if not re.fullmatch(r"\d+", num):
                 raise SparqlUnsupported("STRLEN compares against an integer")
-            exprs.append(("strlen", var[1:], op, int(num)))
-            return
+            return ("strlen", var[1:], op, int(num))
         var = self.next()
         if not var.startswith("?"):
             raise SparqlUnsupported(
@@ -1127,8 +1138,7 @@ class _Parser:
                     raise SparqlUnsupported("variables inside IN lists")
                 vals.append(t)
             self.next()
-            ins.append((var[1:], vals))
-            return
+            return ("in", var[1:], vals)
         if op in ("=", "!=", "<", "<=", ">", ">="):
             nxt = self.peek()
             if nxt is not None and re.fullmatch(r"\d+(\.\d+)?", nxt):
@@ -1136,8 +1146,7 @@ class _Parser:
                 # column is cast (NULL for non-numeric forms → row drops,
                 # SPARQL's type-error semantics)
                 self.next()
-                exprs.append(("ncmp", var[1:], op, float(nxt)))
-                return
+                return ("ncmp", var[1:], op, float(nxt))
             t = self.term()
             if isinstance(t, Var):
                 # term comparison over the lexical columns; NULL (an
@@ -1145,8 +1154,7 @@ class _Parser:
                 # the row drops, exactly Spark's NULL-comparison behavior.
                 # Ordering ops use codepoint order — exact for the plain/
                 # xsd:string literals this graph holds.
-                exprs.append(("vcmp", var[1:], op, t.name))
-                return
+                return ("vcmp", var[1:], op, t.name)
             if isinstance(t, Lit) and (t.lang or t.dtype):
                 raise SparqlUnsupported(
                     "comparison with a lang/datatype-tagged literal"
@@ -1154,10 +1162,7 @@ class _Parser:
             if isinstance(t, Uri) and op not in ("=", "!="):
                 # SPARQL defines no < ordering over IRIs (type error)
                 raise SparqlUnsupported("ordering comparison with an IRI")
-            exprs.append(
-                ("cmp", var[1:], op, t.value if isinstance(t, Uri) else t.lex)
-            )
-            return
+            return ("cmp", var[1:], op, t.value if isinstance(t, Uri) else t.lex)
         raise SparqlUnsupported(f"FILTER operator {op!r}")
 
     def _plain_string(self, what: str) -> str:
@@ -1660,12 +1665,19 @@ _META_FILTER_KINDS = ("lang", "langmatches", "datatype", "kindtest")
 def _meta_filter_vars(q) -> set[str]:
     """Variables whose FILTER atoms read term metadata (LANG/DATATYPE/
     isURI/isLiteral/isBlank) — their pattern bindings must carry the
-    obj_kind/lang/dtype columns."""
-    return {
-        e[1]
-        for e in (getattr(q, "filter_exprs", []) or [])
-        if e[0] in _META_FILTER_KINDS
-    }
+    obj_kind/lang/dtype columns.  Recurses through ||/&& trees."""
+    out: set[str] = set()
+
+    def walk(e: tuple) -> None:
+        if e[0] in ("or", "and"):
+            for sub in e[1]:
+                walk(sub)
+        elif e[0] in _META_FILTER_KINDS:
+            out.add(e[1])
+
+    for e in getattr(q, "filter_exprs", []) or []:
+        walk(e)
+    return out
 
 
 _CMP_OPS = {
@@ -1678,97 +1690,113 @@ _CMP_OPS = {
 }
 
 
+def _filter_expr_col(expr: tuple, bound: set[str], acc_columns: list[str]):
+    """One FILTER expression tree → a boolean Column.
+
+    ``or``/``and`` nodes fold with ``|``/``&`` — Spark's NULL three-valued
+    logic matches SPARQL's error propagation exactly (error||true = true,
+    error||false = error → row drops; dually for &&)."""
+    kind = expr[0]
+    if kind in ("or", "and"):
+        cols = [_filter_expr_col(e, bound, acc_columns) for e in expr[1]]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out | c) if kind == "or" else (out & c)
+        return out
+    var = expr[1]
+    if var not in bound:
+        raise SparqlError(f"FILTER on unbound variable ?{var}")
+    col = F.col(var)
+    if kind == "in":
+        return col.isin(_in_values(expr[2]))
+    if kind == "cmp":
+        _, _, op, val = expr
+        return _CMP_OPS[op](col, F.lit(val))
+    if kind == "vcmp":
+        _, _, op, other = expr
+        if other not in bound:
+            raise SparqlError(f"FILTER on unbound variable ?{other}")
+        return _CMP_OPS[op](col, F.col(other))
+    if kind == "ncmp":
+        # numeric value comparison: try_cast the lexical form (ANSI-safe);
+        # non-numeric forms cast to NULL and the row drops (SPARQL type
+        # error semantics)
+        _, _, op, val = expr
+        return _CMP_OPS[op](col.try_cast("double"), F.lit(val))
+    if kind == "strlen":
+        _, _, op, val = expr
+        return _CMP_OPS[op](F.length(col), F.lit(val))
+    if kind == "bound":
+        return col.isNotNull() if expr[2] else col.isNull()
+    if kind in _META_FILTER_KINDS:
+        if f"{var}__okind" not in acc_columns:
+            raise SparqlUnsupported(
+                f"{kind.upper()} on ?{var}: term metadata is only "
+                "available for variables bound as a plain triple "
+                "pattern's object (not paths/UNION/VALUES/BIND/"
+                "subject positions)"
+            )
+        kind_c = F.col(f"{var}__okind")
+        lang_c = F.col(f"{var}__olang")
+        dt_c = F.col(f"{var}__odt")
+        # SPARQL LANG(): the tag, "" for plain literals, a type error
+        # (NULL here → the row drops) for IRIs
+        lang_of = F.when(kind_c == "literal", F.coalesce(lang_c, F.lit("")))
+        if kind == "lang":
+            _, _, op, val = expr
+            return _CMP_OPS[op](lang_of, F.lit(val))
+        if kind == "langmatches":
+            rng = expr[2]
+            if rng == "*":
+                return lang_of != ""
+            low = rng.lower()
+            lo = F.lower(lang_of)
+            # RFC 4647 basic filtering: exact tag or prefix + "-"
+            return (lo == low) | lo.startswith(low + "-")
+        if kind == "datatype":
+            _, _, op, uri = expr
+            # RDF 1.1: lang-tagged → rdf:langString; plain → xsd:string;
+            # IRIs are a type error (NULL → row drops)
+            dt_of = F.when(
+                kind_c == "literal",
+                F.when(
+                    lang_c.isNotNull() & (lang_c != ""),
+                    F.lit(RDF_LANGSTRING),
+                ).otherwise(F.coalesce(dt_c, F.lit(XSD_STRING))),
+            )
+            return _CMP_OPS[op](dt_of, F.lit(uri))
+        # kindtest
+        _, _, want, positive = expr
+        cond = kind_c == want
+        return cond if positive else ~cond
+    if kind == "strends":
+        return col.endswith(expr[2])
+    if kind == "regex":
+        _, _, pat, flags = expr
+        if flags:
+            if not set(flags) <= set("ims"):
+                raise SparqlUnsupported(f"regex flags {flags!r}")
+            pat = f"(?{flags})" + pat
+        # rlike is Java find() — substring-match, same as SPARQL regex
+        return col.rlike(pat)
+    if kind == "strstarts":
+        return col.startswith(expr[2])
+    if kind == "contains":
+        return col.contains(expr[2])
+    raise SparqlUnsupported(f"filter expression {kind!r}")  # pragma: no cover
+
+
 def _apply_filters(acc: DataFrame, bound: set[str], q: Query) -> DataFrame:
-    """IN filters + extended FILTER atoms — shared by every query form."""
+    """IN filters + extended FILTER expressions — shared by every query
+    form.  Each FILTER clause compiles to ONE boolean Column (incl. ||/&&
+    trees); conjunction across clauses stays chained .filter calls."""
     for var, terms in q.filters:
         if var not in bound:
             raise SparqlError(f"FILTER on unbound variable ?{var}")
         acc = acc.filter(F.col(var).isin(_in_values(terms)))
 
     for expr in getattr(q, "filter_exprs", []) or []:
-        kind, var = expr[0], expr[1]
-        if var not in bound:
-            raise SparqlError(f"FILTER on unbound variable ?{var}")
-        col = F.col(var)
-        if kind == "cmp":
-            _, _, op, val = expr
-            acc = acc.filter(_CMP_OPS[op](col, F.lit(val)))
-        elif kind == "vcmp":
-            _, _, op, other = expr
-            if other not in bound:
-                raise SparqlError(f"FILTER on unbound variable ?{other}")
-            acc = acc.filter(_CMP_OPS[op](col, F.col(other)))
-        elif kind == "ncmp":
-            _, _, op, val = expr
-            # numeric value comparison: try_cast the lexical form (ANSI-safe);
-            # non-numeric forms cast to NULL and the row drops (SPARQL type
-            # error semantics)
-            acc = acc.filter(_CMP_OPS[op](col.try_cast("double"), F.lit(val)))
-        elif kind == "strlen":
-            _, _, op, val = expr
-            acc = acc.filter(_CMP_OPS[op](F.length(col), F.lit(val)))
-        elif kind == "bound":
-            acc = acc.filter(col.isNotNull() if expr[2] else col.isNull())
-        elif kind in _META_FILTER_KINDS:
-            if f"{var}__okind" not in acc.columns:
-                raise SparqlUnsupported(
-                    f"{kind.upper()} on ?{var}: term metadata is only "
-                    "available for variables bound as a plain triple "
-                    "pattern's object (not paths/UNION/VALUES/BIND/"
-                    "subject positions)"
-                )
-            kind_c = F.col(f"{var}__okind")
-            lang_c = F.col(f"{var}__olang")
-            dt_c = F.col(f"{var}__odt")
-            # SPARQL LANG(): the tag, "" for plain literals, a type error
-            # (NULL here → the row drops) for IRIs
-            lang_of = F.when(
-                kind_c == "literal", F.coalesce(lang_c, F.lit(""))
-            )
-            if kind == "lang":
-                _, _, op, val = expr
-                acc = acc.filter(_CMP_OPS[op](lang_of, F.lit(val)))
-            elif kind == "langmatches":
-                rng = expr[2]
-                if rng == "*":
-                    acc = acc.filter(lang_of != "")
-                else:
-                    low = rng.lower()
-                    lo = F.lower(lang_of)
-                    # RFC 4647 basic filtering: exact tag or prefix + "-"
-                    acc = acc.filter((lo == low) | lo.startswith(low + "-"))
-            elif kind == "datatype":
-                _, _, op, uri = expr
-                # RDF 1.1: lang-tagged → rdf:langString; plain → xsd:string;
-                # IRIs are a type error (NULL → row drops)
-                dt_of = F.when(
-                    kind_c == "literal",
-                    F.when(
-                        lang_c.isNotNull() & (lang_c != ""),
-                        F.lit(RDF_LANGSTRING),
-                    ).otherwise(F.coalesce(dt_c, F.lit(XSD_STRING))),
-                )
-                acc = acc.filter(_CMP_OPS[op](dt_of, F.lit(uri)))
-            else:  # kindtest
-                _, _, want, positive = expr
-                cond = kind_c == want
-                acc = acc.filter(cond if positive else ~cond)
-        elif kind == "strends":
-            acc = acc.filter(col.endswith(expr[2]))
-        elif kind == "regex":
-            _, _, pat, flags = expr
-            if flags:
-                if not set(flags) <= set("ims"):
-                    raise SparqlUnsupported(f"regex flags {flags!r}")
-                pat = f"(?{flags})" + pat
-            # rlike is Java find() — substring-match, same as SPARQL regex
-            acc = acc.filter(col.rlike(pat))
-        elif kind == "strstarts":
-            acc = acc.filter(col.startswith(expr[2]))
-        elif kind == "contains":
-            acc = acc.filter(col.contains(expr[2]))
-        else:  # pragma: no cover — parser emits only the kinds above
-            raise SparqlUnsupported(f"filter expression {kind!r}")
+        acc = acc.filter(_filter_expr_col(expr, bound, acc.columns))
     return acc
 
 

@@ -95,8 +95,7 @@ def test_parse_filter_conjunction_and_optional():
         "SELECT (1 AS ?x) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
         "SELECT ?s WHERE { SERVICE <http://svc> { ?s <http://p> ?o } }",
-        'SELECT ?s WHERE { ?s <http://p> ?o . '
-        'FILTER (?s = <http://a> || ?s = <http://b>) }',
+        'SELECT ?s WHERE { ?s <http://p> ?o . FILTER (STR(?o) = "x") }',
         "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
     ],
 )
@@ -1436,3 +1435,66 @@ def test_filter_meta_on_path_var_refused(tiny_edges):
             "PREFIX p: <http://p/> "
             'SELECT ?o WHERE { ?s p:title+ ?o . FILTER (LANG(?o) = "en") }',
         )
+
+
+# --- FILTER || / && precedence (round 3) --------------------------------------
+
+
+def test_filter_or_disjunction(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s ?v WHERE { ?s !p:none ?v . '
+        'FILTER (?v = "3" || ?v = "hello") }',
+    ).collect()
+    # every non-type edge with those lexical forms: hello@en + plain hello
+    # (titles), "3" (size), hello (link URI)
+    assert len(rows) == 4
+
+
+def test_filter_and_binds_tighter_than_or(tiny_edges):
+    # (A && B) || C — not A && (B || C): the "3" row fails STRSTARTS but
+    # passes the ?v = "3" alternative
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s ?v WHERE { ?s p:size ?v . '
+        'FILTER (STRSTARTS(?v, "h") && STRLEN(?v) > 2 || ?v = "3") }',
+    ).collect()
+    assert [(r.s, r.v) for r in rows] == [("s2", "3")]
+
+
+def test_filter_nested_parens_and_meta_inside_or(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s ?t WHERE { ?s p:title ?t . '
+        'FILTER ((LANG(?t) = "en" || LANG(?t) = "") && STRSTARTS(?t, "h")) }',
+    ).collect()
+    assert len(rows) == 2  # both title rows (tagged + plain)
+
+
+def test_filter_in_under_or_compiles_as_isin(tiny_edges):
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s WHERE { ?s p:size ?v . '
+        'FILTER (?v IN ("nope") || ?v IN ("3")) }',
+    ).collect()
+    assert [r.s for r in rows] == ["s2"]
+
+
+def test_filter_or_null_semantics_matches_sparql(tiny_edges):
+    # error || true = true: rows where ?z is OPTIONAL-unbound still pass
+    # via the right alternative; error || false drops
+    base = (
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX dcat: <http://www.w3.org/ns/dcat#> "
+        "PREFIX p: <http://p/> "
+        "SELECT ?s WHERE {{ ?s rdf:type dcat:Dataset . "
+        "OPTIONAL {{ ?s p:size ?z }} FILTER (?z = \"3\" || {}) }}"
+    )
+    t = sp.compile_sparql(tiny_edges, base.format("STRLEN(?s) = 2")).collect()
+    f = sp.compile_sparql(tiny_edges, base.format("STRLEN(?s) = 9")).collect()
+    assert sorted(r.s for r in t) == ["s1", "s2"]
+    assert [r.s for r in f] == ["s2"]
