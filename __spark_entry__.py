@@ -33,6 +33,7 @@ from breg_dcat_harvester_spark.operators import export as exp
 from breg_dcat_harvester_spark.operators import decontam as dctm
 from breg_dcat_harvester_spark.operators import packing as pkg
 from breg_dcat_harvester_spark.operators import sampling as smp
+from breg_dcat_harvester_spark.operators import sketches as sk
 from breg_dcat_harvester_spark.operators.extract import extract_edges
 from breg_dcat_harvester_spark.operators.merge import (
     merge_triples,
@@ -1291,6 +1292,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["multimodal_frames"] = _frames
+
+    # --- bounded-state sketches (operators/sketches.py) ---------------------
+    # audit-gated like the ANN recall queries: Spark computes approx + exact
+    # and the designed error-bound flag; the oracle replays the exact side
+    # + TRUE, so a broken sketch fails the value hash.
+
+    # HLL++ distinct subjects per predicate over the merged graph (ONE agg
+    # pass; map-side partial HLL registers vs countDistinct's expand)
+    q["sketch_hll_distinct"] = lambda spark, sf: sk.hll_distinct_audit(
+        _merged(spark, sf), "pred", "subj"
+    )
+
+    # GK quantile sketch of document length per language: estimate must lie
+    # between the exact p45/p55 values (rank window >> designed 1/accuracy)
+    q["sketch_quantile_doclen"] = lambda spark, sf: sk.quantile_sketch_audit(
+        _documents(spark, sf), "lang", "n_chars"
+    )
+
+    # count-min sketch heavy hitters over graph subjects: est >= exact
+    # (structural) and est <= exact + ceil(e/width * N) (the epsilon*N
+    # bound), gated on the exact top-20 by (count desc, subj)
+    q["sketch_cms_heavy_hitters"] = lambda spark, sf: sk.cms_heavy_hitter_audit(
+        _merged(spark, sf), "subj", top_k=20
+    )
+
+    # Bloom prefiltered semi-join == plain semi-join (exact gate, not an
+    # audit: no false negatives + exact post-join): all triples of dataset
+    # entities, the fact side scanned map-only through k broadcast
+    # bit-membership joins
+    def _bloom_semi(spark, sf):
+        merged = _merged(spark, sf)
+        keys = merged.filter(
+            (F.col("pred") == RDF_TYPE)
+            & (F.col("obj") == CLASS_URIS["Dataset"])
+        ).select("subj")
+        return sk.bloom_semi_join(
+            merged.select("subj", "pred", "obj"), keys, "subj"
+        )
+
+    q["sketch_bloom_semi_join"] = _bloom_semi
 
     # --- generic relational operators on the TPC-H-ish tables --------------
 
@@ -3097,5 +3138,44 @@ SELECT w.window_id, e.event_type,
        CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
 GROUP BY 1, 2
+"""
+
+    # --- bounded-state sketches: oracles replay the EXACT side + TRUE ------
+
+    sql["sketch_hll_distinct"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT pred AS grp,
+       CAST(count(DISTINCT subj) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM edges GROUP BY pred
+"""
+
+    sql["sketch_quantile_doclen"] = """
+SELECT lang AS grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS exact_p,
+       TRUE AS within_bound
+FROM documents GROUP BY lang
+"""
+
+    sql["sketch_cms_heavy_hitters"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT subj AS key,
+       CAST(count(*) AS BIGINT) AS exact_count,
+       TRUE AS cms_ok
+FROM edges GROUP BY subj
+ORDER BY exact_count DESC, key LIMIT 20
+"""
+
+    # exact-equivalence gate: the Bloom-prefiltered semi-join must equal the
+    # plain semi-join row-for-row
+    sql["sketch_bloom_semi_join"] = f"""
+WITH edges AS (SELECT DISTINCT subj, pred, obj FROM {osql.edges_sql(glob)} AS _e)
+SELECT t.subj, t.pred, t.obj
+FROM edges t
+WHERE t.subj IN (
+    SELECT subj FROM edges
+    WHERE pred = '{RDF_TYPE}' AND obj = '{CLASS_URIS["Dataset"]}'
+)
 """
     return sql
