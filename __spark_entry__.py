@@ -1333,6 +1333,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_bloom_semi_join"] = _bloom_semi
 
+    # corpus-adaptive quality scoring (CCNet shape, integer-exact): model
+    # trained on the TRUSTED slice (the original documents), scored over
+    # originals + planted sha256-hex garbage twins (deterministic in both
+    # engines) — originals keep, garbage scores low and drops
+    def _lm_quality(spark, sf):
+        from breg_dcat_harvester_spark.operators import lmquality as lmq
+
+        d = _documents(spark, sf).select("doc_id", "text")
+        garbage = d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.sha2(F.col("doc_id").cast("string"), 256).alias("text"),
+        )
+        return lmq.lm_quality_report(
+            d.unionByName(garbage),
+            min_count=3,
+            keep_per_mille=900,
+            train_on=d,
+        )
+
+    q["lm_quality"] = _lm_quality
+
     # --- generic relational operators on the TPC-H-ish tables --------------
 
     def _pricing(spark, sf):
@@ -3165,6 +3186,45 @@ SELECT subj AS key,
        TRUE AS cms_ok
 FROM edges GROUP BY subj
 ORDER BY exact_count DESC, key LIMIT 20
+"""
+
+    # CCNet-shape quality scoring: integer-exact bigram familiarity, model
+    # trained on the trusted originals, garbage twins planted as
+    # sha256(doc_id) hex (identical strings in both engines)
+    sql["lm_quality"] = """
+WITH base AS (SELECT doc_id, text FROM documents),
+aug AS (
+    SELECT doc_id, text FROM base
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, sha256(CAST(doc_id AS VARCHAR)) AS text
+    FROM base
+),
+tg AS (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 1, 0)),
+        i -> substr(lower(text), CAST(i AS INTEGER), 2)), x -> length(x) = 2)) AS gram
+    FROM base
+),
+model AS (SELECT gram FROM tg GROUP BY gram HAVING count(*) >= 3),
+ag AS (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 1, 0)),
+        i -> substr(lower(text), CAST(i AS INTEGER), 2)), x -> length(x) = 2)) AS gram
+    FROM aug
+),
+scored AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           sum(CASE WHEN m.gram IS NOT NULL THEN 1 ELSE 0 END) AS common
+    FROM ag g LEFT JOIN model m USING (gram) GROUP BY g.doc_id
+)
+SELECT a.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(CAST(floor(1000 * s.common / s.n_grams) AS BIGINT), 0)
+           AS common_per_mille,
+       COALESCE(s.n_grams > 0
+                AND floor(1000 * s.common / s.n_grams) >= 900, FALSE) AS keep
+FROM aug a LEFT JOIN scored s USING (doc_id)
 """
 
     # exact-equivalence gate: the Bloom-prefiltered semi-join must equal the
