@@ -111,6 +111,55 @@ class LocalSnapshotTable:
     def exists(self) -> bool:
         return self.current_snapshot() is not None
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 << 20,
+        small_file_bytes: int | None = None,
+    ) -> dict:
+        """Rewrite the current snapshot's data files into ~``target_bytes``
+        files — the LocalSnapshotTable analog of Iceberg's
+        ``rewrite_data_files`` (bin-pack) maintenance action.
+
+        Streaming/incremental ingestion accretes small files (every
+        micro-batch commit is its own file set); at 100 TB an uncompacted
+        table turns scans into open-file storms and starves split planning.
+        Compaction here is: read the current snapshot, ``coalesce`` down to
+        ceil(total_bytes / target_bytes) output files (coalesce, not
+        repartition — merging files needs no shuffle; a skew-rebalancing
+        rewrite would opt into repartition explicitly), and commit the
+        result as a NEW snapshot — readers of older snapshot ids are
+        untouched (time travel keeps working), and ``expire_snapshots``
+        reclaims the small files later.
+
+        ``small_file_bytes`` (default ``target_bytes // 2``) is the no-op
+        guard: if no current file is smaller than it and the file count is
+        already minimal, nothing is rewritten.  Returns a stats dict
+        (files/bytes before and after, the new snapshot id or None)."""
+        manifest = self._load()
+        snap = self._snapshot(manifest, None)
+        if snap is None:
+            raise FileNotFoundError(f"no current snapshot in {self.path}")
+        sizes = [
+            os.path.getsize(os.path.join(self.data_dir, f))
+            for f in snap["files"]
+        ]
+        total = sum(sizes)
+        small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
+        n_target = max(1, -(-total // target_bytes))  # ceil
+        stats = {
+            "files_before": len(sizes),
+            "bytes_total": total,
+            "target_files": n_target,
+            "snapshot": None,
+        }
+        if len(sizes) <= n_target or not any(s < small for s in sizes):
+            return stats  # already compact — no rewrite, no new snapshot
+        df = self.read(spark, snap["id"]).coalesce(n_target)
+        stats["snapshot"] = self.write(df, mode="overwrite")
+        stats["files_after"] = len(self._snapshot(self._load(), None)["files"])
+        return stats
+
     def expire_snapshots(self, keep_n: int) -> list[str]:
         """T5 (result TTL): retain only the newest ``keep_n`` snapshots (the
         current one is always retained), deleting data files no surviving

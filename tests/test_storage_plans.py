@@ -259,3 +259,38 @@ def test_harvest_increment_equals_batch(spark, tmp_path, small_transcripts):
     )
     assert res_again["stages"] == []
     assert res_again["num_triples"] == res_inc["num_triples"]
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    tbl = LocalSnapshotTable(str(tmp_path / "c"))
+    # simulate streaming accretion: 6 append commits of tiny files, each
+    # written 4-way -> ~24 small files
+    for i in range(6):
+        tbl.write(
+            spark.range(i * 100, (i + 1) * 100).repartition(4)
+            .withColumnRenamed("id", "x"),
+            mode="append",
+        )
+    before = tbl.read(spark)
+    before_rows = sorted(r.x for r in before.collect())
+    pre_snap = tbl.current_snapshot()
+    n_files_before = len([s for s in tbl.snapshots() if s["id"] == pre_snap][0]["files"])
+    assert n_files_before >= 20
+
+    stats = tbl.compact(spark, target_bytes=1 << 30)  # everything -> 1 file
+    assert stats["snapshot"] is not None
+    assert stats["files_after"] == 1
+    # content identical, old snapshot still time-travelable
+    after_rows = sorted(r.x for r in tbl.read(spark).collect())
+    assert after_rows == before_rows
+    assert tbl.read(spark, pre_snap).count() == 600
+
+    # idempotent: a second compact is a no-op (no new snapshot)
+    stats2 = tbl.compact(spark, target_bytes=1 << 30)
+    assert stats2["snapshot"] is None
+    assert stats2["files_before"] == 1
+
+    # expire reclaims the small files
+    tbl.expire_snapshots(keep_n=1)
+    remaining = os.listdir(tbl.data_dir)
+    assert len(remaining) == 1
