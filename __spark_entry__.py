@@ -976,6 +976,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _transcripts(spark, sf)
     )
 
+    # SFT prompt/completion pairs: one per assistant turn, context = last-4
+    # preceding turns as role-tagged lines (bounded ROWS frame — the
+    # quadratic full-history blowup never happens); ONE conv_id shuffle
+    q["conv_sft_pairs"] = lambda spark, sf: conv.sft_pairs(
+        _transcripts(spark, sf), context_turns=4
+    )
+
     # streaming extension (batch-parity form): event-time tumbling windows —
     # the same operator runs under readStream with a watermark
     # (streaming/windowed.py; watermarked append path probed in tests)
@@ -2509,6 +2516,28 @@ SELECT a.tool AS tool_a, b.tool AS tool_b,
        CAST(COUNT(*) AS BIGINT) AS n_convs
 FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
 GROUP BY 1, 2
+"""
+
+    sql["conv_sft_pairs"] = f"""
+WITH lines AS (
+    SELECT conv_id, turn_idx, role, text,
+           (CASE WHEN tool IS NOT NULL THEN role || '[' || tool || ']'
+                 ELSE role END) || ': ' || COALESCE(text, '') AS line
+    FROM read_parquet('{glob}')
+),
+ctx AS (
+    SELECT conv_id, turn_idx, role, text,
+           list(line) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS c
+    FROM lines
+)
+SELECT conv_id, turn_idx,
+       array_to_string(c, chr(10)) AS prompt,
+       text AS completion,
+       CAST(len(c) AS BIGINT) AS n_context_turns
+FROM ctx
+WHERE role = 'assistant' AND len(c) > 0
+  AND length(COALESCE(text, '')) >= 1
 """
 
     sql["kg_graph_stats"] = f"""

@@ -834,6 +834,8 @@ HEADLINE = [
     "rel_events_asof",
     "rel_events_in_windows",
     "kg_windowed_turn_counts",
+    "sketch_cms_heavy_hitters",
+    "lm_quality",
 ]
 
 

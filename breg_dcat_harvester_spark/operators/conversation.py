@@ -87,3 +87,61 @@ def tool_cooccurrence(transcripts: DataFrame) -> DataFrame:
         .groupBy("tool_a", "tool_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
     )
+
+
+def sft_pairs(
+    transcripts: DataFrame,
+    context_turns: int = 4,
+    min_completion_chars: int = 1,
+) -> DataFrame:
+    """Prompt/completion pairs for supervised fine-tuning ->
+    (conv_id, turn_idx, prompt, completion, n_context_turns).
+
+    One pair per assistant turn with at least one preceding turn: the
+    completion is the assistant text, the prompt the last ``context_turns``
+    preceding turns rendered as ``role: text`` lines (tool turns render as
+    ``tool[name]: text``) in stable turn order — the W5 invariant again.
+
+    Scale shape: ONE hash-partition shuffle on conv_id; the context window
+    is a bounded ROWS frame (``context_turns PRECEDING .. 1 PRECEDING``)
+    over an incremental WindowExec, so cost is O(turns x context_turns)
+    worst case and the full-history quadratic blowup of naive pair
+    construction never happens.  Capped context is also what an SFT
+    pipeline actually emits (the tokenizer budget is finite)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws(
+        ": ",
+        F.when(
+            F.col("tool").isNotNull(),
+            F.concat(F.col("role"), F.lit("["), F.col("tool"), F.lit("]")),
+        ).otherwise(F.col("role")),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    with_ctx = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.collect_list(line.alias("line")).over(w).alias("_ctx"),
+    )
+    return (
+        with_ctx.filter(
+            (F.col("role") == "assistant")
+            & (F.size("_ctx") > 0)
+            & (F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_completion_chars)
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat_ws("\n", F.col("_ctx")).alias("prompt"),
+            F.col("text").alias("completion"),
+            F.size("_ctx").cast("long").alias("n_context_turns"),
+        )
+    )

@@ -60,3 +60,37 @@ def test_conversation_stats_role_changes_and_tools(spark):
     r = conversation_stats(_t(spark, rows)).collect()[0]
     assert (r.n_turns, r.n_roles, r.n_role_changes, r.n_tool_turns) == (3, 2, 1, 1)
     assert r.span_seconds == 60
+
+
+def test_sft_pairs_context_and_filtering(spark):
+    import datetime as dt
+
+    from breg_dcat_harvester_spark.operators.conversation import sft_pairs
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        # conv A: assistant at 0 (no context -> dropped), tool-tagged turn,
+        # empty assistant completion (dropped), normal pair
+        ("a", 0, "assistant", "cold open", None, ts),
+        ("a", 1, "user", "hi there", None, ts),
+        ("a", 2, "tool", "lookup result", "search", ts),
+        ("a", 3, "assistant", "", None, ts),
+        ("a", 4, "assistant", "answer", None, ts),
+        # conv B: long history, context capped at 2
+        *[("b", i, "user", f"u{i}", None, ts) for i in range(5)],
+        ("b", 5, "assistant", "final", None, ts),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {(r.conv_id, r.turn_idx): r for r in sft_pairs(t, context_turns=2).collect()}
+
+    # turn a0: no preceding turns -> excluded; a3: empty completion -> excluded
+    assert ("a", 0) not in got and ("a", 3) not in got
+    pa = got[("a", 4)]
+    # context = turns 2 and 3 (last 2 preceding), tool turn tagged
+    assert pa.prompt == "tool[search]: lookup result\nassistant: "
+    assert pa.completion == "answer" and pa.n_context_turns == 2
+    pb = got[("b", 5)]
+    assert pb.prompt == "user: u3\nuser: u4"
+    assert len(got) == 2
