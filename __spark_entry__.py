@@ -1541,6 +1541,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_events_in_windows"] = _events_in_windows
 
+    # stream-stream time-range join, batch-parity form: EVERY click by the
+    # same user within the preceding hour of a purchase (the as-of query
+    # keeps only the latest; attribution wants the set).  The identical
+    # function runs under readStream with watermarks on both sides —
+    # pytest-gated as a real StreamingSymmetricHashJoin with checkpoint
+    # resume (tests/test_streaming_joins.py)
+    def _events_attribution(spark, sf):
+        from breg_dcat_harvester_spark.streaming.joins import (
+            click_attribution_join,
+        )
+
+        ev = _events(spark, sf)
+        return click_attribution_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+            max_lag="1 hour",
+        )
+
+    q["rel_events_attribution"] = _events_attribution
+
     return q
 
 
@@ -3172,6 +3192,20 @@ SELECT l.event_id AS purchase_id, l.user_id, r.event_id AS click_id,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    # stream-stream time-range join (batch-parity form) replayed as a plain
+    # range join: (p_ts - 1h, p_ts], strict far edge
+    sql["rel_events_attribution"] = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL 1 HOUR
 """
 
     # the binned interval join replayed as a plain inequality join
