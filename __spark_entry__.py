@@ -76,6 +76,10 @@ EMB_DIM = 64  # embeddings.parquet vector dimensionality (TESTDATA fixed)
 # lists).
 ANN_LSH_MIN_HITS = 7
 ANN_IVF_MIN_HITS = 3
+# IVF-PQ shares IVF's nprobe coverage cap (4/16 lists) and adds bounded
+# quantization loss recoverable by the exact re-rank; observed min 4/10 at
+# sf0.01 -> floor 2 trips only on genuine collapse
+ANN_PQ_MIN_HITS = 2
 
 # Planted-near-dup perturbation, expressed twice so BOTH engines build
 # bit-identical float32 vectors (integer-derived deltas, IEEE ops only;
@@ -1194,6 +1198,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return annm.topk_recall_audit(exact, approx, min_hits=ANN_IVF_MIN_HITS)
 
     q["ann_cosine_topk_ivf"] = _ann_ivf_audit
+
+    # IVF-PQ memory-scale path: product-quantized candidate scan (m bytes +
+    # a norm per corpus row instead of d floats), per-query ADC lookup
+    # table, exact re-rank of a 4k shortlist
+    def _ann_ivfpq_audit(spark, sf):
+        emb, qs = _embeddings(spark, sf), _queries_df(spark, sf)
+        exact = annm.cosine_topk(emb, qs, k=10)
+        approx = annm.cosine_topk_ivfpq(
+            emb, qs, k=10, nlist=16, nprobe=4, m=8, kcode=16
+        )
+        return annm.topk_recall_audit(exact, approx, min_hits=ANN_PQ_MIN_HITS)
+
+    q["ann_cosine_topk_ivfpq"] = _ann_ivfpq_audit
 
     q["dedup_embedding"] = lambda spark, sf: annm.embedding_dup_pairs(
         _embeddings(spark, sf), threshold=0.45
@@ -2961,6 +2978,7 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
     sql["ann_cosine_topk_lsh"] = aud
     sql["ann_cosine_topk_ivf"] = aud
+    sql["ann_cosine_topk_ivfpq"] = aud
 
     sql["dedup_embedding_lsh"] = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),

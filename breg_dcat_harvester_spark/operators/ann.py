@@ -485,3 +485,219 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization over the IVF lists
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    kcode: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_cap: int = 4096,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks for product quantization -> [m][kcode][d/m].
+
+    Same deterministic-sample + seeded-k-means recipe as
+    ``train_ivf_centroids`` (the sample collect is the only driver-side
+    step; the codebooks are m*kcode*(d/m) = d*kcode floats — a plan
+    constant).  Subspace k-means runs on RAW subvectors (no re-norm:
+    PQ reconstructs dot products, not directions)."""
+    rows = (
+        emb.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("r"),
+        )
+        .orderBy("r", "v")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        k = min(kcode, len(sub))
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            # squared-L2 assignment (classic PQ), then mean re-estimate
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def _sub_l2(vec, j: int, dsub: int, word: list[float]):
+    """Squared L2 between subvector j of ``vec`` and a constant codeword."""
+    sub = F.slice(vec, j * dsub + 1, dsub)
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(float(w)) for w in word]),
+            lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    code_col: str = "codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Append ``codes`` (array<int>, one codeword id per subspace — nearest
+    by squared L2, ties to the lower id) and the TRUE vector norm (cosine
+    needs it; PQ reconstructs only the dot product).
+
+    At 100 TB this is the point of PQ: the candidate join carries m small
+    ints + one double per corpus vector instead of the full float array —
+    a ~16x shuffle/state shrink at d=64, m=8."""
+    d = sum(len(b[0]) for b in codebooks)  # m * dsub
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    codes = []
+    for j, book in enumerate(codebooks):
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(_sub_l2(vec, j, dsub, w), 9).alias("d2"),
+                    F.lit(c).alias("c"),
+                )
+                for c, w in enumerate(book)
+            ]
+        )
+        codes.append(F.array_sort(scored)[0]["c"])
+    norm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return df.withColumn(code_col, F.array(*codes)).withColumn(norm_col, norm)
+
+
+def _adc_lut(query_vec, codebooks: list[list[list[float]]]):
+    """Per-query ADC lookup table: lut[j][c] = dot(query_sub_j, codeword_c).
+    m*kcode doubles computed ONCE per query row, before the candidate join."""
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(query_vec, j * dsub + 1, dsub),
+                            F.array(*[F.lit(float(x)) for x in w]),
+                            lambda q, cw: q.cast("double") * cw,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for w in book
+                ]
+            )
+            for j, book in enumerate(codebooks)
+        ]
+    )
+
+
+def cosine_topk_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    kcode: int = 16,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ with exact refinement — the memory-scale ANN path.
+
+    Corpus vectors live in their IVF list carrying only (cid, codes, norm);
+    queries probe ``nprobe`` lists with a per-query ADC lookup table, rank
+    candidates by the RECONSTRUCTED cosine (sum over subspaces of
+    lut[j][code_j], divided by true norms), keep a ``shortlist`` (default
+    4k), and ONE shortlist-sized join back to the full vectors re-ranks
+    exactly.  Shape: candidate join on cid moves m bytes + a double per
+    corpus row (not d floats); the exact join touches only |Q| x shortlist
+    rows.  Everything derives from the seeded sample -> bit-deterministic;
+    gated as a recall audit (the designed approximation is the only slack).
+    """
+    cents = train_ivf_centroids(
+        emb, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    books = train_pq_codebooks(
+        emb, m=m, kcode=kcode, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    base = ivf_assign(
+        pq_encode(
+            emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+            "vec",
+            books,
+        ).select("neighbor_id", "codes", "vnorm", "vec"),
+        "vec",
+        cents,
+        nprobe=1,
+    ).select("neighbor_id", "codes", "vnorm", "cid")
+    q = ivf_assign(queries, "query_vec", cents, nprobe=nprobe).withColumn(
+        "_lut", _adc_lut(F.col("query_vec"), books)
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.col("query_vec"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("_lut"),
+            F.col("codes"),
+            lambda lut_j, c_j: F.element_at(lut_j, c_j + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (qnorm * F.col("vnorm"))
+    sl = shortlist or 4 * k
+    cand = (
+        q.join(base, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("est", F.round(est, SIM_DECIMALS))
+    )
+    w_est = Window.partitionBy("query_id").orderBy(F.desc("est"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("r", F.row_number().over(w_est))
+        .filter(F.col("r") <= sl)
+        .select("query_id", "query_vec", "neighbor_id")
+    )
+    # exact refinement: ONE shortlist-sized equi-join back to the vectors
+    full = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    rer = short.join(full, "neighbor_id").withColumn(
+        "sim", F.round(_cosine(F.col("query_vec"), F.col("nvec")), SIM_DECIMALS)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

@@ -364,3 +364,43 @@ def test_curate_corpus_with_decontamination(spark, docs):
     assert flagged >= {r.doc_id for r in bench.select("doc_id").collect()}
     for i, r in with_dc.items():
         assert r.selected == (base[i].selected and not r.contaminated)
+
+
+def test_ann_ivfpq_recall_determinism_and_full_probe(spark, emb):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in annm.cosine_topk(emb, _queries(emb), k=10).collect()
+    }
+    run1 = annm.cosine_topk_ivfpq(
+        emb, _queries(emb), k=10, nlist=8, nprobe=4, m=8, kcode=16
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
+    # seeded centroids + codebooks => identical re-run
+    run2 = annm.cosine_topk_ivfpq(
+        emb, _queries(emb), k=10, nlist=8, nprobe=4, m=8, kcode=16
+    ).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    # full probe + all-candidate shortlist degenerates to exact brute force
+    # (the exact refinement makes PQ's ranking loss recoverable)
+    small = emb.filter(F.col("vec_id") < 200)
+    full = annm.cosine_topk_ivfpq(
+        small, _queries(small), k=5, nlist=4, nprobe=4, m=8, kcode=16,
+        shortlist=1000,
+    ).collect()
+    want = annm.cosine_topk(small, _queries(small), k=5).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, want))
+
+
+def test_pq_encode_codes_bounded_and_deterministic(spark, emb):
+    books = annm.train_pq_codebooks(emb, m=8, kcode=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    enc = annm.pq_encode(
+        emb.select(F.col("vec_id"), F.col("embedding").alias("vec")), "vec", books
+    )
+    rows = enc.select("codes", "vnorm").limit(50).collect()
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+        assert r.vnorm > 0
