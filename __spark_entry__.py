@@ -194,6 +194,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_pagerank"] = lambda spark, sf: pagerank_integer(_merged(spark, sf))
     q["kg_triangles"] = lambda spark, sf: node_triangles(_merged(spark, sf))
 
+    # dense-core extraction (4-core of the URI-link graph): 8 peel rounds —
+    # fixpoint at sf0.01 is round <= 6, peeling is monotone so the margin
+    # rounds are exact no-ops (oracle unrolls the same 8 stages)
+    def _kg_kcore(spark, sf):
+        from breg_dcat_harvester_spark.operators.graph import kcore
+
+        return kcore(_merged(spark, sf), k=4, rounds=8)
+
+    q["kg_kcore"] = _kg_kcore
+
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
     # any partition writes its own valid .nt part file.  Oracle replays the
@@ -1697,6 +1707,35 @@ r{i + 1} AS (
     )
     sql["kg_pagerank"] = (
         _pr_head + _pr_rounds + f"\nSELECT node, rank FROM r{_pr_iters}"
+    )
+
+    # k-core: 8 unrolled peel rounds (same fixed-round pattern as the
+    # PageRank oracle; monotone peeling makes post-fixpoint rounds no-ops)
+    _kc_head = f"""
+WITH t AS (SELECT subj, obj, obj_kind FROM {osql.triples_sql(glob)} AS _t),
+u0 AS (
+    SELECT subj AS src, obj AS dst FROM t WHERE obj_kind = 'uri' AND subj <> obj
+    UNION
+    SELECT obj AS src, subj AS dst FROM t WHERE obj_kind = 'uri' AND subj <> obj
+)"""
+    # MATERIALIZED: each round reads the previous one three times — without
+    # it DuckDB re-inlines the whole extraction pipeline 3^rounds times
+    _kc_rounds = "".join(
+        f""",
+s{i} AS MATERIALIZED (
+    SELECT src AS node FROM u{i} GROUP BY src HAVING count(*) >= 4),
+u{i + 1} AS MATERIALIZED (
+    SELECT u.src, u.dst FROM u{i} u
+    JOIN s{i} a ON u.src = a.node
+    JOIN s{i} b ON u.dst = b.node
+)"""
+        for i in range(8)
+    )
+    sql["kg_kcore"] = (
+        _kc_head
+        + _kc_rounds
+        + "\nSELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree"
+        + "\nFROM u8 GROUP BY src HAVING count(*) >= 4"
     )
 
     # degree-oriented triangle counting: orientation low->high by (deg, id),

@@ -165,3 +165,59 @@ def node_triangles(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 8,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """(node, core_degree): the k-core of the undirected URI-link graph
+    after ``rounds`` peel rounds — nodes of the maximal subgraph where
+    every node keeps degree >= k.
+
+    Dense-core extraction is the standard KG-quality probe next to
+    PageRank/triangles: the k-core is where the interlinked entity mass
+    lives; degree-1 tails (dangling labels, one-off mentions) peel away.
+
+    Algorithm: iterative peeling — drop nodes with current degree < k,
+    recompute degrees on the induced subgraph, repeat.  A FIXED round
+    count (like ``pagerank_integer``'s unrolled iterations) keeps the
+    result oracle-replayable as ``rounds`` unrolled SQL stages; peeling is
+    monotone, so extra rounds past the fixpoint are exact no-ops, and
+    ``rounds`` only needs to be >= the peel depth (asserted reachable in
+    tests; at true scale one iterates to an empty peel set instead).
+    Per round: ONE degree aggregation + two semi-joins on the surviving
+    node set — no shuffle grows with round count, and the edge set only
+    shrinks.  Deterministic: pure set operations, no ordering anywhere.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    raw = _uri_links(edges)
+    und = (
+        raw.select("src", "dst")
+        .unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live = und
+    for it in range(rounds):
+        survivors = (
+            live.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        live = (
+            live.join(survivors.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(survivors.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        )
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < rounds:
+            live = live.localCheckpoint(eager=True)
+    return (
+        live.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("src").alias("node"), F.col("core_degree").cast("long"))
+    )

@@ -84,3 +84,48 @@ def test_triangles_ignore_literals_and_wedges(spark):
         _edges(spark, [("c", "a")], kind="literal")
     )
     assert node_triangles(df).count() == 0  # open wedge: literal edge no-op
+
+
+def test_kcore_peels_tails_and_keeps_clique(spark):
+    # 5-clique + a chain hanging off it: the chain (and nothing else) peels
+    # at k=2; at k=4 only the clique survives
+    from breg_dcat_harvester_spark.operators.graph import kcore
+
+    clique = [(f"n{i}", f"n{j}") for i in range(5) for j in range(5) if i < j]
+    chain = [("n0", "c1"), ("c1", "c2"), ("c2", "c3")]
+    edges = spark.createDataFrame(
+        [(a, "p", b, "uri") for a, b in clique + chain],
+        "subj string, pred string, obj string, obj_kind string",
+    )
+    core4 = {r.node for r in kcore(edges, k=4, rounds=6).collect()}
+    assert core4 == {f"n{i}" for i in range(5)}
+    core2 = {r.node for r in kcore(edges, k=2, rounds=6).collect()}
+    assert core2 == {f"n{i}" for i in range(5)}  # chain peels from the tail in
+
+    rows = kcore(edges, k=4, rounds=6).collect()
+    assert all(r.core_degree >= 4 for r in rows)
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    # a path a-b-c-d-e at k=2: every peel round only removes the current
+    # endpoints, so convergence takes ~len/2 rounds and ends empty
+    from breg_dcat_harvester_spark.operators.graph import kcore
+
+    path = [(f"v{i}", f"v{i+1}") for i in range(6)]
+    edges = spark.createDataFrame(
+        [(a, "p", b, "uri") for a, b in path],
+        "subj string, pred string, obj string, obj_kind string",
+    )
+    assert kcore(edges, k=2, rounds=1).count() > 0  # not yet converged
+    assert kcore(edges, k=2, rounds=6).count() == 0  # fixpoint: empty
+
+
+def test_kcore_fixpoint_invariant_on_corpus(spark, small_transcripts):
+    from breg_dcat_harvester_spark.operators.extract import extract_edges
+    from breg_dcat_harvester_spark.operators.graph import kcore
+    from breg_dcat_harvester_spark.operators.merge import merge_triples
+
+    m = merge_triples(extract_edges(small_transcripts, impl="sql"))
+    a = sorted(map(tuple, kcore(m, k=3, rounds=6).collect()))
+    b = sorted(map(tuple, kcore(m, k=3, rounds=10).collect()))
+    assert a == b and len(a) > 0
