@@ -1222,6 +1222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk_ivfpq"] = _ann_ivfpq_audit
 
+    # contrastive hard negatives: per anchor, top-3 most-similar vectors in
+    # the confusable band [0.2, 0.8) — below-positive, above-random
+    q["ann_hard_negatives"] = lambda spark, sf: annm.hard_negatives(
+        _embeddings(spark, sf), _queries_df(spark, sf), k=3, lo=0.2, hi=0.8
+    )
+
     q["dedup_embedding"] = lambda spark, sf: annm.embedding_dup_pairs(
         _embeddings(spark, sf), threshold=0.45
     )
@@ -3018,6 +3024,26 @@ FROM embeddings WHERE vec_id % 50 = 0
     sql["ann_cosine_topk_lsh"] = aud
     sql["ann_cosine_topk_ivf"] = aud
     sql["ann_cosine_topk_ivfpq"] = aud
+
+    # exact hard-negative miner: brute-force band + deterministic top-3
+    sql["ann_hard_negatives"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+    FROM q JOIN e ON e.vec_id <> q.query_id
+),
+band AS (SELECT * FROM scored WHERE sim >= 0.2 AND sim < 0.8),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM band
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
 
     sql["dedup_embedding_lsh"] = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),

@@ -701,3 +701,47 @@ def cosine_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    lo: float = 0.2,
+    hi: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training:
+    (query_id, neighbor_id, sim, rank) — per anchor, the top-``k`` MOST
+    similar vectors inside the band ``lo <= sim < hi``.
+
+    The band is the published recipe (e.g. DPR/SimCSE-style miners):
+    below ``hi`` excludes positives/near-duplicates, above ``lo`` excludes
+    trivially-unrelated negatives; what remains are the confusable
+    neighbors a contrastive loss learns most from.  Ranking key is
+    (round(sim, 4) DESC, id ASC) — engine-stable like ``cosine_topk``.
+
+    This exact form is the oracle shape; at corpus×corpus scale mine from
+    an ANN shortlist instead (``cosine_topk_lsh``/``cosine_topk_ivfpq``
+    with k' >> k, then band-filter + re-rank — same plan as the audit
+    queries, one extra filter)."""
+    base = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    q = queries.select(F.col("query_id"), F.col("query_vec"))
+    scored = (
+        q.crossJoin(base)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(_cosine(F.col("query_vec"), F.col("vec")), SIM_DECIMALS)
+        )
+        .filter((F.col("sim") >= lo) & (F.col("sim") < hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -404,3 +404,22 @@ def test_pq_encode_codes_bounded_and_deterministic(spark, emb):
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
         assert r.vnorm > 0
+
+
+def test_hard_negatives_band_and_rank(spark, emb):
+    got = annm.hard_negatives(emb, _queries(emb), k=3, lo=0.2, hi=0.8).collect()
+    assert len(got) > 0
+    for r in got:
+        assert 0.2 <= r.sim < 0.8
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank <= 3
+    # per query: ranks are dense from 1 and sims non-increasing
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in got:
+        per[r.query_id].append((r.rank, r.sim))
+    for q, rows in per.items():
+        rows.sort()
+        assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
+        sims = [x[1] for x in rows]
+        assert sims == sorted(sims, reverse=True)
