@@ -46,10 +46,16 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     from .plans.corpus import CurationConfig, run_curation
 
     spark = get_spark(app_name="curate")
-    rates = dict(
-        (kv.split("=", 1)[0], int(kv.split("=", 1)[1]))
-        for kv in (args.rate or [])
-    )
+    rates = {}
+    for kv in args.rate or []:
+        lang, sep, val = kv.partition("=")
+        if not sep or not lang or not val.isdigit():
+            print(
+                f"curate: --rate expects LANG=PERMILLE, got {kv!r}",
+                file=sys.stderr,
+            )
+            return 2
+        rates[lang] = int(val)
     cfg = CurationConfig(
         out_dir=args.out,
         rates=rates or {"en": 1000},

@@ -62,6 +62,20 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _scored_pairs(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Every (query, corpus) pair with the engine-stable similarity column:
+    (query_id, neighbor_id, sim = round(cos, 4)), self-pairs dropped.
+    Shared by the exact top-k and the hard-negative miner so the ranking
+    key can never drift between them."""
+    base = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    q = queries.select(F.col("query_id"), F.col("query_vec"))
+    return (
+        q.crossJoin(base)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_cosine(F.col("query_vec"), F.col("vec")), SIM_DECIMALS))
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -75,13 +89,7 @@ def cosine_topk(
     (round(cos, 4) DESC, neighbor_id ASC) — the rounding makes ranks
     identical across engines despite float summation-order differences.
     """
-    base = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-    q = queries.select(F.col("query_id"), F.col("query_vec"))
-    scored = (
-        q.crossJoin(base)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(_cosine(F.col("query_vec"), F.col("vec")), SIM_DECIMALS))
-    )
+    scored = _scored_pairs(emb, queries, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -303,6 +311,24 @@ def topk_recall_audit(
     )
 
 
+def _seeded_sample(
+    emb: DataFrame, id_col: str, vec_col: str, cap: int
+) -> np.ndarray:
+    """Deterministic training sample shared by the IVF and PQ trainers:
+    the ``cap`` rows with the smallest xxhash64(id), as a float64 matrix —
+    content-derived, identical across runs and cluster sizes."""
+    rows = (
+        emb.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("r"),
+        )
+        .orderBy("r", "v")
+        .limit(cap)
+        .collect()
+    )
+    return np.array([r.v for r in rows], dtype=np.float64)
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     nlist: int = 16,
@@ -320,16 +346,7 @@ def train_ivf_centroids(
     play as skolemization).  At 100 TB the sample collect is the only
     driver-side step and stays ~nlist x dim floats.
     """
-    rows = (
-        emb.select(
-            F.col(vec_col).alias("v"),
-            F.xxhash64(F.col(id_col).cast("string")).alias("r"),
-        )
-        .orderBy("r", "v")
-        .limit(sample_cap)
-        .collect()
-    )
-    x = np.array([r.v for r in rows], dtype=np.float64)
+    x = _seeded_sample(emb, id_col, vec_col, sample_cap)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     k = min(nlist, len(x))
@@ -508,16 +525,7 @@ def train_pq_codebooks(
     step; the codebooks are m*kcode*(d/m) = d*kcode floats — a plan
     constant).  Subspace k-means runs on RAW subvectors (no re-norm:
     PQ reconstructs dot products, not directions)."""
-    rows = (
-        emb.select(
-            F.col(vec_col).alias("v"),
-            F.xxhash64(F.col(id_col).cast("string")).alias("r"),
-        )
-        .orderBy("r", "v")
-        .limit(sample_cap)
-        .collect()
-    )
-    x = np.array([r.v for r in rows], dtype=np.float64)
+    x = _seeded_sample(emb, id_col, vec_col, sample_cap)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -570,7 +578,20 @@ def pq_encode(
     a ~16x shuffle/state shrink at d=64, m=8."""
     d = sum(len(b[0]) for b in codebooks)  # m * dsub
     dsub = len(codebooks[0][0])
-    vec = F.col(vec_col)
+    # dimension guard: a vector shorter than the codebooks' d would slice
+    # short subvectors, zip_with would NULL-pad, and every code would be an
+    # arbitrary NULL-distance pick — fail loudly instead of encoding noise
+    vec = F.when(
+        F.size(F.col(vec_col)) == F.lit(d), F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq_encode: vector length != codebook dim {d} (got "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     codes = []
     for j, book in enumerate(codebooks):
         scored = F.array(
@@ -726,15 +747,8 @@ def hard_negatives(
     an ANN shortlist instead (``cosine_topk_lsh``/``cosine_topk_ivfpq``
     with k' >> k, then band-filter + re-rank — same plan as the audit
     queries, one extra filter)."""
-    base = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-    q = queries.select(F.col("query_id"), F.col("query_vec"))
-    scored = (
-        q.crossJoin(base)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sim", F.round(_cosine(F.col("query_vec"), F.col("vec")), SIM_DECIMALS)
-        )
-        .filter((F.col("sim") >= lo) & (F.col("sim") < hi))
+    scored = _scored_pairs(emb, queries, id_col, vec_col).filter(
+        (F.col("sim") >= lo) & (F.col("sim") < hi)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

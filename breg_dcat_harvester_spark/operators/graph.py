@@ -172,6 +172,7 @@ def kcore(
     k: int = 4,
     rounds: int = 8,
     checkpoint_interval: int = 3,
+    require_converged: bool = True,
 ) -> DataFrame:
     """(node, core_degree): the k-core of the undirected URI-link graph
     after ``rounds`` peel rounds — nodes of the maximal subgraph where
@@ -186,8 +187,11 @@ def kcore(
     count (like ``pagerank_integer``'s unrolled iterations) keeps the
     result oracle-replayable as ``rounds`` unrolled SQL stages; peeling is
     monotone, so extra rounds past the fixpoint are exact no-ops, and
-    ``rounds`` only needs to be >= the peel depth (asserted reachable in
-    tests; at true scale one iterates to an empty peel set instead).
+    ``rounds`` only needs to be >= the peel depth.  ``require_converged``
+    (default True) makes an under-provisioned ``rounds`` FAIL instead of
+    silently returning a non-core: one extra degree aggregation checks
+    that a further peel round would remove nothing.  Pass False only to
+    inspect intermediate peel states (as the cascade test does).
     Per round: ONE degree aggregation + two semi-joins on the surviving
     node set — no shuffle grows with round count, and the edge set only
     shrinks.  Deterministic: pure set operations, no ordering anywhere.
@@ -215,6 +219,21 @@ def kcore(
         )
         if (it + 1) % checkpoint_interval == 0 and it + 1 < rounds:
             live = live.localCheckpoint(eager=True)
+    if require_converged:
+        # fixpoint check: every surviving endpoint must already clear k,
+        # i.e. one more peel round would remove nothing
+        n_nodes = live.select("src").distinct().count()
+        n_ok = (
+            live.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .count()
+        )
+        if n_ok != n_nodes:
+            raise ValueError(
+                f"kcore: not converged after {rounds} rounds "
+                f"({n_nodes - n_ok} nodes still peelable) — raise rounds"
+            )
     return (
         live.groupBy("src")
         .agg(F.count(F.lit(1)).alias("core_degree"))

@@ -135,18 +135,36 @@ def run_curation(
     )
     shard_stats = stage("shard_stats", lambda: shard_manifest(shards))
 
+    # lineage is keyed to the run: write it whenever THIS run_id has no
+    # partitions row yet (not merely when some stage ran fresh — a crash
+    # between the last stage commit and this write must be repairable by
+    # resume, else the run's shard lineage is lost forever)
     metricslog = MetricsLog(spark, os.path.join(cfg.out_dir, "metrics"))
-    if metrics:  # only on fresh (non-resumed) materialization
+    have_lineage = metricslog.table.exists() and (
+        metricslog.read()
+        .filter((F.col("run_id") == run_id) & (F.col("stage") == "shards"))
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not have_lineage:
         metricslog.record_partitions(run_id, "shards", shards)
 
-    n_selected = selected.count()
+    # row counts were already computed inside each fresh stage() — reuse
+    # them instead of re-running count jobs; only a resumed stage (absent
+    # from `metrics`) needs a count of its read-back snapshot
+    stage_rows = {s: n for s, n, _ in metrics}
+    n_input = stage_rows.get("decisions")  # one decision row per input doc
+    n_input = docs.count() if n_input is None else n_input
+    n_selected = stage_rows.get("selected")
+    n_selected = selected.count() if n_selected is None else n_selected
     runlog.record(run_id, "job", "finished", num_triples=n_selected)
     return {
         "run_id": run_id,
-        "num_input_docs": docs.count(),
+        "num_input_docs": n_input,
         "num_selected": n_selected,
         "num_packs": segments.select("stratum", "pack_id").distinct().count(),
-        "num_shards": shard_stats.count(),
+        "num_shards": stage_rows.get("shard_stats", None) or shard_stats.count(),
         "stages": [
             {"stage": s, "rows": n, "seconds": round(dt, 3)} for s, n, dt in metrics
         ],

@@ -133,9 +133,12 @@ class LocalSnapshotTable:
         reclaims the small files later.
 
         ``small_file_bytes`` (default ``target_bytes // 2``) is the no-op
-        guard: if no current file is smaller than it and the file count is
-        already minimal, nothing is rewritten.  Returns a stats dict
-        (files/bytes before and after, the new snapshot id or None)."""
+        guard: the rewrite is SKIPPED when the file count is already
+        minimal, or when every current file is at least that size (files
+        within 2x of target are good enough — re-binning them would churn
+        data for marginal layout gain).  Returns a stats dict (files/bytes
+        before and after, the new snapshot id or None on the no-op
+        path)."""
         manifest = self._load()
         snap = self._snapshot(manifest, None)
         if snap is None:
@@ -154,6 +157,7 @@ class LocalSnapshotTable:
             "snapshot": None,
         }
         if len(sizes) <= n_target or not any(s < small for s in sizes):
+            stats["files_after"] = len(sizes)
             return stats  # already compact — no rewrite, no new snapshot
         df = self.read(spark, snap["id"]).coalesce(n_target)
         stats["snapshot"] = self.write(df, mode="overwrite")

@@ -73,11 +73,11 @@ def click_attribution_join(
         "purchase_id",
         "click_id",
         (
-            # NTZ-safe: unix_micros only takes TIMESTAMP; the session-tz
-            # cast shifts both sides identically, so the difference is
-            # timezone-invariant
-            F.unix_micros(F.col("p_ts").cast("timestamp"))
-            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+            # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike and,
+            # for NTZ, measures WALL-CLOCK micros — a session-tz cast +
+            # unix_micros would double-count DST transitions between the
+            # two naive timestamps
+            F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").cast("long")
         ).alias("lag_us"),
     )
 

@@ -116,8 +116,14 @@ def test_kcore_cascade_needs_multiple_rounds(spark):
         [(a, "p", b, "uri") for a, b in path],
         "subj string, pred string, obj string, obj_kind string",
     )
-    assert kcore(edges, k=2, rounds=1).count() > 0  # not yet converged
+    # intermediate peel state (convergence check off): still non-empty
+    assert kcore(edges, k=2, rounds=1, require_converged=False).count() > 0
     assert kcore(edges, k=2, rounds=6).count() == 0  # fixpoint: empty
+    # under-provisioned rounds FAIL loudly instead of returning a non-core
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not converged"):
+        kcore(edges, k=2, rounds=1)
 
 
 def test_kcore_fixpoint_invariant_on_corpus(spark, small_transcripts):
