@@ -474,3 +474,166 @@ def test_fuzz_extended_constructs(spark):
         if case >= 19 and n_nonempty >= 25:
             break
     assert n_nonempty >= 25
+
+
+# ===========================================================================
+# FILTER ||/&& boolean-tree fuzz: random nested disjunction/conjunction
+# trees of supported atoms over (possibly OPTIONAL-unbound) variables,
+# rendered to query text and checked against a naive evaluator implementing
+# SPARQL's three-valued error logic (error||true = true, error||false =
+# error; dually for &&) — the semantics the compiler maps onto Spark NULLs.
+# ===========================================================================
+
+
+def gen_filter_atom(rng: random.Random, vars_pool: list[str]):
+    v = rng.choice(vars_pool)
+    kind = rng.randrange(5)
+    if kind == 0:
+        return ("strstarts", v, rng.choice(["h", "v", "w", "http://x.org/s"]))
+    if kind == 1:
+        return ("contains", v, rng.choice(["x.org", "v", " ", "o0"]))
+    if kind == 2:
+        return ("strlen", v, rng.choice(["<", "<=", ">", ">="]), rng.randint(1, 20))
+    if kind == 3:
+        return ("regex", v, rng.choice(["^h", "v", "[sw]", "o[01]$"]))
+    return ("cmp", v, rng.choice(["=", "!="]), rng.choice(["v", "w x", "http://x.org/o0"]))
+
+
+def gen_bool_tree(rng: random.Random, vars_pool: list[str], depth: int = 0):
+    if depth >= 2 or rng.random() < 0.45:
+        return gen_filter_atom(rng, vars_pool)
+    op = rng.choice(["or", "and"])
+    n = rng.randint(2, 3)
+    return (op, tuple(gen_bool_tree(rng, vars_pool, depth + 1) for _ in range(n)))
+
+
+def render_bool(node) -> str:
+    k = node[0]
+    if k in ("or", "and"):
+        sep = " || " if k == "or" else " && "
+        return "(" + sep.join(render_bool(c) for c in node[1]) + ")"
+    if k == "strstarts":
+        return f'STRSTARTS(?{node[1]}, "{node[2]}")'
+    if k == "contains":
+        return f'CONTAINS(?{node[1]}, "{node[2]}")'
+    if k == "strlen":
+        return f"STRLEN(?{node[1]}) {node[2]} {node[3]}"
+    if k == "regex":
+        return f'regex(?{node[1]}, "{node[2]}")'
+    _, v, op, val = node
+    if val.startswith("http://"):
+        return f"?{v} {op} <{val}>"
+    return f'?{v} {op} "{val}"'
+
+
+def eval_bool(node, s):
+    """SPARQL three-valued logic; None = type error / unbound."""
+    k = node[0]
+    if k in ("or", "and"):
+        vals = [eval_bool(c, s) for c in node[1]]
+        if k == "or":
+            if any(v is True for v in vals):
+                return True
+            return None if any(v is None for v in vals) else False
+        if any(v is False for v in vals):
+            return False
+        return None if any(v is None for v in vals) else True
+    v = s.get(node[1])
+    if v is None:
+        return None
+    if k == "strstarts":
+        return v.startswith(node[2])
+    if k == "contains":
+        return node[2] in v
+    if k == "strlen":
+        import operator as _op
+
+        ops = {"<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        return ops[node[2]](len(v), node[3])
+    if k == "regex":
+        return _re.search(node[2], v) is not None
+    _, _, op, val = node
+    return (v == val) if op == "=" else (v != val)
+
+
+def test_fuzz_filter_bool_trees(spark):
+    rng = random.Random(20260820)
+    n_nonempty = n_mixed = 0
+    for case in range(120):
+        edges = gen_edges(rng)
+        df = spark.createDataFrame(
+            [tuple(e.values()) for e in edges], schema=EDGES_SCHEMA
+        )
+        q = gen_query(rng)
+        q = sp.Query(  # strip IN filters: this section fuzzes the trees
+            select=q.select if q.select[-1] != "zz" else q.select[:-1],
+            distinct=q.distinct,
+            patterns=q.patterns,
+            optionals=q.optionals,
+            filters=[],
+            order_by=[],
+            limit=None,
+        )
+        bound = sorted(
+            {t.name for p in q.patterns for t in p if isinstance(t, sp.Var)}
+            | {
+                t.name
+                for g in q.optionals
+                for p in g
+                for t in p
+                if isinstance(t, sp.Var)
+            }
+        )
+        if not bound:
+            continue
+        tree = gen_bool_tree(rng, bound)
+        text = render_query(q).replace(
+            "\n}", f"\nFILTER {render_bool(tree)}\n}}"
+        )
+
+        def _nskey(t):  # None-safe row ordering (OPTIONAL-unbound columns)
+            return tuple((x is None, x or "") for x in t)
+
+        got = sorted(
+            (tuple(r) for r in sp.compile_sparql(df, text).collect()),
+            key=_nskey,
+        )
+        base = eval_naive(edges, q)
+        # replay: eval_naive returns projected tuples; we need bindings, so
+        # recompute solutions and filter with the tree
+        sols = eval_group(edges, q.patterns)
+        bound_set = {
+            t.name for p in q.patterns for t in p if isinstance(t, sp.Var)
+        }
+        for group in q.optionals:
+            gsols = eval_group(edges, group)
+            gvars = {
+                t.name for p in group for t in p if isinstance(t, sp.Var)
+            }
+            shared = sorted(bound_set & gvars)
+            nxt = []
+            for r in sols:
+                ms = [
+                    g
+                    for g in gsols
+                    if all(g.get(v) == r.get(v) for v in shared)
+                ]
+                if ms:
+                    nxt.extend({**r, **g} for g in ms)
+                else:
+                    nxt.append({**{v: None for v in gvars}, **r})
+            sols = nxt
+            bound_set |= gvars
+        kept = [s for s in sols if eval_bool(tree, s) is True]
+        want = [tuple(s.get(v) for v in q.select) for s in kept]
+        if q.distinct:
+            want = list(set(want))
+        want = sorted(want, key=_nskey)
+        assert got == want, (
+            f"case {case}:\n{text}\nspark={got}\nnaive={want}"
+        )
+        n_nonempty += bool(want)
+        n_mixed += bool(want) and len(want) < len(sols)
+        if case >= 39 and n_nonempty >= 20 and n_mixed >= 5:
+            break
+    assert n_nonempty >= 20 and n_mixed >= 5
