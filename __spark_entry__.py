@@ -1594,6 +1594,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_events_attribution"] = _events_attribution
 
+    # native session windows (F.session_window), batch-parity form: the
+    # same operator runs under readStream with a watermark closing sessions
+    # (pytest: only finalized sessions emit in append mode)
+    def _events_sessions(spark, sf):
+        from breg_dcat_harvester_spark.streaming.sessions import session_stats
+
+        return session_stats(_events(spark, sf), gap="30 minutes")
+
+    q["rel_events_sessions"] = _events_sessions
+
     return q
 
 
@@ -3289,6 +3299,30 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON c.user_id = p.user_id
  AND c.ts <= p.ts
  AND c.ts > p.ts - INTERVAL 1 HOUR
+"""
+
+    # session_window replayed as lag-gap sessionization (inclusive
+    # boundary: a new session only when the inter-event gap exceeds 30 min)
+    sql["rel_events_sessions"] = """
+WITH marked AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, sid
 """
 
     # the binned interval join replayed as a plain inequality join
