@@ -990,6 +990,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _transcripts(spark, sf)
     )
 
+    # conversation-granularity exact dedup (retried agent sessions): both
+    # engines plant a re-keyed copy of ~1/10 conversations (sha256-bucket
+    # selected) and must report exactly those groups, bounded per group
+    def _conv_dups(spark, sf):
+        t = _transcripts(spark, sf)
+        planted = t.filter(
+            F.conv(F.substring(F.sha2(F.col("conv_id"), 256), 1, 2), 16, 10)
+            .cast("long") % 10 == 0
+        ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-dup")))
+        return conv.conversation_dup_groups(t.unionByName(planted))
+
+    q["conv_dup_groups"] = _conv_dups
+
     # SFT prompt/completion pairs: one per assistant turn, context = last-4
     # preceding turns as role-tagged lines (bounded ROWS frame — the
     # quadratic full-history blowup never happens); ONE conv_id shuffle
@@ -2608,6 +2621,27 @@ SELECT a.tool AS tool_a, b.tool AS tool_b,
        CAST(COUNT(*) AS BIGINT) AS n_convs
 FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
 GROUP BY 1, 2
+"""
+
+    sql["conv_dup_groups"] = f"""
+WITH t AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')),
+planted AS (
+    SELECT conv_id || '-dup' AS conv_id, turn_idx, role, text FROM t
+    WHERE ('0x' || substr(sha256(conv_id), 1, 2))::BIGINT % 10 = 0
+),
+aug AS (SELECT * FROM t UNION ALL SELECT * FROM planted),
+fps AS (
+    SELECT conv_id,
+           sha256(string_agg(
+               CAST(turn_idx AS VARCHAR) || chr(31) || COALESCE(role, '')
+                   || chr(31) || COALESCE(text, ''),
+               chr(30) ORDER BY turn_idx)) AS fp
+    FROM aug GROUP BY conv_id
+)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS canonical_conv_id,
+       array_to_string(list_sort(list(conv_id))[1:8], ',') AS sample_ids
+FROM fps GROUP BY fp HAVING count(*) > 1
 """
 
     sql["conv_sft_pairs"] = f"""

@@ -145,3 +145,67 @@ def sft_pairs(
             F.size("_ctx").cast("long").alias("n_context_turns"),
         )
     )
+
+
+def conversation_fingerprints(transcripts: DataFrame) -> DataFrame:
+    """Order-sensitive conversation content fingerprint ->
+    (conv_id, n_turns, fp).
+
+    fp = sha256 over the turns serialized in stable (turn_idx) order as
+    ``idx\\x1frole\\x1ftext`` records joined by ``\\x1e`` — byte-identical
+    conversations (same turns, same order, same roles) collide, reordered
+    or edited ones do not.  ONE conv_id shuffle; the per-conv array is the
+    conversation itself (bounded by turns-per-conversation, not corpus
+    size)."""
+    from pyspark.sql import functions as F
+
+    rec = F.struct(
+        F.col("turn_idx"),
+        F.concat_ws(
+            "\x1f",
+            F.col("turn_idx").cast("string"),
+            F.coalesce(F.col("role"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("line"),
+    )
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(rec)).alias("_recs"))
+        .select(
+            "conv_id",
+            F.size("_recs").cast("long").alias("n_turns"),
+            F.sha2(
+                F.concat_ws(
+                    "\x1e", F.transform(F.col("_recs"), lambda r: r["line"])
+                ),
+                256,
+            ).alias("fp"),
+        )
+    )
+
+
+def conversation_dup_groups(
+    transcripts: DataFrame, sample_k: int = 8
+) -> DataFrame:
+    """Groups of byte-identical conversations ->
+    (fp, n_convs, canonical_conv_id, sample_ids).
+
+    The conversation-granularity exact dedup (retried agent sessions,
+    re-ingested logs).  Bounded per-group output like
+    ``dedup.exact_dup_groups``: the canonical id is the smallest conv_id,
+    ``sample_ids`` the ``sample_k`` smallest, comma-joined."""
+    from pyspark.sql import functions as F
+
+    fps = conversation_fingerprints(transcripts)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.min("conv_id").alias("canonical_conv_id"),
+            F.concat_ws(
+                ",",
+                F.slice(F.array_sort(F.collect_list("conv_id")), 1, sample_k),
+            ).alias("sample_ids"),
+        )
+        .filter(F.col("n_convs") > 1)
+    )

@@ -94,3 +94,39 @@ def test_sft_pairs_context_and_filtering(spark):
     pb = got[("b", 5)]
     assert pb.prompt == "user: u3\nuser: u4"
     assert len(got) == 2
+
+
+def test_conversation_dedup_order_sensitive(spark):
+    import datetime as dt
+
+    from breg_dcat_harvester_spark.operators.conversation import (
+        conversation_dup_groups,
+        conversation_fingerprints,
+    )
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", 0, "user", "hi", None, ts),
+        ("a", 1, "assistant", "hello", None, ts),
+        # b: byte-identical copy of a
+        ("b", 0, "user", "hi", None, ts),
+        ("b", 1, "assistant", "hello", None, ts),
+        # c: same turns, REORDERED -> different fingerprint
+        ("c", 0, "assistant", "hello", None, ts),
+        ("c", 1, "user", "hi", None, ts),
+        # d: same order, role flipped on one turn -> different
+        ("d", 0, "user", "hi", None, ts),
+        ("d", 1, "user", "hello", None, ts),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    fps = {r.conv_id: r.fp for r in conversation_fingerprints(t).collect()}
+    assert fps["a"] == fps["b"]
+    assert len({fps["a"], fps["c"], fps["d"]}) == 3
+
+    groups = conversation_dup_groups(t).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g.n_convs, g.canonical_conv_id, g.sample_ids) == (2, "a", "a,b")
