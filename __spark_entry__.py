@@ -1010,6 +1010,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _transcripts(spark, sf), context_turns=4
     )
 
+    # loss-mask manifest for packed SFT: pairs pack as prompt++completion
+    # sequences; manifest rows mark the completion spans per pack (the
+    # loss covers ONLY those), split across packs like the segments
+    def _sft_masks(spark, sf):
+        return pkg.sft_pack_masks(
+            conv.sft_pairs(_transcripts(spark, sf), context_turns=4),
+            seq_len=512,
+        )
+
+    q["conv_sft_pack_masks"] = _sft_masks
+
     # streaming extension (batch-parity form): event-time tumbling windows —
     # the same operator runs under readStream with a watermark
     # (streaming/windowed.py; watermarked append path probed in tests)
@@ -2664,6 +2675,61 @@ SELECT conv_id, turn_idx,
 FROM ctx
 WHERE role = 'assistant' AND len(c) > 0
   AND length(COALESCE(text, '')) >= 1
+"""
+
+    # SFT loss-mask manifest: the conv_sft_pairs derivation + the
+    # pack_manifest prefix-sum/explode math + the completion-span intersect
+    sql["conv_sft_pack_masks"] = f"""
+WITH lines AS (
+    SELECT conv_id, turn_idx, role, text,
+           (CASE WHEN tool IS NOT NULL THEN role || '[' || tool || ']'
+                 ELSE role END) || ': ' || COALESCE(text, '') AS line
+    FROM read_parquet('{glob}')
+),
+ctx AS (
+    SELECT conv_id, turn_idx, role, text,
+           list(line) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS c
+    FROM lines
+),
+pairs AS (
+    SELECT conv_id, turn_idx,
+           array_to_string(c, chr(10)) AS prompt,
+           text AS completion
+    FROM ctx
+    WHERE role = 'assistant' AND len(c) > 0
+      AND length(COALESCE(text, '')) >= 1
+),
+d AS (
+    SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
+           CAST(len(string_split(prompt, ' ')) AS BIGINT) AS n_prompt,
+           CAST(len(string_split(prompt, ' '))
+                + len(string_split(completion, ' ')) AS BIGINT) AS n_total
+    FROM pairs
+),
+c2 AS (SELECT *, sum(n_total) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_total AS gstart FROM d),
+placed AS (SELECT doc_id, n_prompt, n_total,
+       CAST(FLOOR(gstart/512) AS BIGINT) AS pack_id,
+       CAST(gstart % 512 AS BIGINT) AS pack_offset,
+       CAST(FLOOR((gstart+n_total-1)/512) AS BIGINT) AS last_pack
+  FROM c2),
+seg AS (SELECT *, unnest(generate_series(pack_id, last_pack)) AS p
+        FROM placed),
+seg2 AS (SELECT doc_id, n_prompt, n_total, p AS pack_id,
+       CASE WHEN p = pack_id THEN pack_offset ELSE 0 END AS pack_start,
+       CASE WHEN p = pack_id THEN 0
+            ELSE (512 - pack_offset) + (p - pack_id - 1)*512 END AS doc_start
+  FROM seg),
+seg3 AS (SELECT *, LEAST(512 - pack_start, n_total - doc_start) AS n_toks
+         FROM seg2)
+SELECT pack_id, doc_id,
+       CAST(pack_start + GREATEST(doc_start, n_prompt) - doc_start AS BIGINT)
+           AS mask_start,
+       CAST(LEAST(doc_start + n_toks, n_total)
+            - GREATEST(doc_start, n_prompt) AS BIGINT) AS mask_len
+FROM seg3
+WHERE LEAST(doc_start + n_toks, n_total) > GREATEST(doc_start, n_prompt)
 """
 
     sql["kg_graph_stats"] = f"""

@@ -245,3 +245,57 @@ def pack_manifest(placed: DataFrame, seq_len: int = 512) -> DataFrame:
             F.lit(seq_len) - pack_start, F.col("n_tokens") - doc_start
         ).cast("long").alias("n_toks"),
     )
+
+
+def sft_pack_masks(
+    pairs: DataFrame,
+    seq_len: int = 512,
+) -> DataFrame:
+    """Loss-mask manifest for packed SFT training ->
+    (pack_id, doc_id, mask_start, mask_len).
+
+    Input is ``conversation.sft_pairs`` output; each pair becomes the
+    concatenated sequence ``prompt ++ completion`` (whitespace token
+    counts), packed with the standard concatenate-and-cut placement.  The
+    manifest rows mark, per pack, the spans the loss should COVER — the
+    completion tokens only (prompt/context tokens are masked out), split
+    across packs exactly like the underlying segments.  This is the
+    artifact an SFT dataloader consumes next to ``pack_manifest``.
+
+    Shape: the pair table packs via the distributed prefix sum, segments
+    explode map-side, and one equi-join back on the pair id attaches the
+    prompt/total counts for the span intersection — all Column math, no
+    Python."""
+    base = pairs.select(
+        F.concat_ws(
+            "#", F.col("conv_id"), F.col("turn_idx").cast("string")
+        ).alias("doc_id"),
+        F.lit("sft").alias("stratum"),
+        default_token_count(F.col("prompt")).cast("long").alias("n_prompt"),
+        (
+            default_token_count(F.col("prompt"))
+            + default_token_count(F.col("completion"))
+        ).cast("long").alias("n_total"),
+    )
+    placed = pack_sequences(
+        base,
+        seq_len=seq_len,
+        id_col="doc_id",
+        stratum_col="stratum",
+        n_tokens_expr=F.col("n_total"),
+    )
+    segs = pack_manifest(placed, seq_len=seq_len)
+    joined = segs.join(base.select("doc_id", "n_prompt", "n_total"), "doc_id")
+    istart = F.greatest(F.col("doc_start"), F.col("n_prompt"))
+    iend = F.least(F.col("doc_start") + F.col("n_toks"), F.col("n_total"))
+    return (
+        joined.filter(iend > istart)
+        .select(
+            "pack_id",
+            "doc_id",
+            (F.col("pack_start") + istart - F.col("doc_start"))
+            .cast("long")
+            .alias("mask_start"),
+            (iend - istart).cast("long").alias("mask_len"),
+        )
+    )

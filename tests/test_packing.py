@@ -172,3 +172,48 @@ def test_pack_manifest_no_extra_shuffle(spark, corpus):
 
     placed = pack_sequences(corpus, seq_len=64, num_partitions=5)
     assert nex(pack_manifest(placed, seq_len=64)) == nex(placed)
+
+
+def test_sft_pack_masks_cover_exactly_completions(spark):
+    import datetime as dt
+
+    from breg_dcat_harvester_spark.operators.conversation import sft_pairs
+    from breg_dcat_harvester_spark.operators.packing import (
+        default_token_count,
+        sft_pack_masks,
+    )
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = []
+    # 12 conversations of user->assistant pairs with growing texts so pairs
+    # span pack boundaries at seq_len=16
+    for i in range(12):
+        rows.append((f"c{i:02d}", 0, "user", "q " * (i + 3), None, ts))
+        rows.append((f"c{i:02d}", 1, "assistant", "a " * (2 * i + 2), None, ts))
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    pairs = sft_pairs(t, context_turns=4)
+    masks = sft_pack_masks(pairs, seq_len=16)
+    got = masks.collect()
+    assert len(got) > 0
+    # masks never leave their pack
+    assert all(0 <= r.mask_start and r.mask_start + r.mask_len <= 16 for r in got)
+    # per pair: total masked tokens == completion token count (the loss
+    # covers exactly the completion, nothing of the prompt)
+    per = {}
+    for r in got:
+        per[r.doc_id] = per.get(r.doc_id, 0) + r.mask_len
+    want = {
+        f"{r.conv_id}#{r.turn_idx}": r.n
+        for r in pairs.select(
+            "conv_id", "turn_idx",
+            default_token_count(F.col("completion")).alias("n"),
+        ).collect()
+    }
+    assert per == want
+    # at least one pair's mask is split across two packs (the boundary case)
+    from collections import Counter
+
+    assert Counter(r.doc_id for r in got).most_common(1)[0][1] >= 2
