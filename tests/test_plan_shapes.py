@@ -57,6 +57,14 @@ EXCHANGE_BUDGET = {
     "dedup_boilerplate": 3,  # freq agg (count_distinct expand = 2) + regroup
     "pack_sequences": 5,  # range + window hash (x2 branches pre-reuse) + sliver
     "pack_manifest": 5,  # map-side explode: zero on top of pack_sequences
+    "rel_events_sessions": 1,  # one user_id partition into SessionWindow
+    "rel_events_attribution": 1,  # equi-key + range predicate (broadcast at sf)
+    "conv_sft_pairs": 1,  # one conv_id window partitioning
+    "conv_dup_groups": 2,  # conv fingerprint agg + fp group agg
+    "sketch_quantile_doclen": 1,  # approx+exact percentiles in ONE groupBy
+    "lm_quality": 4,  # model agg + score agg + empties anti-join + union
+    "ann_hard_negatives": 1,  # score cross-join map-side + one rank window
+    "conv_sft_pack_masks": 9,  # pairs window + packing prefix sum + join
 }
 
 
