@@ -93,13 +93,26 @@ class LocalSnapshotTable:
         self._store(manifest)
         return sid
 
-    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read a snapshot.  ``merge_schema=True`` unions the schemas of
+        all referenced files (Iceberg add-column evolution semantics: rows
+        written before a column existed read it as NULL) — appends may
+        widen the schema over time, and readers opt into the merged view
+        instead of the first file's schema."""
         manifest = self._load()
         snap = self._snapshot(manifest, snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"no snapshot {snapshot_id!r} in {self.path}")
         paths = [os.path.join(self.data_dir, f) for f in snap["files"]]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def rollback(self, snapshot_id: str) -> None:
         manifest = self._load()

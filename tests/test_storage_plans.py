@@ -333,3 +333,23 @@ def test_run_curation_and_resume(spark, tmp_path):
     a = sorted(map(tuple, shards.read(spark, snaps[0]["id"]).collect()))
     b = sorted(map(tuple, shards.read(spark, snaps[1]["id"]).collect()))
     assert a == b  # deterministic re-execution, bit-for-bit
+
+
+def test_snapshot_schema_evolution_merge(spark, tmp_path):
+    # Iceberg add-column semantics: an append may carry a new column; the
+    # merged read surfaces it with NULLs for pre-evolution rows, while the
+    # default read keeps serving the original schema untouched
+    tbl = LocalSnapshotTable(str(tmp_path / "ev"))
+    s1 = tbl.write(
+        spark.range(3).selectExpr("id AS x"), mode="overwrite"
+    )
+    tbl.write(
+        spark.range(3, 5).selectExpr("id AS x", "id * 10 AS y"),
+        mode="append",
+    )
+    merged = tbl.read(spark, merge_schema=True)
+    assert sorted(merged.columns) == ["x", "y"]
+    rows = {r.x: r.y for r in merged.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
+    # time travel to the pre-evolution snapshot: no y column at all
+    assert tbl.read(spark, s1, merge_schema=True).columns == ["x"]
