@@ -1003,6 +1003,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_dup_groups"] = _conv_dups
 
+    # RAG/embedding-index chunking: sliding 64-token windows with 16-token
+    # overlap, map-only explode, byte-deterministic chunk text
+    def _chunk_docs(spark, sf):
+        from breg_dcat_harvester_spark.operators.chunking import chunk_documents
+
+        return chunk_documents(_documents(spark, sf), chunk_tokens=64, overlap=16)
+
+    q["doc_chunks"] = _chunk_docs
+
     # SFT prompt/completion pairs: one per assistant turn, context = last-4
     # preceding turns as role-tagged lines (bounded ROWS frame — the
     # quadratic full-history blowup never happens); ONE conv_id shuffle
@@ -2653,6 +2662,24 @@ SELECT fp, CAST(count(*) AS BIGINT) AS n_convs,
        min(conv_id) AS canonical_conv_id,
        array_to_string(list_sort(list(conv_id))[1:8], ',') AS sample_ids
 FROM fps GROUP BY fp HAVING count(*) > 1
+"""
+
+    # sliding-window chunking replayed via list_slice over the whitespace
+    # token array (stride 48 = 64 - 16)
+    sql["doc_chunks"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(generate_series(0, len(toks) - 1, 48)) AS chunk_start
+    FROM d
+)
+SELECT doc_id,
+       CAST((chunk_start / 48) AS BIGINT) AS chunk_idx,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(LEAST(64, n - chunk_start) AS BIGINT) AS n_toks,
+       array_to_string(toks[CAST(chunk_start + 1 AS BIGINT):CAST(chunk_start + 64 AS BIGINT)], ' ')
+           AS chunk_text
+FROM w
 """
 
     sql["conv_sft_pairs"] = f"""
