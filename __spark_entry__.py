@@ -1637,6 +1637,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_events_sessions"] = _events_sessions
 
+    # semi-structured JSON payload extraction: from_json (typed, JVM-side
+    # codegen — never a Python JSON parse) over the props column, rolled up
+    # per event type
+    def _events_props(spark, sf):
+        parsed = _events(spark, sf).withColumn(
+            "_p", F.from_json(F.col("props"), "k BIGINT")
+        )
+        return parsed.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("_p.k").cast("long").alias("n_with_k"),
+            F.sum("_p.k").cast("long").alias("sum_k"),
+            F.max("_p.k").cast("long").alias("max_k"),
+        )
+
+    q["rel_events_props_json"] = _events_props
+
     return q
 
 
@@ -3426,6 +3442,19 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON c.user_id = p.user_id
  AND c.ts <= p.ts
  AND c.ts > p.ts - INTERVAL 1 HOUR
+"""
+
+    # typed JSON extraction replayed via DuckDB's json_extract
+    sql["rel_events_props_json"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS n_with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events GROUP BY event_type
 """
 
     # session_window replayed as lag-gap sessionization (inclusive
