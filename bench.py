@@ -836,6 +836,11 @@ HEADLINE = [
     "kg_windowed_turn_counts",
     "sketch_cms_heavy_hitters",
     "lm_quality",
+    "kg_kcore",
+    "ann_cosine_topk_ivfpq",
+    "rel_events_sessions",
+    "conv_sft_pack_masks",
+    "doc_chunks",
 ]
 
 
