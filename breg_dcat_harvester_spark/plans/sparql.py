@@ -1021,6 +1021,23 @@ class _Parser:
 
     def _filter_atom(self) -> tuple:
         tok = self.peek()
+        if tok is not None and tok.upper() == "STR":
+            # STR(?v) <op> "s": the lexical form of a literal / the IRI
+            # string — exactly what the lexical columns hold, so this
+            # compiles to the same comparison as a bare ?v (it only widens
+            # the domain: STR() never errors on IRIs where bare comparison
+            # semantics would)
+            self.next()
+            self.expect("(")
+            var = self.next()
+            if not var.startswith("?"):
+                raise SparqlUnsupported("STR on a non-variable")
+            self.expect(")")
+            op = self.next()
+            if op not in ("=", "!="):
+                raise SparqlUnsupported(f"STR comparison operator {op!r}")
+            val = self._plain_string("STR comparison")
+            return ("cmp", var[1:], op, val)
         if tok is not None and tok.upper() in (
             "REGEX", "STRSTARTS", "STRENDS", "CONTAINS",
         ):

@@ -95,7 +95,7 @@ def test_parse_filter_conjunction_and_optional():
         "SELECT (1 AS ?x) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
         "SELECT ?s WHERE { SERVICE <http://svc> { ?s <http://p> ?o } }",
-        'SELECT ?s WHERE { ?s <http://p> ?o . FILTER (STR(?o) = "x") }',
+        'SELECT ?s WHERE { ?s <http://p> ?o . FILTER (STR(?o) < "x") }',
         "SELECT ?s WHERE { GRAPH <http://g> { ?s <http://p> ?o } }",
     ],
 )
@@ -1498,3 +1498,21 @@ def test_filter_or_null_semantics_matches_sparql(tiny_edges):
     f = sp.compile_sparql(tiny_edges, base.format("STRLEN(?s) = 9")).collect()
     assert sorted(r.s for r in t) == ["s1", "s2"]
     assert [r.s for r in f] == ["s2"]
+
+
+def test_filter_str_lexical_comparison(tiny_edges):
+    # STR(?v) = "3": lexical-form equality over literal AND uri bindings
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s WHERE { ?s p:size ?v . FILTER (STR(?v) = "3") }',
+    ).collect()
+    assert [r.s for r in rows] == ["s2"]
+    # and inside a || tree: STR over URI bindings (the class URIs) too
+    rows = sp.compile_sparql(
+        tiny_edges,
+        "PREFIX p: <http://p/> "
+        'SELECT ?s ?v WHERE { ?s !p:none ?v . '
+        'FILTER (STR(?v) = "3" || STRSTARTS(?v, "http://www.w3")) }',
+    ).collect()
+    assert len(rows) == 3  # the "3" literal + the two rdf:type class URIs
