@@ -789,6 +789,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """,
     )
 
+    # SPARQL 1.1 Update (the reference's WRITE path: rdflib
+    # SPARQLUpdateStore posts update requests, store.py:19-54): modify form
+    # — both templates instantiate against the PRE-update graph, delete
+    # applies before insert; result = the post-update triple set.  The
+    # graph side is never re-shuffled: DELETE is a broadcast anti-join,
+    # INSERT dedup probes only the subject-sliver (plans/sparql_update.py).
+    from breg_dcat_harvester_spark.plans.sparql_update import apply_update
+
+    q["kg_sparql_update"] = lambda spark, sf: apply_update(
+        _merged(spark, sf),
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        DELETE { ?d dcat:theme ?t }
+        INSERT { ?t <urn:graft:themeOf> ?d }
+        WHERE { ?d dcat:theme ?t }
+        """,
+    )
+
+    # SPARQL Update DATA forms in sequence: ground inserts (set semantics:
+    # the in-block duplicate collapses) then a ground delete (null-safe on
+    # the lang/dtype columns).
+    q["kg_sparql_update_data"] = lambda spark, sf: apply_update(
+        _merged(spark, sf),
+        """
+        INSERT DATA {
+            <urn:graft:x> <urn:graft:p> "v"@en .
+            <urn:graft:x> <urn:graft:p> "v"@en .
+            <urn:graft:x> <urn:graft:p> <urn:graft:y>
+        } ;
+        DELETE DATA { <urn:graft:x> <urn:graft:p> <urn:graft:y> }
+        """,
+    )
+
     # J7/J8/A5/A6: detail stage over the search result
     def _detail(spark, sf):
         merged = _merged(spark, sf)
@@ -2427,6 +2460,41 @@ SELECT subj AS c, obj AS l FROM edges
 WHERE pred = '{PRED_URIS["language"]}'
   AND obj IN ('http://publications.europa.eu/resource/authority/language/ENG',
               'http://publications.europa.eu/resource/authority/language/DEU')
+"""
+
+    # SPARQL Update modify: result = (graph MINUS instantiated deletes)
+    # UNION instantiated inserts — SQL set ops treat NULLs as equal, the
+    # exact analog of the engine's null-safe anti-join / sliver dedup.
+    # dcat:theme objects are URIs, so the delete template's carried
+    # metadata is (obj_kind='uri', lang NULL, dtype NULL).
+    sql["kg_sparql_update"] = f"""
+WITH t AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype
+    FROM {osql.edges_sql(glob)} AS _e
+),
+sol AS (SELECT subj AS d, obj AS th FROM t WHERE pred = '{DCAT}theme')
+SELECT subj, pred, obj, obj_kind, lang, dtype FROM t
+WHERE NOT (pred = '{DCAT}theme' AND obj_kind = 'uri'
+           AND lang IS NULL AND dtype IS NULL)
+UNION
+SELECT th AS subj, 'urn:graft:themeOf' AS pred, d AS obj,
+       'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS dtype
+FROM sol
+"""
+
+    # SPARQL Update DATA sequence: base graph + the surviving ground row
+    # (the duplicate insert collapses, the URI-object insert is deleted by
+    # the second operation)
+    sql["kg_sparql_update_data"] = f"""
+WITH t AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype
+    FROM {osql.edges_sql(glob)} AS _e
+)
+SELECT subj, pred, obj, obj_kind, lang, dtype FROM t
+UNION
+SELECT 'urn:graft:x' AS subj, 'urn:graft:p' AS pred, 'v' AS obj,
+       'literal' AS obj_kind, 'en' AS lang, CAST(NULL AS VARCHAR) AS dtype
 """
 
     sql["kg_dataset_detail"] = _search_core_sql(glob) + f"""
