@@ -212,6 +212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _merged(spark, sf)
     )
 
+    # Grouped Turtle export: one (subj, block) row per subject — ONE subj
+    # hash-agg, predicate/object grouping folded as codegen'd array
+    # functions (operators/export.py::serialize_turtle); over bucketed-by-
+    # subj storage even that exchange vanishes.
+    q["kg_export_turtle"] = lambda spark, sf: exp.serialize_turtle(
+        _merged(spark, sf)
+    )
+
     # A9/north_rule "per-partition lineage + metrics rows" as a CONTENT-keyed
     # table: per salted-conv_id-bucket rollup of the merged edge table (the
     # same sha256 bucket recipe as sampling/sharding), deterministic across
@@ -1884,6 +1892,34 @@ GROUP BY node
         f"SELECT {exp.oracle_line_sql()} AS line\n"
         f"FROM {osql.triples_sql(glob)} AS t"
     )
+
+    # grouped Turtle: two-level ordered string_agg == the engine's sorted
+    # array fold (both group objects under sorted predicate text); the
+    # compaction CASE and escape chain are generated from the SAME tables
+    # the engine uses (export.py::oracle_turtle_*)
+    _ttl_pred = (
+        "CASE WHEN pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' "
+        f"THEN 'a' ELSE {exp.oracle_turtle_compact_sql('pred')} END"
+    )
+    _ttl_obj = (
+        f"CASE WHEN obj_kind = 'uri' THEN {exp.oracle_turtle_compact_sql('obj')} "
+        f"ELSE {exp.oracle_obj_n3_sql()} END"
+    )
+    sql["kg_export_turtle"] = f"""
+WITH t AS (
+    SELECT subj, {_ttl_pred} AS p, {_ttl_obj} AS o
+    FROM {osql.triples_sql(glob)} AS _t
+),
+po AS (
+    SELECT subj, p, string_agg(o, ', ' ORDER BY o) AS objs
+    FROM t GROUP BY subj, p
+)
+SELECT subj,
+       '<' || subj || '> ' ||
+       string_agg(p || ' ' || objs, ' ;' || chr(10) || '    ' ORDER BY p)
+       || ' .' AS block
+FROM po GROUP BY subj
+"""
 
     # merged-graph lineage rollup per salted conv_id bucket: min-(conv_id,
     # turn_idx) lineage per distinct triple (merge.py), then the sampling

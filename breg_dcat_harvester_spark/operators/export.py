@@ -88,6 +88,163 @@ def oracle_line_sql() -> str:
   END || ' .'"""
 
 
+# ---------------------------------------------------------------------------
+# Turtle export — the grouped, prefix-compacted RDF syntax
+
+
+# Namespaces the harvester's vocabulary actually uses (schema.py); none is a
+# prefix of another, so first-match compaction is order-independent.
+TURTLE_PREFIXES: list[tuple[str, str]] = [
+    ("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+    ("dct", "http://purl.org/dc/terms/"),
+    ("dcat", "http://www.w3.org/ns/dcat#"),
+    ("foaf", "http://xmlns.com/foaf/0.1/"),
+    ("skos", "http://www.w3.org/2004/02/skos/core#"),
+    ("xsd", XSD),
+]
+
+# conservative PN_LOCAL subset: compact only when the local name is plainly
+# safe under both engines' regex dialects; anything else keeps <full-iri>
+_PN_LOCAL_RE = "^[A-Za-z][A-Za-z0-9_-]*$"
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _compact_uri(uri: F.Column) -> F.Column:
+    out = F.concat(F.lit("<"), uri, F.lit(">"))
+    for pfx, ns in TURTLE_PREFIXES:
+        local = F.substring(uri, len(ns) + 1, 1 << 24)
+        ok = uri.startswith(ns) & local.rlike(_PN_LOCAL_RE)
+        out = F.when(ok, F.concat(F.lit(pfx + ":"), local)).otherwise(out)
+    return out
+
+
+def turtle_header() -> str:
+    """``@prefix`` directives for :data:`TURTLE_PREFIXES` — Turtle allows
+    re-declaration anywhere, so per-partition headers concatenate into one
+    valid document."""
+    return "".join(
+        f"@prefix {pfx}: <{ns}> .\n" for pfx, ns in TURTLE_PREFIXES
+    ) + "\n"
+
+
+def serialize_turtle(triples: DataFrame) -> DataFrame:
+    """Grouped Turtle: one ``(subj, block)`` row per subject.
+
+    The block is the subject's full predicate-object list — ``;``-separated
+    predicate branches, ``,``-separated object lists, ``a`` for rdf:type,
+    prefix-compacted URIs (datatype IRIs stay full: they're rare and the
+    N3 ``^^<…>`` form is valid Turtle).  ONE subj hash-agg is the whole
+    plan: terms render map-side, collect_list gathers the (bounded:
+    triples-per-subject) struct array, and the grouping/fold runs as
+    codegen'd higher-order array functions — no second shuffle for the
+    predicate level, no Python.  Over the bucketed-by-subj storage layout
+    even that exchange vanishes.  Blocks are deterministic: the struct
+    array sorts by (pred_txt, obj_txt) before the fold.
+    """
+    pred_txt = F.when(F.col("pred") == _RDF_TYPE, F.lit("a")).otherwise(
+        _compact_uri(F.col("pred"))
+    )
+    obj_txt = F.when(
+        F.col("obj_kind") == "uri", _compact_uri(F.col("obj"))
+    ).otherwise(
+        to_n3(F.col("obj"), F.col("obj_kind"), F.col("lang"), F.col("dtype"))
+    )
+    po = triples.select(
+        F.col("subj"),
+        pred_txt.alias("p"),
+        obj_txt.alias("o"),
+    )
+    init = F.struct(F.lit("").alias("prev"), F.lit("").alias("out"))
+
+    def _fold(acc, x):
+        first = acc["out"] == F.lit("")
+        same = acc["prev"] == x["p"]
+        out = (
+            F.when(first, F.concat(x["p"], F.lit(" "), x["o"]))
+            .when(same, F.concat(acc["out"], F.lit(", "), x["o"]))
+            .otherwise(
+                F.concat(
+                    acc["out"], F.lit(" ;\n    "), x["p"], F.lit(" "), x["o"]
+                )
+            )
+        )
+        return F.struct(x["p"].alias("prev"), out.alias("out"))
+
+    return po.groupBy("subj").agg(
+        F.concat(
+            subj_n3(F.col("subj")),
+            F.lit(" "),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("p", "o"))),
+                init,
+                _fold,
+                lambda acc: acc["out"],
+            ),
+            F.lit(" ."),
+        ).alias("block")
+    )
+
+
+def write_turtle(triples: DataFrame, path: str) -> None:
+    """Materialize grouped Turtle part files, each opening with the
+    ``@prefix`` header (injected per partition through one Arrow pass —
+    the serialization itself stays JVM-side)."""
+    import pandas as pd
+
+    from ..functions.workerenv import pinned
+
+    header = turtle_header()
+
+    @pinned
+    def _with_header(batches):
+        first = True
+        for pdf in batches:
+            if first:
+                pdf = pd.concat(
+                    [pd.DataFrame({"block": [header.rstrip("\n")]}), pdf],
+                    ignore_index=True,
+                )
+                first = False
+            yield pdf[["block"]]
+
+    blocks = serialize_turtle(triples).select("block")
+    blocks.mapInPandas(_with_header, "block string").write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def oracle_turtle_compact_sql(col: str) -> str:
+    """DuckDB CASE chain mirroring ``_compact_uri`` — generated from the
+    SAME prefix table so engine and oracle cannot silently diverge."""
+    branches = "".join(
+        f"WHEN {col} LIKE '{ns}%' AND regexp_matches(substr({col}, {len(ns) + 1}), '{_PN_LOCAL_RE}') "
+        f"THEN '{pfx}:' || substr({col}, {len(ns) + 1})\n       "
+        for pfx, ns in TURTLE_PREFIXES
+    )
+    return f"CASE {branches}ELSE '<' || {col} || '>' END"
+
+
+def oracle_obj_n3_sql() -> str:
+    """DuckDB expression for the object's N3 form (escape chain generated
+    from ``terms.NT_ESCAPES``, same as :func:`oracle_line_sql`)."""
+    lex = "obj"
+    for raw, esc in NT_ESCAPES:
+
+        def chrs(s: str) -> str:
+            return " || ".join(
+                f"chr({ord(c)})" if c in ("\\", "\n", "\r") else f"'{c}'"
+                for c in s
+            )
+
+        lex = f"replace({lex}, {chrs(raw)}, {chrs(esc)})"
+    return f"""'"' || {lex} || '"' ||
+        CASE WHEN lang IS NOT NULL THEN '@' || lang
+             WHEN dtype IS NOT NULL AND dtype <> '{XSD_STRING}'
+                  THEN '^^<' || dtype || '>'
+             ELSE '' END"""
+
+
 def partition_lineage(
     edges: DataFrame, buckets: int = 64, salt: str = "lineage"
 ) -> DataFrame:

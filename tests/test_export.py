@@ -101,3 +101,63 @@ def test_partition_lineage_parallelism_invariant(spark, golden_df):
     assert sum(r.n_edges for r in a) == edges.count()
     # buckets are content-keyed: every bucket id within range
     assert all(0 <= r.bucket < 64 for r in a)
+
+
+def test_turtle_blocks_group_and_compact(spark):
+    from breg_dcat_harvester_spark.operators.export import serialize_turtle
+
+    rows = [
+        ("urn:s1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://www.w3.org/ns/dcat#Dataset", "uri", None, None),
+        ("urn:s1", "http://purl.org/dc/terms/title", "T1", "literal", "en", None),
+        ("urn:s1", "http://purl.org/dc/terms/title", "T0", "literal", "de", None),
+        ("urn:s1", "http://www.w3.org/ns/dcat#theme",
+         "http://example.org/theme/1", "uri", None, None),
+        ("urn:s2", "urn:odd pred", "v", "literal", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string"
+    )
+    blocks = {r.subj: r.block for r in serialize_turtle(df).collect()}
+    b1 = blocks["urn:s1"]
+    # rdf:type -> a; known namespaces compact; unknown URI stays <...>
+    assert b1.startswith("<urn:s1> ")
+    assert "a dcat:Dataset" in b1
+    assert 'dct:title "T0"@de, "T1"@en' in b1  # object list, sorted
+    assert "dcat:theme <http://example.org/theme/1>" in b1
+    assert b1.count(";") == 2 and b1.endswith(" .")
+    # a URI that is not PN_LOCAL-safe is NOT compacted
+    assert blocks["urn:s2"] == '<urn:s2> <urn:odd pred> "v" .'
+
+
+def test_turtle_single_exchange(spark):
+    from breg_dcat_harvester_spark.operators.export import serialize_turtle
+
+    plan = (
+        serialize_turtle(_triples(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # ONE subj hash-agg, nothing else
+
+
+def test_turtle_write_headers_every_part(spark, tmp_path):
+    import glob as _glob
+
+    from breg_dcat_harvester_spark.operators.export import (
+        turtle_header,
+        write_turtle,
+    )
+
+    out = str(tmp_path / "ttl")
+    write_turtle(_triples(spark).repartition(3), out)
+    parts = sorted(_glob.glob(out + "/part-*"))
+    assert parts
+    for p in parts:
+        txt = open(p).read()
+        if txt.strip():  # every non-empty part opens with the prefix header
+            assert txt.startswith("@prefix rdf:")
+    # concatenation parses as one document: every @prefix line is legal
+    whole = "".join(open(p).read() for p in parts)
+    assert whole.count("@prefix rdf:") >= 1
+    assert turtle_header().splitlines()[0] in whole
