@@ -204,6 +204,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_kcore"] = _kg_kcore
 
+    # community structure as a canonicalization QA probe: DETERMINISTIC
+    # synchronous label propagation (most-frequent neighbor label, ties to
+    # the smallest; 4 fixed rounds) — exact integer counts, so the oracle
+    # replays every round with the same ROW_NUMBER tie-break.
+    def _kg_communities(spark, sf):
+        from breg_dcat_harvester_spark.operators.graph import (
+            label_propagation,
+        )
+
+        return label_propagation(_merged(spark, sf), rounds=4)
+
+    q["kg_communities"] = _kg_communities
+
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
     # any partition writes its own valid .nt part file.  Oracle replays the
@@ -1843,6 +1856,43 @@ u{i + 1} AS MATERIALIZED (
         + "\nSELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree"
         + "\nFROM u8 GROUP BY src HAVING count(*) >= 4"
     )
+
+    # deterministic synchronous LPA: 4 unrolled rounds, each = neighbor-label
+    # counts + ROW_NUMBER(count DESC, label ASC) top-1, isolated nodes keep
+    # their label via COALESCE (same shapes as the engine's window)
+    _lp_head = f"""
+WITH t AS (SELECT subj, obj, obj_kind FROM {osql.triples_sql(glob)} AS _t),
+d AS (
+    SELECT subj AS src, obj AS dst FROM t
+    WHERE obj_kind = 'uri' AND subj <> obj GROUP BY subj, obj
+),
+e AS MATERIALIZED (
+    SELECT src, dst FROM d UNION SELECT dst, src FROM d
+),
+n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+l0 AS (SELECT node, node AS label FROM n)"""
+    _lp_rounds = "".join(
+        f""",
+l{i + 1} AS MATERIALIZED (
+    SELECT n.node, COALESCE(w.label, p.label) AS label
+    FROM n JOIN l{i} p USING (node)
+    LEFT JOIN (
+        SELECT node, label FROM (
+            SELECT c.node, c.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.node
+                       ORDER BY c.cnt DESC, c.label ASC) AS rn
+            FROM (
+                SELECT e.dst AS node, p2.label, COUNT(*) AS cnt
+                FROM e JOIN l{i} p2 ON p2.node = e.src
+                GROUP BY e.dst, p2.label
+            ) c
+        ) WHERE rn = 1
+    ) w ON w.node = n.node
+)"""
+        for i in range(4)
+    )
+    sql["kg_communities"] = _lp_head + _lp_rounds + "\nSELECT node, label FROM l4"
 
     # degree-oriented triangle counting: orientation low->high by (deg, id),
     # wedges from the minimal corner only, closing edge matched in either

@@ -240,3 +240,77 @@ def kcore(
         .filter(F.col("core_degree") >= k)
         .select(F.col("src").alias("node"), F.col("core_degree").cast("long"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """(node, label) after ``rounds`` of DETERMINISTIC synchronous label
+    propagation over the undirected URI graph — community structure as a
+    canonicalization QA probe (over-merged entities fuse communities that
+    share no vocabulary; under-merged ones split a hub into twins).
+
+    Classic LPA is notoriously nondeterministic (random visit order, random
+    tie-breaks); this variant is reproducible at any parallelism: all nodes
+    update simultaneously from the PREVIOUS round's labels (synchronous),
+    the new label is the most frequent neighbor label, and ties break to
+    the lexicographically smallest label.  Isolated/stable nodes keep their
+    label.  Counts are exact integers, so a DuckDB oracle replays every
+    round verbatim (same ROW_NUMBER tie-break).
+
+    Scale: the symmetrized link set is deduped once and checkpointed; each
+    round is one join of the (node, label) table onto ``src`` plus one
+    (node, label) hash-agg and one per-node top-1 window — state the size
+    of the node set moves each round, never the edge lineage.  Synchronous
+    min-tie LPA can oscillate on bipartite structure instead of converging;
+    a FIXED round count (like the PageRank/k-core probes) keeps the output
+    well-defined — this is a structural probe, not a clustering service.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    directed = _uri_links(edges)
+    links = (
+        directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        links.select(F.col("src").alias("node")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+
+    from pyspark.sql import Window
+
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for i in range(rounds):
+        cand = (
+            links.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            cand.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

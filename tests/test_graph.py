@@ -135,3 +135,39 @@ def test_kcore_fixpoint_invariant_on_corpus(spark, small_transcripts):
     a = sorted(map(tuple, kcore(m, k=3, rounds=6).collect()))
     b = sorted(map(tuple, kcore(m, k=3, rounds=10).collect()))
     assert a == b and len(a) > 0
+
+
+def test_label_propagation_two_cliques(spark):
+    from breg_dcat_harvester_spark.operators.graph import label_propagation
+
+    rows = [
+        ("a", "p", "b"), ("b", "p", "c"), ("a", "p", "c"),
+        ("x", "p", "y"), ("y", "p", "z"), ("x", "p", "z"),
+        ("c", "p", "x"),  # one bridge
+    ]
+    df = spark.createDataFrame(
+        [(s, p, o, "uri", None, None) for s, p, o in rows],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string",
+    )
+    out = {r.node: r.label for r in label_propagation(df, rounds=4).collect()}
+    # the two triangles end in different communities despite the bridge
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
+
+
+def test_label_propagation_deterministic_any_parallelism(spark):
+    from breg_dcat_harvester_spark.operators.graph import label_propagation
+
+    rows = [
+        (f"n{i}", "p", f"n{(i * 7 + 3) % 20}") for i in range(40)
+    ] + [("hub", "p", f"n{i}") for i in range(0, 20, 2)]
+    df = spark.createDataFrame(
+        [(s, p, o, "uri", None, None) for s, p, o in rows if s != o],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string",
+    )
+    a = sorted(map(tuple, label_propagation(df.repartition(1), rounds=4).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(13), rounds=4).collect()))
+    assert a == b
