@@ -57,6 +57,14 @@ from breg_dcat_harvester_spark.schema import (
 
 SEARCH_FILTERS = {"theme": [THEMES[0], THEMES[1]], "language": [LANGUAGES[0]]}
 
+# corpus keyword-search probes (doc_search_bm25) — vocabulary from the
+# synthetic documents table
+BM25_QUERIES = [
+    ("q_shuffle", "spark shuffle hash join"),
+    ("q_scan", "fast table scan"),
+    ("q_sort", "merge sort window"),
+]
+
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 # the reference's own sample RDF documents + our JSON-LD third source
@@ -1065,6 +1073,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_documents(_documents(spark, sf), chunk_tokens=64, overlap=16)
 
     q["doc_chunks"] = _chunk_docs
+
+    # corpus keyword search: BM25-shaped rational scaled-integer ranking —
+    # ONE corpus pass, query terms broadcast so only matched postings
+    # shuffle; bit-deterministic scores (operators/textsearch.py)
+    def _doc_search(spark, sf):
+        from breg_dcat_harvester_spark.operators.textsearch import bm25_topk
+
+        return bm25_topk(_documents(spark, sf), BM25_QUERIES, k=10)
+
+    q["doc_search_bm25"] = _doc_search
 
     # SFT prompt/completion pairs: one per assistant turn, context = last-4
     # preceding turns as role-tagged lines (bounded ROWS frame — the
@@ -2836,6 +2854,10 @@ FROM fps GROUP BY fp HAVING count(*) > 1
 
     # sliding-window chunking replayed via list_slice over the whitespace
     # token array (stride 48 = 64 - 16)
+    from breg_dcat_harvester_spark.operators.textsearch import oracle_bm25_sql
+
+    sql["doc_search_bm25"] = oracle_bm25_sql("documents", BM25_QUERIES, k=10)
+
     sql["doc_chunks"] = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 w AS (
