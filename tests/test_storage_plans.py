@@ -353,3 +353,78 @@ def test_snapshot_schema_evolution_merge(spark, tmp_path):
     assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
     # time travel to the pre-evolution snapshot: no y column at all
     assert tbl.read(spark, s1, merge_schema=True).columns == ["x"]
+
+
+# --- IcebergTable call-chain (no Iceberg jar in the sandbox: the backend is
+# exercised at the API boundary with stubs, so the cluster path is at least
+# call-shape-tested instead of shipping as dead code) -------------------------
+
+
+class _StubWriter:
+    def __init__(self, log):
+        self.log = log
+
+    def append(self):
+        self.log.append("append")
+
+    def createOrReplace(self):
+        self.log.append("createOrReplace")
+
+
+class _StubRow:
+    def __init__(self, v):
+        self.v = v
+
+    def __getitem__(self, i):
+        return self.v
+
+
+class _StubSql:
+    def __init__(self, row):
+        self._row = row
+        self.queries = []
+
+    def sql(self, q):
+        self.queries.append(q)
+        outer = self
+
+        class _R:
+            def head(self):
+                return outer._row
+
+        return _R()
+
+
+class _StubDf:
+    def __init__(self, log, session):
+        self.log = log
+        self.sparkSession = session
+
+    def writeTo(self, identifier):
+        self.log.append(f"writeTo:{identifier}")
+        return _StubWriter(self.log)
+
+
+def test_iceberg_table_write_modes_and_snapshot_probe():
+    from breg_dcat_harvester_spark.storage import IcebergTable, table_for
+
+    t = table_for("iceberg:cat.db.edges")
+    assert isinstance(t, IcebergTable) and t.identifier == "cat.db.edges"
+
+    log = []
+    sess = _StubSql(_StubRow(4242))
+    df = _StubDf(log, sess)
+    snap = t.write(df, mode="append")
+    assert log == ["writeTo:cat.db.edges", "append"]
+    assert snap == "4242"
+    # snapshot probe reads the catalog's snapshot log, newest first
+    assert "cat.db.edges.snapshots" in sess.queries[0]
+    assert "ORDER BY committed_at DESC" in sess.queries[0]
+
+    log.clear()
+    t.write(df, mode="overwrite")
+    assert log == ["writeTo:cat.db.edges", "createOrReplace"]
+
+    # empty snapshot log -> write reports empty id, not a crash
+    df2 = _StubDf([], _StubSql(None))
+    assert t.write(df2, mode="append") == ""
