@@ -307,6 +307,7 @@ def incremental_link_pairs(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     base_index: DataFrame | None = None,
     base_bucket_counts: DataFrame | None = None,
+    base_labeled: DataFrame | None = None,
 ) -> DataFrame:
     """Link pairs INVOLVING at least one entity of an arriving edge shard.
 
@@ -331,7 +332,10 @@ def incremental_link_pairs(
 
     Verification is exact 3-gram Jaccard: the base graph is scanned exactly
     once (entity_labels semi-join-pruned to candidate ids) and only
-    colliding entities' gram arrays cross the verify shuffle.  Output
+    colliding entities' gram arrays cross the verify shuffle; pass
+    ``base_labeled`` (the persisted labeled/grams table — the third
+    persistable artifact) and even that one scan reads a materialized
+    table instead of re-deriving grams from the edge set.  Output
     schema matches ``link_pairs`` with (a < b) canonical ordering; feeding
     the result to ``cc.incremental_components`` completes the
     shard-arrival path end-to-end (link → canonicalize) without touching
@@ -433,9 +437,9 @@ def incremental_link_pairs(
         .unionAll(cands.select(F.col("b").alias("node_id")))
         .distinct()
     )
-    base_labeled = with_grams(entity_labels(base_edges)).join(
-        cand_ids, "node_id", "left_semi"
-    )
+    if base_labeled is None:
+        base_labeled = with_grams(entity_labels(base_edges))
+    base_labeled = base_labeled.join(cand_ids, "node_id", "left_semi")
     labeled_all = (
         labeled_new.select("node_id", "entity_type", "label", "grams")
         .unionByName(
