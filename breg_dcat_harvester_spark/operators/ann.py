@@ -548,20 +548,6 @@ def train_pq_codebooks(
     return books
 
 
-def _sub_l2(vec, j: int, dsub: int, word: list[float]):
-    """Squared L2 between subvector j of ``vec`` and a constant codeword."""
-    sub = F.slice(vec, j * dsub + 1, dsub)
-    return F.aggregate(
-        F.zip_with(
-            sub,
-            F.array(*[F.lit(float(w)) for w in word]),
-            lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def pq_encode(
     df: DataFrame,
     vec_col: str,
@@ -592,48 +578,68 @@ def pq_encode(
             )
         )
     )
-    codes = []
-    for j, book in enumerate(codebooks):
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(_sub_l2(vec, j, dsub, w), 9).alias("d2"),
-                    F.lit(c).alias("c"),
-                )
-                for c, w in enumerate(book)
-            ]
-        )
-        codes.append(F.array_sort(scored)[0]["c"])
+    # codebooks ride along as ONE literal array column and the whole
+    # encode is nested higher-order functions — the expression tree is
+    # O(1) in m*kcode (the unrolled per-codeword form built m*kcode
+    # aggregate subtrees, which blew past whole-stage codegen limits and
+    # fell back to interpreted eval: measured ~10x slower at m=8,k=16)
+    books_lit = F.lit([[list(map(float, w)) for w in book] for book in codebooks])
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        lambda j: F.array_min(
+            F.zip_with(
+                F.transform(
+                    F.element_at(books_lit, j + 1),
+                    lambda w: F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(vec, j * dsub + 1, dsub),
+                                w,
+                                lambda x, cw: (x.cast("double") - cw)
+                                * (x.cast("double") - cw),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        9,
+                    ),
+                ),
+                F.sequence(
+                    F.lit(0), F.size(F.element_at(books_lit, j + 1)) - 1
+                ),
+                lambda d2, c: F.struct(d2.alias("d2"), c.alias("c")),
+            )
+        )["c"],
+    )
     norm = F.sqrt(
         F.aggregate(
             vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return df.withColumn(code_col, F.array(*codes)).withColumn(norm_col, norm)
+    return df.withColumn(code_col, codes).withColumn(norm_col, norm)
 
 
 def _adc_lut(query_vec, codebooks: list[list[list[float]]]):
     """Per-query ADC lookup table: lut[j][c] = dot(query_sub_j, codeword_c).
-    m*kcode doubles computed ONCE per query row, before the candidate join."""
+    m*kcode doubles computed ONCE per query row, before the candidate join.
+    Same literal-codebook + higher-order-function shape as ``pq_encode``:
+    the expression tree stays O(1) in m*kcode, inside codegen."""
     dsub = len(codebooks[0][0])
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(query_vec, j * dsub + 1, dsub),
-                            F.array(*[F.lit(float(x)) for x in w]),
-                            lambda q, cw: q.cast("double") * cw,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for w in book
-                ]
-            )
-            for j, book in enumerate(codebooks)
-        ]
+    books_lit = F.lit([[list(map(float, w)) for w in book] for book in codebooks])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        lambda j: F.transform(
+            F.element_at(books_lit, j + 1),
+            lambda w: F.aggregate(
+                F.zip_with(
+                    F.slice(query_vec, j * dsub + 1, dsub),
+                    w,
+                    lambda q, cw: q.cast("double") * cw,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
     )
 
 
