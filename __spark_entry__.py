@@ -57,6 +57,20 @@ from breg_dcat_harvester_spark.schema import (
 
 SEARCH_FILTERS = {"theme": [THEMES[0], THEMES[1]], "language": [LANGUAGES[0]]}
 
+# vocabulary-sized schema sliver for the RDFS entailment query
+# (kg_rdfs_closure): 2-level subclass chain, one subproperty, theme
+# domain/range
+_RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFS_SCHEMA_TRIPLES = [
+    (CLASS_URIS["Dataset"], _RDFS_NS + "subClassOf", DCAT + "Resource"),
+    (CLASS_URIS["Catalog"], _RDFS_NS + "subClassOf", DCAT + "Resource"),
+    (DCAT + "Resource", _RDFS_NS + "subClassOf", "urn:graft:Node"),
+    (DCT + "title", _RDFS_NS + "subPropertyOf", _RDFS_NS + "label"),
+    (DCAT + "theme", _RDFS_NS + "domain", "urn:graft:Themed"),
+    (DCAT + "theme", _RDFS_NS + "range",
+     "http://www.w3.org/2004/02/skos/core#Concept"),
+]
+
 # corpus keyword-search probes (doc_search_bm25) — vocabulary from the
 # synthetic documents table
 BM25_QUERIES = [
@@ -252,6 +266,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(_merged(spark, sf), rounds=4)
 
     q["kg_communities"] = _kg_communities
+
+    # RDFS entailment materialization (operators/infer.py): the merged
+    # graph + a vocabulary-sized schema sliver (subclass chain, a
+    # subproperty, theme domain/range) -> asserted ∪ entailed, set
+    # semantics.  Every instance-sized rule application is ONE broadcast
+    # join against a schema closure; the corpus never self-joins.
+    def _kg_rdfs(spark, sf):
+        from breg_dcat_harvester_spark.operators.infer import rdfs_closure
+        from breg_dcat_harvester_spark.schema import TRIPLE_STRUCT
+
+        schema_rows = [
+            (s, p, o, "uri", None, None) for s, p, o in RDFS_SCHEMA_TRIPLES
+        ]
+        g = _merged(spark, sf).select(
+            "subj", "pred", "obj", "obj_kind", "lang", "dtype"
+        ).unionByName(spark.createDataFrame(schema_rows, TRIPLE_STRUCT))
+        return rdfs_closure(g)
+
+    q["kg_rdfs_closure"] = _kg_rdfs
 
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
@@ -1913,6 +1946,90 @@ u{i + 1} AS MATERIALIZED (
         + "\nSELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree"
         + "\nFROM u8 GROUP BY src HAVING count(*) >= 4"
     )
+
+    # RDFS closure: recursive-CTE schema closures + the same three rule
+    # joins (rdfs7 before rdfs2/3, rdfs9 last over asserted+derived types),
+    # final UNION = the engine's dropDuplicates (set ops treat NULLs equal)
+    _sch_vals = ",\n        ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in RDFS_SCHEMA_TRIPLES
+    )
+    _rdfs_sc = _RDFS_NS + "subClassOf"
+    _rdfs_sp = _RDFS_NS + "subPropertyOf"
+    sql["kg_rdfs_closure"] = f"""
+WITH RECURSIVE t AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype
+    FROM {osql.edges_sql(glob)} AS _e
+),
+schema_(subj, pred, obj) AS (VALUES
+        {_sch_vals}),
+g AS (
+    SELECT * FROM t
+    UNION
+    SELECT subj, pred, obj, 'uri' AS obj_kind,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
+    FROM schema_
+),
+sc AS (
+    SELECT subj AS sub, obj AS sup FROM g
+    WHERE pred = '{_rdfs_sc}' AND obj_kind = 'uri' AND subj <> obj
+    UNION
+    SELECT sc.sub, g.obj FROM sc
+    JOIN g ON g.subj = sc.sup AND g.pred = '{_rdfs_sc}'
+          AND g.obj_kind = 'uri' AND g.subj <> g.obj
+    WHERE sc.sub <> g.obj
+),
+sp AS (
+    SELECT subj AS sub, obj AS sup FROM g
+    WHERE pred = '{_rdfs_sp}' AND obj_kind = 'uri' AND subj <> obj
+    UNION
+    SELECT sp.sub, g.obj FROM sp
+    JOIN g ON g.subj = sp.sup AND g.pred = '{_rdfs_sp}'
+          AND g.obj_kind = 'uri' AND g.subj <> g.obj
+    WHERE sp.sub <> g.obj
+),
+dom AS (
+    SELECT DISTINCT subj AS p, obj AS cls FROM g
+    WHERE pred = '{_RDFS_NS}domain' AND obj_kind = 'uri'
+),
+rng AS (
+    SELECT DISTINCT subj AS p, obj AS cls FROM g
+    WHERE pred = '{_RDFS_NS}range' AND obj_kind = 'uri'
+),
+by_sp AS (
+    SELECT g.subj, sp.sup AS pred, g.obj, g.obj_kind, g.lang, g.dtype
+    FROM g JOIN sp ON g.pred = sp.sub
+),
+pt AS (SELECT * FROM g UNION ALL SELECT * FROM by_sp),
+by_dom AS (
+    SELECT pt.subj, '{RDF_TYPE}' AS pred, dom.cls AS obj
+    FROM pt JOIN dom ON pt.pred = dom.p
+),
+by_rng AS (
+    SELECT pt.obj AS subj, '{RDF_TYPE}' AS pred, rng.cls AS obj
+    FROM pt JOIN rng ON pt.pred = rng.p
+    WHERE pt.obj_kind = 'uri'
+),
+types AS (
+    SELECT subj, obj FROM pt WHERE pred = '{RDF_TYPE}'
+    UNION ALL SELECT subj, obj FROM by_dom
+    UNION ALL SELECT subj, obj FROM by_rng
+),
+by_sc AS (
+    SELECT types.subj, '{RDF_TYPE}' AS pred, sc.sup AS obj
+    FROM types JOIN sc ON types.obj = sc.sub
+),
+uri3(subj, pred, obj) AS (
+    SELECT * FROM by_dom UNION ALL SELECT * FROM by_rng
+    UNION ALL SELECT * FROM by_sc
+    UNION ALL SELECT sub, '{_rdfs_sc}', sup FROM sc
+    UNION ALL SELECT sub, '{_rdfs_sp}', sup FROM sp
+)
+SELECT subj, pred, obj, obj_kind, lang, dtype FROM pt
+UNION
+SELECT subj, pred, obj, 'uri' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
+FROM uri3
+"""
 
     # deterministic synchronous LPA: 4 unrolled rounds, each = neighbor-label
     # counts + ROW_NUMBER(count DESC, label ASC) top-1, isolated nodes keep
