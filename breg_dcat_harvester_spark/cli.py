@@ -117,18 +117,76 @@ def _cmd_export(args: argparse.Namespace) -> int:
     analog of the reference's store serialization, store.py:19-25)."""
     from .operators.export import partition_lineage, write_ntriples
 
+    from .operators.export import write_turtle
+
     spark = get_spark(app_name="export")
     edges = LocalSnapshotTable(f"{args.out}/edges").read(spark)
     # an RDF graph is a SET of triples: canonicalization can leave several
     # provenance rows per (subj,pred,obj), but the exported document — like
     # the reference's num_triples (harvest.py:58) — carries each once
     graph = edges.dropDuplicates(["subj", "pred", "obj"])
-    write_ntriples(graph, args.dest)
-    lineage = partition_lineage(edges)
+    if getattr(args, "format", "nt") == "ttl":
+        write_turtle(graph, args.dest)
+    else:
+        write_ntriples(graph, args.dest)
+    # lineage needs the provenance columns; a term-only table (e.g. one
+    # built by INSERT DATA alone) exports fine, just without buckets
+    n_lineage = (
+        partition_lineage(edges).count()
+        if "conv_id" in edges.columns
+        else None
+    )
     print(json.dumps({
         "dest": args.dest,
+        "format": getattr(args, "format", "nt"),
         "num_triples": graph.count(),
-        "num_lineage_buckets": lineage.count(),
+        "num_lineage_buckets": n_lineage,
+    }))
+    return 0
+
+
+def _cmd_sparql(args: argparse.Namespace) -> int:
+    """Query or update a harvested graph — the CLI face of plans/sparql.py
+    (all four query forms) and plans/sparql_update.py (the reference's
+    write path, store.py:19-54)."""
+    if bool(args.query) == bool(args.update):
+        print("sparql: pass exactly one of --query / --update", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="sparql")
+    table = LocalSnapshotTable(f"{args.out}/edges")
+    edges = table.read(spark).dropDuplicates(
+        ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
+    )
+    if args.query:
+        from .plans.sparql import compile_query
+
+        df = compile_query(edges, args.query)
+        rows = df.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"rows_printed": len(rows)}), file=sys.stderr)
+        return 0
+    from .plans.sparql_update import TERM_COLS, apply_update
+
+    full = table.read(spark)
+    updated = apply_update(edges, args.update)
+    prov_cols = [c for c in full.columns if c not in TERM_COLS]
+    if prov_cols:
+        # re-attach provenance for surviving triples (updates must not
+        # strip lineage); inserted triples carry NULLs — null-safe join
+        # because lang/dtype are NULL for URI objects
+        u, f = updated.alias("__u"), full.alias("__f")
+        cond = None
+        for c in TERM_COLS:
+            e = u[c].eqNullSafe(f[c])
+            cond = e if cond is None else (cond & e)
+        updated = u.join(f, cond, "left").select(
+            *[u[c] for c in TERM_COLS], *[f[c] for c in prov_cols]
+        )
+    snap = table.write(updated, mode="overwrite")
+    print(json.dumps({
+        "num_triples": updated.select(*TERM_COLS).distinct().count(),
+        "snapshot_id": snap,
     }))
     return 0
 
@@ -229,11 +287,32 @@ def main(argv: list[str] | None = None) -> int:
 
     e = sub.add_parser(
         "export",
-        help="serialize a harvested graph to N-Triples part files",
+        help="serialize a harvested graph to N-Triples or Turtle part files",
     )
     e.add_argument("--out", required=True, help="harvest out dir (reads edges)")
-    e.add_argument("--dest", required=True, help="destination dir for .nt parts")
+    e.add_argument("--dest", required=True, help="destination dir for part files")
+    e.add_argument(
+        "--format", choices=("nt", "ttl"), default="nt",
+        help="nt = line-oriented N-Triples (map-only); "
+        "ttl = grouped prefix-compacted Turtle (one subj hash-agg)",
+    )
     e.set_defaults(fn=_cmd_export)
+
+    sq = sub.add_parser(
+        "sparql",
+        help="run a SPARQL query (all four forms) or update request "
+        "against a harvested graph",
+    )
+    sq.add_argument("--out", required=True, help="harvest out dir (reads edges)")
+    sq.add_argument("--query", help="SELECT/ASK/CONSTRUCT/DESCRIBE text")
+    sq.add_argument(
+        "--update",
+        help="SPARQL Update request (INSERT/DELETE DATA, DELETE WHERE, "
+        "modify, CLEAR; ';'-sequences); commits the post-update graph as "
+        "a new edges snapshot",
+    )
+    sq.add_argument("--limit", type=int, default=50, help="print at most N rows")
+    sq.set_defaults(fn=_cmd_sparql)
 
     sch = sub.add_parser(
         "schedule",

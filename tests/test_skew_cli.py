@@ -143,3 +143,86 @@ def test_cli_harvest_increment(spark, tmp_path, small_transcripts, capsys):
     )
     assert payload["num_triples"] == batch["num_triples"]
     assert payload["num_nodes"] == batch["num_nodes"]
+
+
+def test_cli_sparql_query_update_and_ttl_export(spark, tmp_path, capsys):
+    """In-process CLI smoke: seed an edges snapshot, query it, update it
+    (new snapshot committed), export it as Turtle."""
+    import glob as _glob
+    import json
+
+    from breg_dcat_harvester_spark import cli
+    from breg_dcat_harvester_spark.schema import TRIPLE_STRUCT
+    from breg_dcat_harvester_spark.storage import LocalSnapshotTable
+
+    out = str(tmp_path / "kg")
+    rows = [
+        ("urn:c1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://www.w3.org/ns/dcat#Catalog", "uri", None, None),
+        ("urn:c1", "http://purl.org/dc/terms/title", "T", "literal", "en", None),
+    ]
+    LocalSnapshotTable(f"{out}/edges").write(
+        spark.createDataFrame(rows, TRIPLE_STRUCT)
+    )
+
+    rc = cli.main([
+        "sparql", "--out", out, "--query",
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX dcat: <http://www.w3.org/ns/dcat#> "
+        "SELECT ?c WHERE { ?c rdf:type dcat:Catalog }",
+    ])
+    assert rc == 0
+    got = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {"c": "urn:c1"} in got
+
+    rc = cli.main([
+        "sparql", "--out", out, "--update",
+        'DELETE WHERE { ?s <http://purl.org/dc/terms/title> ?o }',
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["num_triples"] == 1 and res["snapshot_id"]
+    # the committed snapshot reflects the update
+    assert LocalSnapshotTable(f"{out}/edges").read(spark).count() == 1
+
+    rc = cli.main(["export", "--out", out, "--dest", str(tmp_path / "ttl"),
+                   "--format", "ttl"])
+    assert rc == 0
+    parts = _glob.glob(str(tmp_path / "ttl" / "part-*"))
+    txt = "".join(open(p).read() for p in parts)
+    assert "@prefix dcat:" in txt and "a dcat:Catalog" in txt
+
+    # exactly one of --query/--update required
+    assert cli.main(["sparql", "--out", out]) == 2
+
+
+def test_cli_sparql_update_preserves_provenance(spark, tmp_path, capsys):
+    import json
+
+    from breg_dcat_harvester_spark import cli
+    from breg_dcat_harvester_spark.schema import EDGES
+    from breg_dcat_harvester_spark.storage import LocalSnapshotTable
+
+    out = str(tmp_path / "kg")
+    rows = [
+        ("urn:c1", "urn:p", "urn:o1", "uri", None, None, "conv-1", 3),
+        ("urn:c1", "urn:del", "urn:o2", "uri", None, None, "conv-2", 5),
+    ]
+    LocalSnapshotTable(f"{out}/edges").write(
+        spark.createDataFrame(rows, EDGES)
+    )
+    rc = cli.main([
+        "sparql", "--out", out, "--update",
+        "DELETE WHERE { ?s <urn:del> ?o } ; "
+        "INSERT DATA { <urn:new> <urn:p> <urn:o3> }",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    got = {
+        (r.subj, r.pred, r.conv_id, r.turn_idx)
+        for r in LocalSnapshotTable(f"{out}/edges").read(spark).collect()
+    }
+    # surviving triple keeps its lineage; the inserted one carries NULLs
+    assert ("urn:c1", "urn:p", "conv-1", 3) in got
+    assert ("urn:new", "urn:p", None, None) in got
+    assert not any(p == "urn:del" for _, p, _, _ in got)
