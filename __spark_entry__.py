@@ -1418,6 +1418,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _aug_embeddings(spark, sf), threshold=0.9, dim=EMB_DIM
     )
 
+    # SemDeDup-shaped semantic curation: LSH pair evidence -> CC clusters
+    # -> keep-min decision per vector, over the same planted-dup corpus
+    # (P(miss)~4e-7, so the decision table must equal the brute-force
+    # closure replay)
+    q["dedup_canonical_vectors"] = lambda spark, sf: annm.canonical_vectors(
+        _aug_embeddings(spark, sf), threshold=0.9, dim=EMB_DIM
+    )
+
     def _text_features(spark, sf):
         d = _documents(spark, sf)
         qf = tf.quality_features(F.col("text"))
@@ -3542,6 +3550,34 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.v, b.v), 4) AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+"""
+
+    # SemDeDup decision table: brute-force threshold pairs -> recursive-CTE
+    # transitive closure -> min per component, every vector decided
+    sql["dedup_canonical_vectors"] = f"""
+WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings),
+planted AS (
+    SELECT vec_id + 100000 AS vec_id, {PLANT_EXPR_DUCK} AS embedding
+    FROM base WHERE vec_id % 25 = 0
+),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug),
+pairs AS (
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+),
+sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+walk(x, c) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM sym) AS n
+    UNION
+    SELECT s.y, w.c FROM walk w JOIN sym s ON s.x = w.x
+),
+comp AS (SELECT x AS vec_id, min(c) AS canon FROM walk GROUP BY x)
+SELECT aug.vec_id,
+       coalesce(comp.canon, aug.vec_id) AS canonical_id,
+       aug.vec_id = coalesce(comp.canon, aug.vec_id) AS is_canonical
+FROM aug LEFT JOIN comp ON comp.vec_id = aug.vec_id
 """
 
     sql["ann_cosine_topk"] = """

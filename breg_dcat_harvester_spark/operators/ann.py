@@ -765,3 +765,57 @@ def hard_negatives(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def canonical_vectors(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bands: int | None = None,
+    bits_per_band: int | None = None,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Semantic near-dup curation (SemDeDup-shaped): one keep/drop decision
+    PER VECTOR — (vec_id, canonical_id, is_canonical).
+
+    The embedding-space analog of ``dedup.canonical_docs``: pair evidence
+    from hyperplane-LSH blocking + exact cosine verify
+    (``embedding_dup_pairs_lsh``), clustered by connected components
+    (cosine similarity is not transitive; transitive closure is the
+    conservative curation policy, same as SemDeDup's within-cluster
+    dedup), smallest id kept per cluster.  Deterministic at any
+    parallelism.  Scale shape: one banded equi-join + CC on the
+    pair graph (never on the corpus) + one left join back to the ids.
+
+    Reference basis: Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" (arXiv:2303.09540) — the
+    keep-one-per-semantic-cluster policy; clustering here is the exact
+    threshold graph rather than k-means proximity, so the decision is
+    replayable by an oracle.
+    """
+    from .cc import connected_components
+
+    pairs = embedding_dup_pairs_lsh(
+        emb,
+        threshold=threshold,
+        bands=bands,
+        bits_per_band=bits_per_band,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        max_bucket=max_bucket,
+    )
+    labels = connected_components(pairs, "a", "b").withColumnRenamed(
+        "node_id", "vec_id"
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("canonical_id", F.col("vec_id")).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("vec_id") == F.col("canonical_id"))
+    )

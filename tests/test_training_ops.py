@@ -423,3 +423,27 @@ def test_hard_negatives_band_and_rank(spark, emb):
         assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
         sims = [x[1] for x in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_canonical_vectors_planted_clusters(spark):
+    import numpy as np
+    from breg_dcat_harvester_spark.operators.ann import canonical_vectors
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # two planted twins of vector 3 (tiny perturbations), one of vector 10
+    for nid, src, eps in ((100, 3, 1e-3), (101, 3, 2e-3), (102, 10, 1e-3)):
+        rows.append((nid, [float(x + eps) for x in base[src]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.canonical_id, r.is_canonical)
+           for r in canonical_vectors(emb, threshold=0.99, dim=16).collect()}
+    assert len(out) == 33
+    # twins collapse to the smallest id in their cluster
+    assert out[100] == (3, False) and out[101] == (3, False)
+    assert out[3] == (3, True)
+    assert out[102] == (10, False) and out[10] == (10, True)
+    # everything else is its own canonical
+    assert out[5] == (5, True)
