@@ -1270,6 +1270,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf), chunk_tokens=3, min_docs=5
     )
 
+    # ExactSubstr-style span scrub (Lee et al. 2107.06499): both engines
+    # plant partial copies (first 30 tokens of every 10th doc + a unique
+    # marker) and every 16-token window of the copied span must be found
+    # hot and scrubbed from BOTH the original and the plant
+    def _span_scrub(spark, sf):
+        d = _documents(spark, sf)
+        toks = F.split(F.col("text"), " ")
+        planted = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(
+                F.concat_ws(" ", F.slice(toks, 1, 30)),
+                F.lit(" uniqmarker"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        aug = d.select("doc_id", "text").unionByName(planted)
+        return ddp.duplicated_span_scrub(aug, width=16, min_docs=2)
+
+    q["dedup_span_scrub"] = _span_scrub
+
     # LM sequence packing: concatenate-and-cut placement per doc via the
     # distributed prefix sum (packing.py) — proven identical to the
     # single-window form the oracle uses
@@ -3281,6 +3301,53 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
     )
+
+    # ExactSubstr span scrub: same planting, stride-1 sha256 windows, hot =
+    # >= 2 distinct docs, covered ordinals removed, text rebuilt ordered
+    sql["dedup_span_scrub"] = """
+WITH d0 AS (SELECT doc_id, text FROM documents),
+planted AS (
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+           || ' uniqmarker' || CAST(doc_id AS VARCHAR) AS text
+    FROM d0 WHERE doc_id % 10 = 0
+),
+aug AS (SELECT * FROM d0 UNION ALL SELECT * FROM planted),
+b AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n FROM aug),
+sh AS (
+    SELECT doc_id, gs.s AS start,
+           sha256(array_to_string(list_slice(toks, gs.s + 1, gs.s + 16),
+                                  chr(31))) AS h
+    FROM b, LATERAL (SELECT unnest(generate_series(0, n - 16)) AS s) gs
+    WHERE n >= 16
+),
+hot AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hs AS (SELECT sh.doc_id, sh.start FROM sh JOIN hot USING (h)),
+cov AS (
+    SELECT DISTINCT hs.doc_id, hs.start + o.off AS ord
+    FROM hs, LATERAL (SELECT unnest(generate_series(0, 15)) AS off) o
+),
+tok AS (
+    SELECT doc_id, gs2.i AS ord, toks[gs2.i + 1] AS tok
+    FROM b, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) gs2
+),
+cleaned AS (
+    SELECT t.doc_id,
+           coalesce(string_agg(t.tok, ' ' ORDER BY t.ord)
+                    FILTER (WHERE cov.ord IS NULL), '') AS clean_text
+    FROM tok t
+    LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.ord = t.ord
+    GROUP BY t.doc_id
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM hs GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(counts.n_dup, 0) AS n_dup_windows,
+       cleaned.clean_text
+FROM b
+LEFT JOIN counts ON counts.doc_id = b.doc_id
+JOIN cleaned ON cleaned.doc_id = b.doc_id
+"""
 
     # span-level boilerplate removal: chunk the token stream 3-wide,
     # chunks in >= 5 distinct docs are stripped; clean_text preserves

@@ -590,3 +590,111 @@ def remove_boilerplate(
             " ",
         ).alias("clean_text"),
     )
+
+
+# separator inside a window's hash payload: the unit-separator control
+# character cannot appear in whitespace-split tokens, so distinct token
+# sequences never collide by concatenation
+_SPAN_SEP = "\x1f"
+
+
+def duplicated_span_scrub(
+    df: DataFrame,
+    width: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal: any ``width``-token run
+    appearing in >= ``min_docs`` DISTINCT documents is scrubbed from all
+    of them -> (doc_id, n_dup_windows, clean_text).
+
+    Reference basis: Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), the ExactSubstr variant —
+    cross-doc verbatim passages (license boilerplate, quoted chains,
+    templated spans) are removed at SPAN granularity, not document
+    granularity.  Their suffix array is a single-machine construction;
+    the Spark-shaped equivalent is stride-1 shingling.
+
+    Plan shape: window hashes are computed IN-ARRAY per document (one
+    ``transform`` over the token array — map-side), exploded only into
+    the (doc_id, start, hash) stream feeding ONE map-side-combined
+    hash-agg that finds hot windows; hot starts join back (sliver-sized:
+    duplication is the exception) and span coverage + text rebuild are
+    again in-array Column work.  The sha256 window key makes the decision
+    oracle-replayable (DuckDB sha256 == Spark sha2 on identical bytes).
+
+    Within-doc repetition alone does NOT trigger a scrub (min_docs counts
+    distinct documents; Gopher-style repetition lives in
+    ``textfns.repetition_features``).  Documents shorter than ``width``
+    tokens pass through unchanged; ``clean_text`` is rebuilt from the
+    token array with single spaces (the canonical form the oracle
+    aggregates too).
+    """
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    sh = (
+        base.filter(F.col("n") >= width)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - width),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.sha2(
+                            F.concat_ws(
+                                _SPAN_SEP,
+                                F.slice(F.col("toks"), i + 1, width),
+                            ),
+                            256,
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.start", "w.h")
+    )
+    hot = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hot_starts = (
+        sh.join(hot, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("start")).alias("starts"))
+    )
+
+    def _covered(i):
+        return F.exists(F.col("starts"), lambda s: (s <= i) & (i < s + width))
+
+    return (
+        base.join(hot_starts, "doc_id", "left")
+        .withColumn(
+            "starts", F.coalesce("starts", F.array().cast("array<int>"))
+        )
+        .select(
+            "doc_id",
+            F.size("starts").cast("long").alias("n_dup_windows"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("n") - 1),
+                        lambda i: F.when(
+                            ~_covered(i), F.element_at(F.col("toks"), i + 1)
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+            ).alias("clean_text"),
+        )
+    )

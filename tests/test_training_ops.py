@@ -447,3 +447,42 @@ def test_canonical_vectors_planted_clusters(spark):
     assert out[102] == (10, False) and out[10] == (10, True)
     # everything else is its own canonical
     assert out[5] == (5, True)
+
+
+def test_duplicated_span_scrub_semantics(spark):
+    from breg_dcat_harvester_spark.operators.dedup import duplicated_span_scrub
+
+    shared = " ".join(f"s{i}" for i in range(20))  # 20-token shared passage
+    rows = [
+        (1, shared + " tail1 tail2 tail3"),
+        (2, "head1 head2 " + shared),
+        # within-doc repetition only -> NOT scrubbed (min_docs counts docs)
+        (3, " ".join(f"r{i % 4}" for i in range(40))),
+        (4, "short doc"),  # < width -> untouched
+        (5, "totally unique " + " ".join(f"u{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_span_scrub(df, width=16, min_docs=2).collect()}
+
+    # the shared 20-token passage has 5 hot 16-windows per doc; scrubbing
+    # the union of covered positions removes the passage from BOTH docs
+    assert out[1].n_dup_windows == 5
+    assert out[1].clean_text == "tail1 tail2 tail3"
+    assert out[2].n_dup_windows == 5
+    assert out[2].clean_text == "head1 head2"
+    # within-doc repeats survive
+    assert out[3].n_dup_windows == 0 and out[3].clean_text == rows[2][1]
+    assert out[4].n_dup_windows == 0 and out[4].clean_text == "short doc"
+    assert out[5].n_dup_windows == 0
+
+
+def test_duplicated_span_scrub_three_way(spark):
+    from breg_dcat_harvester_spark.operators.dedup import duplicated_span_scrub
+
+    block = " ".join(f"b{i}" for i in range(16))
+    rows = [(i, f"pre{i} " + block + f" post{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_span_scrub(df, width=16, min_docs=3).collect()}
+    for i in range(3):
+        assert out[i].n_dup_windows == 1
+        assert out[i].clean_text == f"pre{i} post{i}"
