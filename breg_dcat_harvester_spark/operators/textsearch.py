@@ -66,26 +66,30 @@ def bm25_topk(
         "query_id string, term string",
     )
 
-    # map-only: per-doc token count (document length)
-    dl = docs.select(
-        "doc_id", F.size(_tokens_col(F.col("text"))).cast("long").alias("dl")
-    )
-    totals = dl.agg(
+    # map-only: per-doc token count (document length); totals is a one-row
+    # broadcastable aggregate
+    totals = docs.select(
+        F.size(_tokens_col(F.col("text"))).cast("long").alias("dl")
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
     )
 
     # corpus postings, filtered map-side to queried terms by the broadcast
-    # join — only the matched sliver ever shuffles
+    # join — only the matched sliver ever shuffles.  dl rides along with
+    # each posting (computed in the same projection), so no corpus-wide
+    # (doc_id -> dl) join is ever needed.
     matched = (
         docs.select(
             "doc_id",
+            F.size(_tokens_col(F.col("text"))).cast("long").alias("dl"),
             F.explode(_tokens_col(F.col("text"))).alias("term"),
         )
         .join(F.broadcast(qterms), "term")
     )
     tf = matched.groupBy("query_id", "doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
     )
     dfreq = (
         matched.select("term", "doc_id")
@@ -95,8 +99,7 @@ def bm25_topk(
     )
 
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(totals))
         # norm_permille = 1000·dl/avgdl computed as ONE exact division
         .withColumn(
