@@ -1156,6 +1156,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_search_bm25"] = _doc_search
 
+    # distributed BPE tokenizer training (operators/bpe.py): ONE corpus
+    # pass aggregates word frequencies, then every merge round runs on the
+    # vocabulary relation; argmax pairs are plan constants (deterministic
+    # (cnt DESC, pair ASC) tie-break).  The oracle replays ALL 8 training
+    # rounds in SQL — scalar-subquery argmax + the same guarded replace
+    # chain — so the merge table must be hash-exact.
+    def _bpe_merges(spark, sf):
+        from breg_dcat_harvester_spark.operators import bpe as bpem
+
+        return bpem.merges_df(
+            spark, bpem.bpe_train(_documents(spark, sf), num_merges=8)
+        )
+
+    q["bpe_merges"] = _bpe_merges
+
     # SFT prompt/completion pairs: one per assistant turn, context = last-4
     # preceding turns as role-tagged lines (bounded ROWS frame — the
     # quadratic full-history blowup never happens); ONE conv_id shuffle
@@ -3041,6 +3056,10 @@ FROM fps GROUP BY fp HAVING count(*) > 1
     from breg_dcat_harvester_spark.operators.textsearch import oracle_bm25_sql
 
     sql["doc_search_bm25"] = oracle_bm25_sql("documents", BM25_QUERIES, k=10)
+
+    from breg_dcat_harvester_spark.operators.bpe import oracle_bpe_sql
+
+    sql["bpe_merges"] = oracle_bpe_sql("documents", num_merges=8)
 
     sql["doc_chunks"] = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

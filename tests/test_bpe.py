@@ -1,0 +1,74 @@
+"""Distributed BPE training/segmentation (operators/bpe.py) — vocabulary-
+relation training, plan-constant merges, guarded replace application."""
+
+import pytest
+
+from breg_dcat_harvester_spark.operators.bpe import (
+    bpe_segment,
+    bpe_train,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest widest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_classic_sennrich_merges(corpus):
+    m = bpe_train(corpus, num_merges=4)
+    # (rank, pair, merged, weighted count)
+    assert m[0] == (0, "l o", "lo", 7)   # low*5 + lower*2
+    assert m[1] == (1, "lo w", "low", 7)
+    assert m[2] == (2, "e s", "es", 6)   # newest*5 + widest*1
+    assert m[3] == (3, "es t", "est", 6)
+
+
+def test_deterministic_any_parallelism(spark, corpus):
+    a = bpe_train(corpus.repartition(1), num_merges=6)
+    b = bpe_train(corpus.repartition(7), num_merges=6)
+    assert a == b
+
+
+def test_segment_applies_merges_in_order(corpus):
+    m = bpe_train(corpus, num_merges=6)
+    out = {r.doc_id: r.bpe_tokens for r in bpe_segment(corpus, m).collect()}
+    # 'low' fully merges; 'newest' becomes n + ew + est</w>
+    assert out[1][:2] == ["low", "</w>"]
+    assert "est</w>" in out[3]
+    # no token ever spans a word boundary: </w> count == word count
+    n_words = len("newest newest newest widest".split())
+    assert sum(1 for t in out[3] if t.endswith("</w>")) == n_words
+
+
+def test_overlapping_chain_left_greedy(spark):
+    df = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    m = bpe_train(df, num_merges=1)
+    assert m[0][1] == "a a"
+    out = bpe_segment(df, m).head().bpe_tokens
+    # left-greedy: aaaa -> [aa, aa], aaa -> [aa, a]
+    assert out == ["aa", "aa", "</w>", "aa", "a", "</w>"]
+
+
+def test_merge_never_crosses_symbol_boundary(spark):
+    # after 'a b'->'ab', the pair ('b','c') must not match inside 'ab c'
+    df = spark.createDataFrame(
+        [(1, "ab ab ab abc")], "doc_id long, text string"
+    )
+    m = bpe_train(df, num_merges=2)
+    # first merge is 'a b' (4 occurrences)
+    assert m[0][1] == "a b"
+    segd = bpe_segment(df, m[:1]).head().bpe_tokens
+    assert segd == ["ab", "</w>"] * 3 + ["ab", "c", "</w>"]
+
+
+def test_empty_and_short_inputs(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    m = bpe_train(df, num_merges=3)
+    # only pair available is 'x </w>'; later rounds run dry and stop
+    assert m[0][1] == "x </w>"
+    assert len(m) == 1
