@@ -841,6 +841,13 @@ HEADLINE = [
     "rel_events_sessions",
     "conv_sft_pack_masks",
     "doc_chunks",
+    "doc_search_bm25",
+    "dedup_span_scrub",
+    "kg_rdfs_closure",
+    "kg_communities",
+    "kg_export_turtle",
+    "kg_sparql_update",
+    "bpe_merges",
 ]
 
 

@@ -54,14 +54,69 @@ RANGE = RDFS + "range"
 TERM_COLS = ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
 
 
-def _closure(edges: DataFrame, pred: str, max_hops: int) -> DataFrame:
-    """(sub, sup) transitive closure of a schema predicate — sliver-sized
-    (schema is vocabulary-bounded), checkpointed inside reachable_pairs."""
-    from .paths import reachable_pairs
+# schema hierarchies are vocabulary-bounded BY DEFINITION; a graph whose
+# subClassOf/subPropertyOf slice exceeds this is not schema — fail loudly
+# rather than silently collecting instance data to the driver
+MAX_SCHEMA_EDGES = 100_000
 
-    return reachable_pairs(edges, preds=[pred], max_hops=max_hops).select(
-        F.col("src").alias("sub"), F.col("dst").alias("sup")
+
+SCHEMA_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE)
+
+
+def _collect_schema(edges: DataFrame) -> dict[str, list[tuple[str, str]]]:
+    """ONE driver job collecting every schema-predicate slice at once —
+    pred -> sorted distinct (subj, obj) pairs.  Schema is vocabulary-
+    bounded BY DEFINITION (thousands of rows against billions of instance
+    triples); the :data:`MAX_SCHEMA_EDGES` guard fails loudly on a graph
+    whose "schema" slice is instance-sized rather than silently flooding
+    the driver."""
+    rows = (
+        edges.filter(
+            F.col("pred").isin(list(SCHEMA_PREDS))
+            & (F.col("obj_kind") == "uri")
+        )
+        .select("pred", "subj", "obj")
+        .distinct()
+        .limit(MAX_SCHEMA_EDGES + 1)
+        .collect()
     )
+    if len(rows) > MAX_SCHEMA_EDGES:
+        raise ValueError(
+            f"schema slice exceeds {MAX_SCHEMA_EDGES} edges — not a "
+            "vocabulary-sized schema; refusing to collect it driver-side"
+        )
+    out: dict[str, list[tuple[str, str]]] = {p: [] for p in SCHEMA_PREDS}
+    for r in rows:
+        out[r.pred].append((r.subj, r.obj))
+    return {p: sorted(set(v)) for p, v in out.items()}
+
+
+def _py_closure(
+    pairs: list[tuple[str, str]], max_hops: int
+) -> list[tuple[str, str]]:
+    """Transitive closure as a PLAN CONSTANT (the pattern of IVF centroids
+    / PQ codebooks / BPE merges): driver BFS over the vocabulary-sized
+    hierarchy — a distributed BFS would pay a per-round stage + checkpoint
+    for a sliver (measured ~6s of pure scheduling at sf0.1).  Cycles
+    terminate; no reflexive (x, x) pair is emitted."""
+    adj: dict[str, set[str]] = {}
+    for s, o in pairs:
+        if s != o:
+            adj.setdefault(s, set()).add(o)
+    closure: list[tuple[str, str]] = []
+    for start in adj:
+        seen: set[str] = set()
+        frontier = {start}
+        for _ in range(max_hops):
+            frontier = {
+                n for f in frontier for n in adj.get(f, ()) if n not in seen
+            }
+            frontier.discard(start)
+            if not frontier:
+                break
+            seen |= frontier
+        closure.extend((start, sup) for sup in sorted(seen))
+    return sorted(closure)
 
 
 def _type_row(subj, cls) -> list:
@@ -87,18 +142,20 @@ def rdfs_closure(
     consumers that dedup downstream anyway.
     """
     g = edges.select(*TERM_COLS)
-    sub_cls = _closure(edges, SUBCLASS, max_hops)
-    sub_prp = _closure(edges, SUBPROP, max_hops)
-    dom = (
-        edges.filter((F.col("pred") == DOMAIN) & (F.col("obj_kind") == "uri"))
-        .select(F.col("subj").alias("p"), F.col("obj").alias("cls"))
-        .distinct()
-    )
-    rng = (
-        edges.filter((F.col("pred") == RANGE) & (F.col("obj_kind") == "uri"))
-        .select(F.col("subj").alias("p"), F.col("obj").alias("cls"))
-        .distinct()
-    )
+    spark = edges.sparkSession
+    # ONE driver job pulls the whole vocabulary-sized schema; closures and
+    # rule tables become LOCAL relations, so every rule join broadcasts a
+    # plan constant — zero extra Spark jobs, the corpus-side work is all
+    # that remains
+    schema = _collect_schema(edges)
+
+    def _local(pairs, a: str, b: str) -> DataFrame:
+        return spark.createDataFrame(pairs or [], f"{a} string, {b} string")
+
+    sub_cls = _local(_py_closure(schema[SUBCLASS], max_hops), "sub", "sup")
+    sub_prp = _local(_py_closure(schema[SUBPROP], max_hops), "sub", "sup")
+    dom = _local(schema[DOMAIN], "p", "cls")
+    rng = _local(schema[RANGE], "p", "cls")
 
     # rdfs7: x p y, p ⊑* q  ⇒  x q y  (carries the object's term metadata)
     by_subprop = (
