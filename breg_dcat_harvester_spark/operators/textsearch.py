@@ -91,8 +91,11 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.first("dl").alias("dl"),
     )
+    # document frequency from the (tiny) tf relation — the corpus explode
+    # runs ONCE; (doc, term) pairs are distinct within it regardless of
+    # how many queries share the term
     dfreq = (
-        matched.select("term", "doc_id")
+        tf.select("term", "doc_id")
         .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))

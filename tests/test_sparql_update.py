@@ -140,3 +140,83 @@ def test_insert_plan_never_shuffles_graph(graph):
     # one Union at the top; the graph side feeds it without aggregation
     assert "Union" in plan
     assert "HashAggregate" not in plan.split("Union")[0]
+
+
+# --- fuzz: random ground-update sequences vs a pure-Python set model ------
+
+
+def _model_apply(graph: set, ops):
+    """Reference semantics: graph is a set of 6-term tuples."""
+    g = set(graph)
+    for kind, rows in ops:
+        if kind == "clear":
+            g = set()
+        elif kind == "insert":
+            g |= set(rows)
+        else:  # delete
+            g -= set(rows)
+    return g
+
+
+def _term(rng):
+    kind = rng.choice(["uri", "lit", "lang", "typed"])
+    v = f"v{rng.randrange(4)}"
+    if kind == "uri":
+        return (f"urn:o{rng.randrange(4)}", "uri", None, None)
+    if kind == "lang":
+        return (v, "literal", rng.choice(["en", "de"]), None)
+    if kind == "typed":
+        return (v, "literal", None, "http://www.w3.org/2001/XMLSchema#integer")
+    return (v, "literal", None, None)
+
+
+def _rand_rows(rng, k):
+    out = []
+    for _ in range(k):
+        obj, ok, lang, dt = _term(rng)
+        out.append(
+            (f"urn:s{rng.randrange(3)}", f"urn:p{rng.randrange(3)}", obj, ok, lang, dt)
+        )
+    return out
+
+
+def _to_sparql(rows):
+    def t(o, ok, lang, dt):
+        if ok == "uri":
+            return f"<{o}>"
+        if lang:
+            return f'"{o}"@{lang}'
+        if dt:
+            return f'"{o}"^^<{dt}>'
+        return f'"{o}"'
+
+    return " . ".join(
+        f"<{s}> <{p}> {t(o, ok, lang, dt)}" for (s, p, o, ok, lang, dt) in rows
+    )
+
+
+def test_fuzz_ground_update_sequences_vs_set_model(spark):
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(6):
+        base = _rand_rows(rng, rng.randrange(0, 8))
+        graph = spark.createDataFrame(
+            sorted(set(base)) or [], TRIPLE_STRUCT
+        )
+        ops, texts = [], []
+        for _ in range(rng.randrange(1, 4)):
+            kind = rng.choice(["insert", "insert", "delete", "clear"])
+            if kind == "clear":
+                ops.append(("clear", []))
+                texts.append("CLEAR DEFAULT")
+            else:
+                rows = _rand_rows(rng, rng.randrange(1, 4))
+                ops.append((kind, rows))
+                kw = "INSERT DATA" if kind == "insert" else "DELETE DATA"
+                texts.append(f"{kw} {{ {_to_sparql(rows)} }}")
+        got = {tuple(r) for r in su.apply_update(graph, " ; ".join(texts)).collect()}
+        want = _model_apply(set(base), ops)
+        assert got == want, (
+            f"trial {trial}: {' ; '.join(texts)}\n got={sorted(got)}\n want={sorted(want)}"
+        )
