@@ -1453,6 +1453,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _aug_embeddings(spark, sf), threshold=0.9, dim=EMB_DIM
     )
 
+    # incremental embedding dedup (shard vs the base's PERSISTED hyperplane
+    # band index): the planted near-copies ARRIVE as the shard; the base is
+    # hashed zero times.  Must equal brute force restricted to
+    # shard-touching pairs (P(miss)~4e-7 at these solver params).
+    def _emb_incremental(spark, sf):
+        base = _embeddings(spark, sf).select("vec_id", "embedding")
+        shard = base.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr(PLANT_EXPR_SPARK).alias("embedding"),
+        )
+        index = annm.embedding_band_keys(base, threshold=0.9, dim=EMB_DIM)
+        return annm.incremental_embedding_dup_pairs(
+            shard, base, threshold=0.9, dim=EMB_DIM, base_index=index
+        )
+
+    q["dedup_embedding_incremental"] = _emb_incremental
+
     # SemDeDup-shaped semantic curation: LSH pair evidence -> CC clusters
     # -> keep-min decision per vector, over the same planted-dup corpus
     # (P(miss)~4e-7, so the decision table must equal the brute-force
@@ -3636,6 +3653,23 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.v, b.v), 4) AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+"""
+
+    # incremental embedding dedup: brute force over base ∪ shard restricted
+    # to pairs with at least one shard-side vector
+    sql["dedup_embedding_incremental"] = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+planted AS (
+    SELECT vec_id + 100000 AS vec_id, {PLANT_EXPR_DUCK} AS embedding
+    FROM base WHERE vec_id % 25 = 0
+),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE (a.vec_id >= 100000 OR b.vec_id >= 100000)
+  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
 """
 
     # SemDeDup decision table: brute-force threshold pairs -> recursive-CTE

@@ -819,3 +819,149 @@ def canonical_vectors(
         )
         .withColumn("is_canonical", F.col("vec_id") == F.col("canonical_id"))
     )
+
+
+def embedding_band_keys(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bands: int | None = None,
+    bits_per_band: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+    target_recall: float = 0.9999,
+) -> DataFrame:
+    """(id, band_id, bk) — the persistable hyperplane-LSH index rows of an
+    embedding corpus, computed MAP-SIDE (one Arrow matmul pass, zero
+    shuffle).  The embedding analog of ``dedup.minhash_band_keys``: build
+    it once for the base corpus (on a cluster, a table bucketed by
+    (band_id, bk)) and every arriving shard joins its own fresh keys
+    against it without touching base vectors.  Same seeded planes as
+    ``embedding_dup_pairs_lsh`` for the same (threshold, params)."""
+    dim, empty = _dim_or_empty(emb, vec_col, dim, "id long, band_id int, bk long")
+    if empty is not None:
+        return empty
+    if bands is None or bits_per_band is None:
+        params = hyperplane_lsh_params(threshold, target_recall)
+        bands, bits_per_band = params.bands, params.bits_per_band
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+    return _banded(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        planes,
+        bits_per_band,
+    ).select("id", "band_id", "bk")
+
+
+def incremental_embedding_dup_pairs(
+    new_emb: DataFrame,
+    base_emb: DataFrame,
+    threshold: float = 0.95,
+    bands: int | None = None,
+    bits_per_band: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+    target_recall: float = 0.9999,
+    max_bucket: int | None = 4096,
+    base_index: DataFrame | None = None,
+    base_bucket_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs INVOLVING at least one vector of an
+    arriving shard — (a, b, sim), cosine >= threshold, a < b.
+
+    The ingestion shape of ``dedup.incremental_minhash_pairs`` in embedding
+    space: the base corpus is represented by its persisted band-key index
+    (``embedding_band_keys``) so each shard hashes ONLY itself; candidates
+    are new x base (one equi-join against the index) plus new x new (self
+    pairing within the shard).  SYMMETRIC skew guard: a (band_id, bk)
+    bucket whose COMBINED count exceeds ``max_bucket`` is dropped from
+    pairing (identical semantics to the batch operator's window guard).
+    Verification is exact cosine; base vectors are scanned exactly once,
+    semi-join-pruned to candidate ids.
+    """
+    dim, empty = _dim_or_empty(
+        new_emb, vec_col, dim, "a long, b long, sim double"
+    )
+    if empty is not None:
+        return empty
+    if bands is None or bits_per_band is None:
+        params = hyperplane_lsh_params(threshold, target_recall)
+        bands, bits_per_band = params.bands, params.bits_per_band
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+    new_keys = _banded(
+        new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        planes,
+        bits_per_band,
+    ).cache()
+    if base_index is None:
+        base_index = embedding_band_keys(
+            base_emb,
+            threshold=threshold,
+            bands=bands,
+            bits_per_band=bits_per_band,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            dim=dim,
+        )
+    if base_bucket_counts is None:
+        base_bucket_counts = base_index.groupBy("band_id", "bk").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+    key = ["band_id", "bk"]
+    hot = (
+        new_keys.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .unionAll(base_bucket_counts)
+        .groupBy(*key)
+        .agg(F.sum("_n").alias("_n"))
+        .filter(F.col("_n") > (max_bucket or (1 << 62)))
+        .select(*key)
+    )
+    new_g = new_keys.join(F.broadcast(hot), key, "left_anti")
+    base_g = base_index.join(F.broadcast(hot), key, "left_anti")
+
+    cross = (
+        new_g.select(*key, F.col("id").alias("_nid"))
+        .join(base_g.select(*key, F.col("id").alias("_bid")), key)
+        .filter(F.col("_nid") != F.col("_bid"))
+        .select(
+            F.least("_nid", "_bid").alias("a"),
+            F.greatest("_nid", "_bid").alias("b"),
+        )
+    )
+    nn = (
+        new_g.select(*key, F.col("id").alias("a"))
+        .join(new_g.select(*key, F.col("id").alias("b")), key)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    cands = cross.unionByName(nn).distinct()
+
+    cand_ids = (
+        cands.select(F.col("a").alias("id"))
+        .unionAll(cands.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    vecs = (
+        new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .unionByName(
+            base_emb.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+            ).join(cand_ids, "id", "left_semi")
+        )
+        .dropDuplicates(["id"])
+    )
+    scored = (
+        cands.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        .withColumn(
+            "sim", F.round(_cosine(F.col("va"), F.col("vb")), SIM_DECIMALS)
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return scored.select("a", "b", "sim")

@@ -486,3 +486,70 @@ def test_duplicated_span_scrub_three_way(spark):
     for i in range(3):
         assert out[i].n_dup_windows == 1
         assert out[i].clean_text == f"pre{i} post{i}"
+
+
+def test_incremental_embedding_equals_batch_restricted(spark):
+    """incremental(shard, base, persisted index) == batch LSH over
+    base ∪ shard restricted to shard-touching pairs."""
+    import numpy as np
+    from breg_dcat_harvester_spark.operators.ann import (
+        embedding_band_keys,
+        embedding_dup_pairs_lsh,
+        incremental_embedding_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # shard: perturbed copies of vectors 2, 7, 30 + one unrelated vector
+    shard_rows = [
+        (200 + j, [float(x + 1e-3) for x in vecs[s]])
+        for j, s in enumerate((2, 7, 30))
+    ] + [(299, [float(x) for x in rng.standard_normal(16)])]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    shard = spark.createDataFrame(
+        shard_rows, "vec_id long, embedding array<double>"
+    )
+    idx = embedding_band_keys(base, threshold=0.99, dim=16)
+    inc = {
+        (r.a, r.b, r.sim)
+        for r in incremental_embedding_dup_pairs(
+            shard, base, threshold=0.99, dim=16, base_index=idx
+        ).collect()
+    }
+    batch = {
+        (r.a, r.b, r.sim)
+        for r in embedding_dup_pairs_lsh(
+            base.unionByName(shard), threshold=0.99, dim=16
+        ).collect()
+        if r.a >= 200 or r.b >= 200
+    }
+    assert inc == batch
+    assert {(a, b) for a, b, _ in inc} == {(2, 200), (7, 201), (30, 202)}
+
+
+def test_incremental_embedding_new_x_new_pairs(spark):
+    """Two near-identical vectors arriving in the SAME shard pair with
+    each other, not only with the base."""
+    import numpy as np
+    from breg_dcat_harvester_spark.operators.ann import (
+        incremental_embedding_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    twin = [float(x) for x in rng.standard_normal(16)]
+    shard = spark.createDataFrame(
+        [(100, twin), (101, [x + 1e-3 for x in twin])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.a, r.b)
+        for r in incremental_embedding_dup_pairs(
+            shard, base, threshold=0.99, dim=16
+        ).collect()
+    }
+    assert got == {(100, 101)}
