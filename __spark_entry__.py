@@ -286,6 +286,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_rdfs_closure"] = _kg_rdfs
 
+    # negative sampling for KG-embedding training (operators/negatives.py):
+    # hash-ranked per-predicate candidate pools broadcast as plan inputs,
+    # hash-indexed picks — the triple stream never shuffles
+    def _kg_negatives(spark, sf):
+        from breg_dcat_harvester_spark.operators.negatives import (
+            kg_negative_samples,
+        )
+
+        return kg_negative_samples(_merged(spark, sf), k=2, pool_size=64)
+
+    q["kg_negative_samples"] = _kg_negatives
+
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
     # any partition writes its own valid .nt part file.  Oracle replays the
@@ -2090,6 +2102,16 @@ SELECT subj, pred, obj, 'uri' AS obj_kind,
        CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
 FROM uri3
 """
+
+    from breg_dcat_harvester_spark.operators.negatives import (
+        oracle_negative_samples_sql,
+    )
+
+    sql["kg_negative_samples"] = oracle_negative_samples_sql(
+        f"(SELECT DISTINCT subj, pred, obj, obj_kind FROM {osql.edges_sql(glob)} AS _e)",
+        k=2,
+        pool_size=64,
+    )
 
     # deterministic synchronous LPA: 4 unrolled rounds, each = neighbor-label
     # counts + ROW_NUMBER(count DESC, label ASC) top-1, isolated nodes keep

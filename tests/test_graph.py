@@ -171,3 +171,38 @@ def test_label_propagation_deterministic_any_parallelism(spark):
     a = sorted(map(tuple, label_propagation(df.repartition(1), rounds=4).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(13), rounds=4).collect()))
     assert a == b
+
+
+def test_kg_negative_samples_semantics(spark):
+    from breg_dcat_harvester_spark.operators.negatives import (
+        kg_negative_samples,
+    )
+
+    rows = (
+        [("urn:s%d" % i, "urn:p", "urn:o%d" % (i % 5), "uri", None, None)
+         for i in range(20)]
+        + [("urn:x", "urn:q", "urn:only", "uri", None, None)]
+        + [("urn:x", "urn:r", "lit", "literal", None, None)]
+    )
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string"
+    )
+    out = kg_negative_samples(df, k=3, pool_size=8).collect()
+    # negatives are type-consistent: drawn from the SAME predicate's pool
+    p_objs = {f"urn:o{i}" for i in range(5)}
+    for r in out:
+        if r.pred == "urn:p":
+            assert r.neg_obj in p_objs and r.neg_obj != r.obj
+    # a single-object predicate can never produce a valid negative
+    assert not any(r.pred == "urn:q" for r in out)
+    # literal-object triples are never corrupted
+    assert not any(r.pred == "urn:r" for r in out)
+    # at most k rows per positive, deterministic across runs/parallelism
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, kg_negative_samples(df.repartition(7), k=3, pool_size=8).collect()))
+    assert a == b
+    # different salt -> (almost surely) different draws, same shape
+    c = kg_negative_samples(df, k=3, pool_size=8, salt="epoch2").collect()
+    assert sorted((r.subj, r.pred, r.obj, r.neg_idx) for r in c) != [] 
+    assert a != sorted(map(tuple, c))
