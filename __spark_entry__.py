@@ -298,6 +298,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_negative_samples"] = _kg_negatives
 
+    # SHACL value-level constraints (sh:nodeKind / sh:datatype /
+    # sh:pattern) beyond the cardinality report: per-edge codegen'd
+    # predicates, ONE subj equi-join of the typed and constrained slices
+    def _kg_value_violations(spark, sf):
+        from breg_dcat_harvester_spark.operators.validate import (
+            ValueShape,
+            value_violations,
+        )
+
+        shapes = [
+            # identifiers of the first 500 datasets conform; later ones
+            # violate the pattern (a REAL partial failure, not a synthetic
+            # always-true/always-false check)
+            ValueShape(CLASS_URIS["Dataset"], DCT + "identifier",
+                       pattern="^DS-000[0-4][0-9]$"),
+            ValueShape(CLASS_URIS["Dataset"], DCT + "title",
+                       datatype="http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+                       severity="Warning"),
+            ValueShape(CLASS_URIS["Catalog"], DCT + "publisher",
+                       node_kind="IRI"),
+            ValueShape(CLASS_URIS["Dataset"], DCAT + "theme",
+                       node_kind="IRI"),
+        ]
+        return value_violations(_merged(spark, sf), shapes)
+
+    q["kg_validation_value_violations"] = _kg_value_violations
+
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
     # any partition writes its own valid .nt part file.  Oracle replays the
@@ -2101,6 +2128,53 @@ UNION
 SELECT subj, pred, obj, 'uri' AS obj_kind,
        CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dtype
 FROM uri3
+"""
+
+    # SHACL value constraints: same slices, same effective-datatype rule,
+    # one UNION ALL branch per constraint kind, DISTINCT at the end
+    _vv_rdf_ls = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    sql["kg_validation_value_violations"] = f"""
+WITH t AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype
+    FROM {osql.edges_sql(glob)} AS _e
+),
+typed AS (
+    SELECT DISTINCT subj, obj AS entity_type FROM t WHERE pred = '{RDF_TYPE}'
+),
+shapes(target_class, path, node_kind, datatype, pattern, severity) AS (VALUES
+    ('{CLASS_URIS["Dataset"]}', '{DCT}identifier', NULL, NULL,
+     '^DS-000[0-4][0-9]$', 'Violation'),
+    ('{CLASS_URIS["Dataset"]}', '{DCT}title', NULL, '{_vv_rdf_ls}', NULL,
+     'Warning'),
+    ('{CLASS_URIS["Catalog"]}', '{DCT}publisher', 'IRI', NULL, NULL,
+     'Violation'),
+    ('{CLASS_URIS["Dataset"]}', '{DCAT}theme', 'IRI', NULL, NULL,
+     'Violation')
+),
+j AS (
+    SELECT v.subj, ty.entity_type, v.pred AS path, v.obj AS value,
+           v.obj_kind, s.node_kind, s.datatype, s.pattern, s.severity,
+           CASE WHEN v.obj_kind <> 'literal' THEN NULL
+                WHEN v.lang IS NOT NULL THEN '{_vv_rdf_ls}'
+                ELSE coalesce(v.dtype, 'http://www.w3.org/2001/XMLSchema#string')
+           END AS eff_dtype
+    FROM t v
+    JOIN typed ty ON ty.subj = v.subj
+    JOIN shapes s ON s.target_class = ty.entity_type AND s.path = v.pred
+)
+SELECT DISTINCT subj, entity_type, path, value, check_kind, severity FROM (
+    SELECT subj, entity_type, path, value, 'nodeKind' AS check_kind, severity
+    FROM j WHERE node_kind IS NOT NULL AND (
+        (node_kind = 'IRI' AND obj_kind <> 'uri')
+        OR (node_kind = 'Literal' AND obj_kind <> 'literal'))
+    UNION ALL
+    SELECT subj, entity_type, path, value, 'datatype', severity
+    FROM j WHERE datatype IS NOT NULL AND (
+        obj_kind <> 'literal' OR eff_dtype IS DISTINCT FROM datatype)
+    UNION ALL
+    SELECT subj, entity_type, path, value, 'pattern', severity
+    FROM j WHERE pattern IS NOT NULL AND NOT regexp_matches(value, pattern)
+)
 """
 
     from breg_dcat_harvester_spark.operators.negatives import (

@@ -158,3 +158,101 @@ def gate_all_or_nothing(verdicts: DataFrame) -> None:
     n_bad = verdicts.filter(~F.col("conforms")).count()
     if n_bad:
         raise ValueError(f"Invalid entities found (n={n_bad}); aborting harvest")
+
+
+@dataclass(frozen=True)
+class ValueShape:
+    """One value-level constraint (SHACL sh:nodeKind / sh:datatype /
+    sh:pattern): class + property + the required term form.
+
+    ``node_kind`` in {'IRI', 'Literal'}; ``datatype`` compares against the
+    RDF 1.1 EFFECTIVE datatype (lang-tagged -> rdf:langString, plain ->
+    xsd:string); ``pattern`` is a regex in the Java∩RE2 dialect subset
+    (same discipline as pii.py) over the lexical form.  Any specified
+    check that fails produces a violation row."""
+
+    target_class: str
+    path: str
+    node_kind: str | None = None
+    datatype: str | None = None
+    pattern: str | None = None
+    severity: str = "Violation"
+
+
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def value_violations(
+    edges: DataFrame, shapes: list[ValueShape]
+) -> DataFrame:
+    """Value-level violations: one row per (entity, path, value, failed
+    check) — columns subj, entity_type, path, value, constraint,
+    severity.
+
+    Plan shape: the typed-entity slice joins the constrained-path slice
+    once (both filters push to the scan); the shape table broadcasts; all
+    three checks are codegen'd Column predicates evaluated per edge — no
+    per-entity aggregation is needed for value constraints, so the only
+    exchange is the subj equi-join of the two slices.
+    """
+    if not shapes:
+        raise ValueError("value_violations expects at least one shape")
+    spark = edges.sparkSession
+    shapes_df = spark.createDataFrame(
+        [
+            (s.target_class, s.path, s.node_kind, s.datatype, s.pattern, s.severity)
+            for s in shapes
+        ],
+        "target_class string, path string, node_kind string, "
+        "datatype string, pattern string, severity string",
+    )
+    typed = (
+        edges.filter(F.col("pred") == RDF_TYPE)
+        .select("subj", F.col("obj").alias("entity_type"))
+        .distinct()
+    )
+    paths = sorted({s.path for s in shapes})
+    vals = edges.filter(F.col("pred").isin(paths)).select(
+        "subj", F.col("pred").alias("path"), "obj", "obj_kind", "lang", "dtype"
+    )
+    effective_dtype = F.when(
+        F.col("obj_kind") != "literal", F.lit(None).cast("string")
+    ).when(F.col("lang").isNotNull(), F.lit(_RDF_LANGSTRING)).otherwise(
+        F.coalesce(F.col("dtype"), F.lit(_XSD_STRING))
+    )
+    joined = (
+        vals.join(typed, "subj")
+        .join(
+            F.broadcast(shapes_df),
+            (F.col("entity_type") == F.col("target_class"))
+            & (vals["path"] == shapes_df["path"]),
+        )
+        .drop(shapes_df["path"])
+        .withColumn("eff_dtype", effective_dtype)
+    )
+    nk_bad = F.col("node_kind").isNotNull() & (
+        F.when(F.col("node_kind") == "IRI", F.col("obj_kind") != "uri")
+        .when(F.col("node_kind") == "Literal", F.col("obj_kind") != "literal")
+        .otherwise(F.lit(True))  # unknown node_kind: fail loudly per row
+    )
+    dt_bad = F.col("datatype").isNotNull() & (
+        (F.col("obj_kind") != "literal")
+        | (F.col("eff_dtype") != F.col("datatype"))
+    )
+    pat_bad = F.col("pattern").isNotNull() & ~F.regexp_like(
+        F.col("obj"), F.col("pattern")
+    )
+    checks = [("nodeKind", nk_bad), ("datatype", dt_bad), ("pattern", pat_bad)]
+    rows = joined.select(
+        "subj", "entity_type", "path", F.col("obj").alias("value"), "severity",
+        F.array(
+            *[F.when(cond, F.lit(name)) for name, cond in checks]
+        ).alias("_fails"),
+    ).select(
+        "subj", "entity_type", "path", "value",
+        F.explode("_fails").alias("check_kind"), "severity",
+    ).filter(F.col("check_kind").isNotNull())
+    return rows.select(
+        "subj", "entity_type", "path", "value", "check_kind", "severity"
+    ).distinct()

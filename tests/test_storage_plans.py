@@ -428,3 +428,45 @@ def test_iceberg_table_write_modes_and_snapshot_probe():
     # empty snapshot log -> write reports empty id, not a crash
     df2 = _StubDf([], _StubSql(None))
     assert t.write(df2, mode="append") == ""
+
+
+def test_value_violations_constraint_kinds(spark):
+    from breg_dcat_harvester_spark.operators.validate import (
+        ValueShape,
+        value_violations,
+    )
+    from breg_dcat_harvester_spark.schema import RDF_TYPE, TRIPLE_STRUCT
+
+    rows = [
+        ("urn:d1", RDF_TYPE, "urn:Dataset", "uri", None, None),
+        # pattern violation
+        ("urn:d1", "urn:id", "BAD-1", "literal", None, None),
+        # nodeKind violation (literal where IRI required)
+        ("urn:d1", "urn:theme", "not-a-uri", "literal", None, None),
+        # datatype: plain literal where langString required
+        ("urn:d1", "urn:title", "plain", "literal", None, None),
+        # conforming values
+        ("urn:d1", "urn:title", "tagged", "literal", "en", None),
+        ("urn:d1", "urn:theme", "urn:t", "uri", None, None),
+        # untyped subject: never checked
+        ("urn:x", "urn:id", "BAD-2", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, TRIPLE_STRUCT)
+    shapes = [
+        ValueShape("urn:Dataset", "urn:id", pattern="^ID-[0-9]+$"),
+        ValueShape("urn:Dataset", "urn:theme", node_kind="IRI"),
+        ValueShape(
+            "urn:Dataset", "urn:title",
+            datatype="http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+            severity="Warning",
+        ),
+    ]
+    got = {
+        (r.subj, r.path, r.value, r.check_kind, r.severity)
+        for r in value_violations(g, shapes).collect()
+    }
+    assert got == {
+        ("urn:d1", "urn:id", "BAD-1", "pattern", "Violation"),
+        ("urn:d1", "urn:theme", "not-a-uri", "nodeKind", "Violation"),
+        ("urn:d1", "urn:title", "plain", "datatype", "Warning"),
+    }
