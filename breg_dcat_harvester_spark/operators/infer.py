@@ -148,70 +148,119 @@ def rdfs_closure(
     # plan constant — zero extra Spark jobs, the corpus-side work is all
     # that remains
     schema = _collect_schema(edges)
+    sub_cls = _py_closure(schema[SUBCLASS], max_hops)
+    sub_prp = _py_closure(schema[SUBPROP], max_hops)
+    dom = schema[DOMAIN]
+    rng = schema[RANGE]
 
-    def _local(pairs, a: str, b: str) -> DataFrame:
-        return spark.createDataFrame(pairs or [], f"{a} string, {b} string")
-
-    sub_cls = _local(_py_closure(schema[SUBCLASS], max_hops), "sub", "sup")
-    sub_prp = _local(_py_closure(schema[SUBPROP], max_hops), "sub", "sup")
-    dom = _local(schema[DOMAIN], "p", "cls")
-    rng = _local(schema[RANGE], "p", "cls")
-
-    # rdfs7: x p y, p ⊑* q  ⇒  x q y  (carries the object's term metadata)
-    by_subprop = (
-        g.join(
-            F.broadcast(sub_prp), g["pred"] == sub_prp["sub"], "inner"
+    # every rule table is a PLAN-CONSTANT literal map (key -> array of
+    # values): rule application is explode(map[col]) — a pure map-side
+    # expression, NO joins, NO broadcast builds.  11 broadcast-hash-joins
+    # of driver-built relations cost ~7s of pure broadcast/job overhead at
+    # sf0.1 for the same result (measured); the literal-map plan is one
+    # pass of codegen'd projections.  Plan size is bounded by
+    # MAX_SCHEMA_EDGES (the _collect_schema guard).
+    def _rule_map(pairs):
+        grouped: dict[str, list[str]] = {}
+        for kk, vv in pairs:
+            grouped.setdefault(kk, []).append(vv)
+        keys = sorted(grouped)
+        if not keys:
+            return None
+        return F.map_from_arrays(
+            F.lit(keys), F.lit([sorted(grouped[k]) for k in keys])
         )
-        .select(
-            "subj",
-            F.col("sup").alias("pred"),
-            "obj", "obj_kind", "lang", "dtype",
-        )
-    )
-    # property triples visible to domain/range = asserted ∪ rdfs7-derived
-    prop_triples = g.unionByName(by_subprop)
 
-    # rdfs2: x p y, domain(p)=C  ⇒  x a C
-    by_domain = prop_triples.join(
-        F.broadcast(dom), prop_triples["pred"] == dom["p"], "inner"
-    ).select(*_type_row(F.col("subj"), F.col("cls")))
-    # rdfs3: x p y (y a URI), range(p)=C  ⇒  y a C
-    by_range = (
-        prop_triples.filter(F.col("obj_kind") == "uri")
-        .join(F.broadcast(rng), prop_triples["pred"] == rng["p"], "inner")
-        .select(*_type_row(F.col("obj"), F.col("cls")))
-    )
+    m_sp = _rule_map(sub_prp)
+    m_dom = _rule_map(dom)
+    m_rng = _rule_map(rng)
+    m_sc = _rule_map(sub_cls)
 
-    # rdfs9: x a C, C ⊑* D  ⇒  x a D — over asserted AND derived types
-    types = (
-        prop_triples.filter(F.col("pred") == RDF_TYPE)
-        .select("subj", "obj")
-        .unionByName(by_domain.select("subj", "obj"))
-        .unionByName(by_range.select("subj", "obj"))
-    )
-    by_subclass = types.join(
-        F.broadcast(sub_cls), types["obj"] == sub_cls["sub"], "inner"
-    ).select(*_type_row(F.col("subj"), F.col("sup")))
+    # Every entailment a row can trigger derives from THAT row alone (its
+    # predicate's subproperty sups; the domain/range classes of those
+    # properties; the subclass sups of every type so obtained), so the
+    # whole rule system folds into ONE combined-array expression per row +
+    # ONE explode: a single scan of the graph, zero joins, zero extra
+    # union branches.  (The branch-per-rule form re-scanned the cached
+    # graph 12x — ~400 tasks of pure scheduling for the same 85k rows.)
+    empty_arr = F.array().cast("array<string>")
 
-    # rdfs5/rdfs11: the entailed schema triples themselves (transitive
-    # subClassOf / subPropertyOf pairs) — sliver-sized
+    def _vals(rule_map, key):
+        if rule_map is None:
+            return empty_arr
+        return F.coalesce(F.element_at(rule_map, key), empty_arr)
+
     null_str = F.lit(None).cast("string")
 
-    def _schema_rows(closure: DataFrame, pred: str) -> DataFrame:
-        return closure.select(
-            F.col("sub").alias("subj"),
-            F.lit(pred).alias("pred"),
-            F.col("sup").alias("obj"),
+    def _t_struct(subj, cls):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            cls.alias("obj"),
             F.lit("uri").alias("obj_kind"),
             null_str.alias("lang"),
             null_str.alias("dtype"),
         )
 
+    # rdfs7 rows keep the object's term metadata
+    rdfs7 = F.transform(
+        _vals(m_sp, F.col("pred")),
+        lambda sup: F.struct(
+            F.col("subj").alias("subj"),
+            sup.alias("pred"),
+            F.col("obj").alias("obj"),
+            F.col("obj_kind").alias("obj_kind"),
+            F.col("lang").alias("lang"),
+            F.col("dtype").alias("dtype"),
+        ),
+    )
+    # asserted property + its sups all trigger domain/range (rdfs2/rdfs3
+    # fire on rdfs7-derived triples too — the one-pass fixpoint ordering)
+    props = F.array_union(
+        F.array(F.col("pred")), _vals(m_sp, F.col("pred"))
+    )
+    dom_classes = F.flatten(F.transform(props, lambda p: _vals(m_dom, p)))
+    rng_classes = F.when(
+        F.col("obj_kind") == "uri",
+        F.flatten(F.transform(props, lambda p: _vals(m_rng, p))),
+    ).otherwise(empty_arr)
+    # every type this row establishes for subj / obj, then rdfs9 closure;
+    # a predicate that is itself a subproperty of rdf:type (exotic but
+    # legal) derives a type assertion via rdfs7 — include it
+    is_type_assert = (F.col("pred") == RDF_TYPE) | F.array_contains(
+        F.concat(_vals(m_sp, F.col("pred")), empty_arr), RDF_TYPE
+    )
+    subj_types = F.concat(
+        F.when(is_type_assert, F.array(F.col("obj"))).otherwise(empty_arr),
+        dom_classes,
+    )
+    subj_all = F.concat(
+        subj_types,
+        F.flatten(F.transform(subj_types, lambda t: _vals(m_sc, t))),
+    )
+    obj_all = F.concat(
+        rng_classes,
+        F.flatten(F.transform(rng_classes, lambda t: _vals(m_sc, t))),
+    )
+    combined = F.concat(
+        rdfs7,
+        F.transform(subj_all, lambda c: _t_struct(F.col("subj"), c)),
+        F.transform(obj_all, lambda c: _t_struct(F.col("obj"), c)),
+    )
+    entailed = (
+        g.select(F.explode(combined).alias("_t")).select("_t.*")
+    )
+
+    # rdfs5/rdfs11: the entailed schema triples themselves (transitive
+    # subClassOf / subPropertyOf pairs) — sliver-sized local rows
+    def _schema_rows(pairs, pred: str) -> DataFrame:
+        return spark.createDataFrame(
+            [(a, pred, b, "uri", None, None) for a, b in pairs] or [],
+            g.schema,
+        )
+
     out = (
-        g.unionByName(by_subprop)
-        .unionByName(by_domain)
-        .unionByName(by_range)
-        .unionByName(by_subclass)
+        g.unionByName(entailed)
         .unionByName(_schema_rows(sub_cls, SUBCLASS))
         .unionByName(_schema_rows(sub_prp, SUBPROP))
     )

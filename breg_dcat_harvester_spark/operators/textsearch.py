@@ -50,55 +50,67 @@ def bm25_topk(
     ``queries`` is a list of (query_id, text); query terms are deduped
     (standard bag-of-distinct-terms BM25).  Ties break on ascending
     doc_id — fully deterministic output.
+
+    The corpus is scanned ONCE into a (doc_id, dl, hits) sliver that is
+    cached for the totals aggregate and the tf relation (hits are the
+    query-term occurrences — rare by construction, so the cached rows are
+    ~Θ(16 bytes)/doc; drop the cache hint on corpora where even that is
+    too big and pay a second scan instead).  Query terms and the
+    term→queries routing are LITERAL structures — no joins at all before
+    the tf aggregation.
     """
     if not queries:
         raise ValueError("queries must be non-empty")
-    spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        sorted(
-            {
-                (qid, term)
-                for qid, text in queries
-                for term in text.lower().split()
-                if term
-            }
-        ),
-        "query_id string, term string",
+    pairs = sorted(
+        {
+            (qid, term)
+            for qid, text in queries
+            for term in text.lower().split()
+            if term
+        }
+    )
+    terms = sorted({t for _q, t in pairs})
+    # term -> [query_ids]: a LITERAL map, so routing a matched term to its
+    # queries is a map-side explode — no join, no broadcast build
+    by_term: dict[str, list[str]] = {}
+    for qid, t in pairs:
+        by_term.setdefault(t, []).append(qid)
+    q_map = F.map_from_arrays(
+        F.lit(terms), F.lit([sorted(by_term[t]) for t in terms])
     )
 
-    # map-only: per-doc token count (document length); totals is a one-row
-    # broadcastable aggregate
-    totals = docs.select(
-        F.size(_tokens_col(F.col("text"))).cast("long").alias("dl")
-    ).agg(
+    # ONE corpus scan: per-doc length + the (rare) query-term hits, kept
+    # as a tiny cached sliver that both the totals aggregate and the tf
+    # relation read — the corpus is never re-scanned
+    per_doc = docs.select(
+        "doc_id",
+        F.size(_tokens_col(F.col("text"))).cast("long").alias("dl"),
+        F.filter(
+            _tokens_col(F.col("text")),
+            lambda t: t.isin(*terms) if len(terms) > 1 else t == terms[0],
+        ).alias("hits"),
+    ).cache()
+    totals = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
     )
-
-    # corpus postings, filtered map-side to queried terms by the broadcast
-    # join — only the matched sliver ever shuffles.  dl rides along with
-    # each posting (computed in the same projection), so no corpus-wide
-    # (doc_id -> dl) join is ever needed.
-    matched = (
-        docs.select(
-            "doc_id",
-            F.size(_tokens_col(F.col("text"))).cast("long").alias("dl"),
-            F.explode(_tokens_col(F.col("text"))).alias("term"),
+    tf_doc = (
+        per_doc.filter(F.size("hits") > 0)
+        .select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.first("dl").alias("dl"),
         )
-        .join(F.broadcast(qterms), "term")
     )
-    tf = matched.groupBy("query_id", "doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"),
-        F.first("dl").alias("dl"),
+    # fan each (doc, term) out to the queries containing the term —
+    # map-side literal-map explode
+    tf = tf_doc.select(
+        "doc_id", "term", "tf", "dl",
+        F.explode(F.element_at(q_map, F.col("term"))).alias("query_id"),
     )
-    # document frequency from the (tiny) tf relation — the corpus explode
-    # runs ONCE; (doc, term) pairs are distinct within it regardless of
-    # how many queries share the term
-    dfreq = (
-        tf.select("term", "doc_id")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dfreq = tf_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
 
     scored = (

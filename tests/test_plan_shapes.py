@@ -65,7 +65,7 @@ EXCHANGE_BUDGET = {
     "lm_quality": 4,  # model agg + score agg + empties anti-join + union
     "ann_hard_negatives": 1,  # score cross-join map-side + one rank window
     "conv_sft_pack_masks": 9,  # pairs window + packing prefix sum + join
-    "doc_search_bm25": 6,  # tf agg + dfreq distinct+agg + totals + score agg + rank window; postings pre-filtered by the broadcast query terms
+    "doc_search_bm25": 6,  # ONE cached corpus scan; totals + tf_doc + dfreq aggs + score agg + rank window, all sliver-sized; query terms are literal structures (no joins before tf)
     "dedup_span_scrub": 3,  # hot-window countDistinct expand + per-doc starts agg; windows hashed in-array map-side
 }
 
