@@ -250,12 +250,13 @@ def _set_delete(graph: DataFrame, dels: DataFrame) -> DataFrame:
 def _set_insert(graph: DataFrame, ins: DataFrame) -> DataFrame:
     """graph ∪ ins without re-shuffling the graph: only graph rows sharing
     a subject with an insert can collide, so the membership probe anti-joins
-    the inserts against that broadcast-semi-restricted sliver."""
+    the inserts against that subject-restricted sliver.  No broadcast hint:
+    AQE broadcasts the subject set while it is sliver-sized (the harvester's
+    usage) and degrades to a shuffle join for graph-scale instantiations
+    instead of exceeding the broadcast ceiling."""
     i = ins.select(*TERM_COLS).distinct().alias("__i")
     sliver = (
-        graph.join(
-            F.broadcast(i.select("subj").distinct()), "subj", "left_semi"
-        )
+        graph.join(i.select("subj").distinct(), "subj", "left_semi")
         .select(*TERM_COLS)
         .alias("__s")
     )
