@@ -673,14 +673,50 @@ def duplicated_span_scrub(
         .agg(F.array_sort(F.collect_list("start")).alias("starts"))
     )
 
+    # merge the sorted starts into disjoint covered INTERVALS before the
+    # per-token test: a heavily-duplicated doc has |starts| ~ n, and
+    # exists-over-starts would make the rebuild O(n^2) per doc — after the
+    # merge a fully-duplicated doc is ONE interval and the test is
+    # O(n * |gaps|)
+    intervals = F.aggregate(
+        F.col("starts"),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + width).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"),
+                        (s + width).cast("int").alias("hi"),
+                    )
+                ),
+            )
+        ),
+    )
+
     def _covered(i):
-        return F.exists(F.col("starts"), lambda s: (s <= i) & (i < s + width))
+        return F.exists(
+            F.col("_iv"), lambda v: (v["lo"] <= i) & (i < v["hi"])
+        )
 
     return (
         base.join(hot_starts, "doc_id", "left")
         .withColumn(
             "starts", F.coalesce("starts", F.array().cast("array<int>"))
         )
+        .withColumn("_iv", intervals)
         .select(
             "doc_id",
             F.size("starts").cast("long").alias("n_dup_windows"),
