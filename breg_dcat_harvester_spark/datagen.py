@@ -144,6 +144,12 @@ def build_entities(n_turns: int) -> dict[str, pd.DataFrame]:
     ds["description"] = "Description of dataset " + ds["i"].astype(str)
     ds["spatial"] = np.array(LOCATIONS)[(ds["i"] * 3) % len(LOCATIONS)]
     ds["theme"] = np.array(THEMES)[ds["i"] % len(THEMES)]
+    # every 3rd dataset carries a SECOND theme: (5i+2)%8 == i%8 would need
+    # 4i ≡ 6 (mod 8), impossible — the pair is always distinct, so the
+    # var-to-var FILTER(?t1 != ?t2) SPARQL contract query (theme pairs) and
+    # multi-valued GROUP_CONCAT have real rows to verify against.
+    theme2 = pd.Series(np.array(THEMES)[(ds["i"] * 5 + 2) % len(THEMES)])
+    theme2_part = np.where(ds["i"] % 3 == 0, "|theme=" + theme2, "")
     ds["dist"] = "#dist-" + ds["i"].astype(str).str.zfill(5)
     ds["block"] = (
         "[[Dataset|id=" + ds["local"]
@@ -152,6 +158,7 @@ def build_entities(n_turns: int) -> dict[str, pd.DataFrame]:
         + "|description=" + ds["description"]
         + "|spatial=" + ds["spatial"]
         + "|theme=" + ds["theme"]
+        + theme2_part
         + "|distribution=" + ds["dist"]
         + "]]"
     )

@@ -177,6 +177,9 @@ class ValueShape:
     datatype: str | None = None
     pattern: str | None = None
     severity: str = "Violation"
+    # sh:or of sh:datatype alternatives (the shapes file's
+    # DateOrDateTimeDataType_Shape): effective datatype must be one of these
+    datatype_any: tuple[str, ...] | None = None
 
 
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
@@ -201,11 +204,13 @@ def value_violations(
     spark = edges.sparkSession
     shapes_df = spark.createDataFrame(
         [
-            (s.target_class, s.path, s.node_kind, s.datatype, s.pattern, s.severity)
+            (s.target_class, s.path, s.node_kind, s.datatype, s.pattern,
+             s.severity, list(s.datatype_any) if s.datatype_any else None)
             for s in shapes
         ],
         "target_class string, path string, node_kind string, "
-        "datatype string, pattern string, severity string",
+        "datatype string, pattern string, severity string, "
+        "datatype_any array<string>",
     )
     typed = (
         edges.filter(F.col("pred") == RDF_TYPE)
@@ -240,10 +245,17 @@ def value_violations(
         (F.col("obj_kind") != "literal")
         | (F.col("eff_dtype") != F.col("datatype"))
     )
+    dt_any_bad = F.col("datatype_any").isNotNull() & (
+        (F.col("obj_kind") != "literal")
+        | ~F.array_contains(F.col("datatype_any"), F.col("eff_dtype"))
+    )
     pat_bad = F.col("pattern").isNotNull() & ~F.regexp_like(
         F.col("obj"), F.col("pattern")
     )
-    checks = [("nodeKind", nk_bad), ("datatype", dt_bad), ("pattern", pat_bad)]
+    checks = [
+        ("nodeKind", nk_bad), ("datatype", dt_bad),
+        ("datatypeAny", dt_any_bad), ("pattern", pat_bad),
+    ]
     rows = joined.select(
         "subj", "entity_type", "path", F.col("obj").alias("value"), "severity",
         F.array(
@@ -256,3 +268,311 @@ def value_violations(
     return rows.select(
         "subj", "entity_type", "path", "value", "check_kind", "severity"
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Full BRegDCAT-AP shapes: constraints as DATA parsed from the reference's
+# own shapes file (ontology/BRegDCAT-AP_shacl_shapes_2.00.ttl, 18
+# sh:targetClass node shapes / 158 property shapes), not hand-coded rows.
+# ---------------------------------------------------------------------------
+
+_SH = "http://www.w3.org/ns/shacl#"
+
+
+@dataclass(frozen=True)
+class ClassShape:
+    """sh:class: every value of ``path`` on a ``target_class`` instance must
+    be a URI carrying rdf:type of one of ``classes`` in the graph (a single
+    sh:class compiles to a 1-tuple; an sh:or of sh:class alternatives — the
+    shapes file's DcatResource_Shape — to the full tuple)."""
+
+    target_class: str
+    path: str
+    classes: tuple[str, ...]
+    severity: str = "Violation"
+
+
+@dataclass(frozen=True)
+class HasValueShape:
+    """sh:hasValue: a ``target_class`` instance must carry at least one
+    ``path`` edge whose object equals ``value``."""
+
+    target_class: str
+    path: str
+    value: str
+    severity: str = "Violation"
+
+
+@dataclass(frozen=True)
+class CompiledShapes:
+    """The reference shapes file compiled to constraint rows (pure data).
+
+    ``skipped`` records property shapes whose constraint kind is outside
+    the engine's subset (sh:node / sh:shape sub-shape references and
+    malformed sh:nodeKind values present in the source file) —
+    honest refusal, never silent mis-validation."""
+
+    cardinality: tuple
+    value: tuple
+    klass: tuple
+    has_value: tuple
+    skipped: tuple
+
+
+_NODEKIND_MAP = {
+    _SH + "IRI": "IRI",
+    _SH + "BlankNodeOrIRI": "IRI",  # blank nodes are skolemized to URIs
+    _SH + "Literal": "Literal",
+}
+
+
+def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledShapes:
+    """Parse a SHACL shapes Turtle document into constraint rows.
+
+    Handles the surface the reference file uses: node shapes with
+    ``sh:targetClass`` and ``sh:property`` blank nodes carrying
+    ``sh:path`` / ``sh:minCount`` / ``sh:maxCount`` / ``sh:nodeKind`` /
+    ``sh:datatype`` / ``sh:pattern`` / ``sh:class`` / ``sh:hasValue`` /
+    ``sh:severity``.  ``sh:node``/``sh:shape`` references and unknown
+    nodeKind values go to ``skipped``.
+    """
+    from ..sources.rdf_parse import parse_turtle_doc
+
+    triples = list(parse_turtle_doc(ttl_text, "urn:shacl:", doc_id))
+    by_subj: dict[str, dict[str, list[str]]] = {}
+    for s, p, o, _k, _lg, _dt in triples:
+        by_subj.setdefault(s, {}).setdefault(p, []).append(o)
+
+    card: list[Shape] = []
+    value: list[ValueShape] = []
+    klass: list[ClassShape] = []
+    has_value: list[HasValueShape] = []
+    skipped: list[tuple[str, str, str]] = []
+
+    _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    def _rdf_list(head: str) -> list[str] | None:
+        items = []
+        while head != _RDF + "nil":
+            node = by_subj.get(head, {})
+            firsts, rests = node.get(_RDF + "first"), node.get(_RDF + "rest")
+            if not firsts or not rests:
+                return None
+            items.append(firsts[0])
+            head = rests[0]
+        return items
+
+    def resolve_or(ref: str, constraint: str) -> tuple[str, ...] | None:
+        """A referenced node shape that is purely sh:or of single-constraint
+        alternatives (the file's DateOrDateTimeDataType_Shape /
+        DcatResource_Shape) compiles to a value tuple for that constraint;
+        anything else returns None (-> skipped)."""
+        ors = by_subj.get(ref, {}).get(_SH + "or")
+        if not ors:
+            return None
+        items = _rdf_list(ors[0])
+        if not items:
+            return None
+        vals = []
+        for it in items:
+            v = by_subj.get(it, {}).get(_SH + constraint)
+            if not v:
+                return None
+            vals.append(v[0])
+        return tuple(vals)
+
+    for node, props in by_subj.items():
+        targets = props.get(_SH + "targetClass")
+        if not targets:
+            continue
+        for pshape in props.get(_SH + "property", []):
+            pp = by_subj.get(pshape, {})
+            paths = pp.get(_SH + "path")
+            if not paths or len(paths) != 1:
+                skipped.append((node, pshape, "missing/complex sh:path"))
+                continue
+            path = paths[0]
+            sev = (pp.get(_SH + "severity") or [_SH + "Violation"])[0]
+            sev = sev.rsplit("#", 1)[-1]
+            for target in targets:
+                mn = pp.get(_SH + "minCount")
+                mx = pp.get(_SH + "maxCount")
+                if mn or mx:
+                    card.append(Shape(
+                        target, path,
+                        min_count=int(mn[0]) if mn else 0,
+                        max_count=int(mx[0]) if mx else None,
+                        severity=sev,
+                    ))
+                nk = pp.get(_SH + "nodeKind")
+                dt = pp.get(_SH + "datatype")
+                pat = pp.get(_SH + "pattern")
+                if nk and nk[0] not in _NODEKIND_MAP:
+                    skipped.append((target, path, f"unsupported nodeKind {nk[0]}"))
+                    nk = None
+                if nk or dt or pat:
+                    value.append(ValueShape(
+                        target, path,
+                        node_kind=_NODEKIND_MAP[nk[0]] if nk else None,
+                        datatype=dt[0] if dt else None,
+                        pattern=pat[0] if pat else None,
+                        severity=sev,
+                    ))
+                for c in pp.get(_SH + "class", []):
+                    klass.append(ClassShape(target, path, (c,), severity=sev))
+                for v in pp.get(_SH + "hasValue", []):
+                    has_value.append(HasValueShape(target, path, v, severity=sev))
+                for ref_pred in (_SH + "node", _SH + "shape"):
+                    for ref in pp.get(ref_pred, []):
+                        dt_alt = resolve_or(ref, "datatype")
+                        cls_alt = None if dt_alt else resolve_or(ref, "class")
+                        if dt_alt:
+                            value.append(ValueShape(
+                                target, path, severity=sev, datatype_any=dt_alt,
+                            ))
+                        elif cls_alt:
+                            klass.append(ClassShape(
+                                target, path, cls_alt, severity=sev,
+                            ))
+                        else:
+                            skipped.append(
+                                (target, path, f"sub-shape reference {ref}")
+                            )
+    return CompiledShapes(
+        cardinality=tuple(card),
+        value=tuple(value),
+        klass=tuple(klass),
+        has_value=tuple(has_value),
+        skipped=tuple(skipped),
+    )
+
+
+def load_reference_shapes(
+    path: str = "/root/reference/api/breg_harvester/ontology/"
+    "BRegDCAT-AP_shacl_shapes_2.00.ttl",
+) -> CompiledShapes:
+    """The reference's complete BRegDCAT-AP 2.0 shapes file, compiled.
+
+    Read at runtime from the reference checkout (the same way the harvest
+    parity queries read its sample RDF documents) — the shape table is
+    derived data, never transcribed by hand."""
+    with open(path, encoding="utf-8") as f:
+        return load_shacl_shapes(f.read())
+
+
+def class_violations(edges: DataFrame, shapes: list[ClassShape]) -> DataFrame:
+    """sh:class violations: subj, entity_type, path, value, check_kind,
+    severity — one row per (entity, path, value) whose value is a literal
+    or lacks the required rdf:type.
+
+    Plan shape: the constrained-path sliver joins the typed sliver twice
+    (once for the subject's type, once — LEFT — for the value's required
+    type); the shape table broadcasts.  Both slivers push their pred
+    filters to the scan; no aggregation is needed."""
+    spark = edges.sparkSession
+    shapes_df = spark.createDataFrame(
+        [(s.target_class, s.path, list(s.classes), s.severity) for s in shapes],
+        "target_class string, path string, classes array<string>, severity string",
+    )
+    typed = edges.filter(F.col("pred") == RDF_TYPE).select(
+        "subj", F.col("obj").alias("entity_type")
+    ).distinct()
+    paths = sorted({s.path for s in shapes})
+    vals = edges.filter(F.col("pred").isin(paths)).select(
+        "subj", F.col("pred").alias("path"), "obj", "obj_kind"
+    )
+    cand = (
+        vals.join(typed, "subj")
+        .join(
+            F.broadcast(shapes_df),
+            (F.col("entity_type") == F.col("target_class"))
+            & (vals["path"] == shapes_df["path"]),
+        )
+        .drop(shapes_df["path"])
+    )
+    obj_types = edges.filter(F.col("pred") == RDF_TYPE).select(
+        F.col("subj").alias("_osubj"), F.col("obj").alias("_otype")
+    ).distinct()
+    # equi on the value URI; the class-alternative membership rides as a
+    # residual join filter
+    checked = cand.join(
+        obj_types,
+        (cand["obj"] == obj_types["_osubj"])
+        & F.array_contains(cand["classes"], obj_types["_otype"]),
+        "left",
+    )
+    return (
+        checked.filter(
+            (F.col("obj_kind") != "uri") | F.col("_otype").isNull()
+        )
+        .select(
+            "subj", "entity_type", "path", F.col("obj").alias("value"),
+            F.lit("class").alias("check_kind"), "severity",
+        )
+        .distinct()
+    )
+
+
+def has_value_violations(
+    edges: DataFrame, shapes: list[HasValueShape]
+) -> DataFrame:
+    """sh:hasValue violations: target-class entities missing the required
+    (path, value) edge entirely — an anti-join of the typed sliver against
+    the constrained-edge sliver."""
+    spark = edges.sparkSession
+    shapes_df = spark.createDataFrame(
+        [(s.target_class, s.path, s.value, s.severity) for s in shapes],
+        "target_class string, path string, req_value string, severity string",
+    )
+    typed = edges.filter(F.col("pred") == RDF_TYPE).select(
+        "subj", F.col("obj").alias("entity_type")
+    ).distinct()
+    cand = typed.join(
+        F.broadcast(shapes_df),
+        F.col("entity_type") == F.col("target_class"),
+    )
+    have = edges.select(
+        F.col("subj").alias("_hsubj"), F.col("pred").alias("_hpath"),
+        F.col("obj").alias("_hobj"),
+    ).distinct()
+    missing = cand.join(
+        have,
+        (cand["subj"] == have["_hsubj"])
+        & (cand["path"] == have["_hpath"])
+        & (cand["req_value"] == have["_hobj"]),
+        "left_anti",
+    )
+    return missing.select(
+        "subj", "entity_type", "path", F.col("req_value").alias("value"),
+        F.lit("hasValue").alias("check_kind"), "severity",
+    ).distinct()
+
+
+def full_shapes_report(
+    edges: DataFrame, compiled: CompiledShapes
+) -> DataFrame:
+    """Every supported constraint of the full shapes file, one unified
+    violations table: subj, entity_type, path, value, check_kind, severity.
+
+    check_kind in {minCount, maxCount, nodeKind, datatype, pattern, class,
+    hasValue}; cardinality rows carry a NULL value."""
+    parts = []
+    if compiled.cardinality:
+        card = validation_report(edges, list(compiled.cardinality))
+        parts.append(card.select(
+            "subj", "entity_type", "path",
+            F.lit(None).cast("string").alias("value"),
+            F.when(F.col("count") < F.col("min_count"), F.lit("minCount"))
+            .otherwise(F.lit("maxCount")).alias("check_kind"),
+            "severity",
+        ))
+    if compiled.value:
+        parts.append(value_violations(edges, list(compiled.value)))
+    if compiled.klass:
+        parts.append(class_violations(edges, list(compiled.klass)))
+    if compiled.has_value:
+        parts.append(has_value_violations(edges, list(compiled.has_value)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

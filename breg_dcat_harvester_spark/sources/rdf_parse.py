@@ -184,8 +184,17 @@ def _ttl_tokens(text: str):
 
 
 def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
+    """Recursive-descent Turtle parser: prefixed names, literals with
+    lang/datatype, labeled AND anonymous blank nodes (``[ ... ]`` property
+    lists), and RDF collections ``( ... )`` (rdf:first/rest/nil chains) —
+    the full surface used by the reference's SHACL shapes file
+    (``ontology/BRegDCAT-AP_shacl_shapes_2.00.ttl``, e.g. the ``sh:or``
+    list-of-bnodes at lines 899-921).  Anonymous nodes get deterministic
+    per-document skolem labels (``genid<n>`` in parse order), so two parses
+    of the same document are byte-identical."""
     prefixes: dict[str, str] = {}
     cur_base = base
+    genid = 0
 
     def term(kind: str, tok: str):
         """-> (value, obj_kind, lang, dtype) for a non-literal-suffix token."""
@@ -209,9 +218,15 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             return (tok, "literal", None, XSD + dt)
         raise ParseRdfError(f"turtle: unexpected token {tok!r} as term")
 
+    def fresh_bnode() -> str:
+        nonlocal genid
+        genid += 1
+        return _skolem(doc_id, f"genid{genid}")
+
     toks = list(_ttl_tokens(text))
     i = 0
     n = len(toks)
+    out: list[Triple] = []
 
     def lit_at(j: int):
         """Consume a literal (with optional @lang / ^^dtype) at j."""
@@ -232,6 +247,64 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             j += 2
         _, _, o, k, lg, dt = _literal(lex, lang, dtype)
         return (o, k, lg, dt), j
+
+    def parse_object():
+        """Consume one object at ``i``; emits nested triples for anonymous
+        bnodes / collections.  Returns (value, obj_kind, lang, dtype)."""
+        nonlocal i
+        ok_, otok = toks[i]
+        if ok_ == "literal":
+            (o, k2, lg, dt), j = lit_at(i)
+            i = j
+            return (o, k2, lg, dt)
+        if ok_ == "punct" and otok == "[":
+            i += 1
+            node = fresh_bnode()
+            if toks[i] != ("punct", "]"):
+                parse_pred_obj_list(node)
+            if toks[i] != ("punct", "]"):
+                raise ParseRdfError("turtle: expected ']'")
+            i += 1
+            return (node, "uri", None, None)
+        if ok_ == "punct" and otok == "(":
+            i += 1
+            items = []
+            while toks[i] != ("punct", ")"):
+                items.append(parse_object())
+            i += 1
+            if not items:
+                return (RDF_NS + "nil", "uri", None, None)
+            heads = [fresh_bnode() for _ in items]
+            for idx, (val, k2, lg, dt) in enumerate(items):
+                out.append((heads[idx], RDF_NS + "first", val, k2, lg, dt))
+                nxt = heads[idx + 1] if idx + 1 < len(items) else RDF_NS + "nil"
+                out.append((heads[idx], RDF_NS + "rest", nxt, "uri", None, None))
+            return (heads[0], "uri", None, None)
+        if ok_ == "punct":
+            raise ParseRdfError(f"turtle: unexpected {otok!r} as object")
+        o, k2, lg, dt = term(ok_, otok)
+        i += 1
+        return (o, k2, lg, dt)
+
+    def parse_pred_obj_list(subj: str):
+        nonlocal i
+        while True:  # predicate-object list
+            pred = term(*toks[i])[0]
+            i += 1
+            while True:  # object list
+                o, k2, lg, dt = parse_object()
+                out.append((subj, pred, o, k2, lg, dt))
+                if i < n and toks[i] == ("punct", ","):
+                    i += 1
+                    continue
+                break
+            if i < n and toks[i] == ("punct", ";"):
+                i += 1
+                # tolerate trailing ';' before '.' / ']'
+                if toks[i] in (("punct", "."), ("punct", "]")):
+                    break
+                continue
+            break
 
     while i < n:
         kind, tok = toks[i]
@@ -257,43 +330,39 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
                 if i >= n or toks[i] != ("punct", "."):
                     raise ParseRdfError("turtle: @directive missing '.'")
                 i += 1
+            yield from out
+            out.clear()
             continue
-        # statement
-        if kind in ("punct",) and tok in "[]()":
-            raise ParseRdfError(
-                "turtle subset: collections/anonymous bnodes not supported"
-            )
-        subj = term(kind, tok)[0]
-        i += 1
-        while True:  # predicate-object list
-            pred = term(*toks[i])[0]
+        # statement: subject is a simple term, an anonymous bnode property
+        # list, or a collection
+        if kind == "punct" and tok == "[":
             i += 1
-            while True:  # object list
-                ok_, otok = toks[i]
-                if ok_ == "literal":
-                    (o, k2, lg, dt), i = lit_at(i)
-                else:
-                    if ok_ == "punct" and otok in "[]()":
-                        raise ParseRdfError(
-                            "turtle subset: collections/anonymous bnodes not supported"
-                        )
-                    o, k2, lg, dt = term(ok_, otok)
-                    i += 1
-                yield (subj, pred, o, k2, lg, dt)
-                if toks[i] == ("punct", ","):
-                    i += 1
-                    continue
-                break
-            if toks[i] == ("punct", ";"):
+            subj = fresh_bnode()
+            if toks[i] != ("punct", "]"):
+                parse_pred_obj_list(subj)
+            if toks[i] != ("punct", "]"):
+                raise ParseRdfError("turtle: expected ']'")
+            i += 1
+            # '[ ...props ] .' with no outer predicates is a valid statement
+            if toks[i] == ("punct", "."):
                 i += 1
-                # tolerate trailing ';' before '.'
-                if toks[i] == ("punct", "."):
-                    break
+                yield from out
+                out.clear()
                 continue
-            break
-        if toks[i] != ("punct", "."):
-            raise ParseRdfError(f"turtle: expected '.', got {toks[i]!r}")
+        elif kind == "punct" and tok == "(":
+            subj = parse_object()[0]
+        elif kind == "punct":
+            raise ParseRdfError(f"turtle: unexpected {tok!r} as subject")
+        else:
+            subj = term(kind, tok)[0]
+            i += 1
+        parse_pred_obj_list(subj)
+        if i >= n or toks[i] != ("punct", "."):
+            got = toks[i] if i < n else "end of input"
+            raise ParseRdfError(f"turtle: expected '.', got {got!r}")
         i += 1
+        yield from out
+        out.clear()
 
 
 # --------------------------------------------------------------------------

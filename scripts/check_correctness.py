@@ -3,7 +3,14 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at sf0.01, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted, values
-stringified).  Usage: python scripts/check_correctness.py [name ...]
+stringified).  Usage::
+
+    python scripts/check_correctness.py [--json OUT.json] [name ...]
+
+``--json`` additionally writes a driver-format record per query
+(rows/schema/hash match booleans + row counts) — bench.py uses it to emit
+``CORRECTNESS_FULL.json`` each round so the driver's 50-entry window is
+auditable against the full registry without a judge re-run.
 """
 
 from __future__ import annotations
@@ -49,7 +56,14 @@ def frame_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
+    records: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -68,15 +82,30 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {ex}"[:300],
+            }
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(sdf)} (no oracle; rows-only check)")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": None, "weak": "no oracle; rows-only check",
+            }
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf), "oracle_rows": None,
+                "err": f"duckdb error: {ex}"[:300],
+            }
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -85,6 +114,14 @@ def main() -> int:
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         elif frame_hash(sdf) != frame_hash(odf):
             problems.append("value-hash mismatch")
+        records[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": None,
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)
@@ -101,6 +138,12 @@ def main() -> int:
         else:
             print(f"PASS  {name}: rows={len(sdf)}")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {json_out} ({len(records)} records)")
     print(f"\n{len(failures)} failures" if failures else "\nall green")
     return 1 if failures else 0
 

@@ -140,10 +140,53 @@ _:b ex:refs <thing> .
 def test_turtle_subset_errors():
     with pytest.raises(ParseRdfError, match="prefix"):
         parse_rdf_text("<http://s> nope:p <http://o> .", "turtle", "", "d")
-    with pytest.raises(ParseRdfError, match="not supported"):
-        parse_rdf_text(
-            "@prefix ex: <http://ex/> . ex:s ex:p [ ex:q ex:r ] .", "turtle", "", "d"
-        )
+    with pytest.raises(ParseRdfError, match="expected"):
+        parse_rdf_text("@prefix ex: <http://ex/> . ex:s ex:p ex:o ", "turtle", "", "d")
+
+
+def test_turtle_anonymous_bnode():
+    ts = parse_rdf_text(
+        "@prefix ex: <http://ex/> . ex:s ex:p [ ex:q ex:r ; ex:n 4 ] .",
+        "turtle", "", "d",
+    )
+    outer = [t for t in ts if t[0] == "http://ex/s"]
+    assert len(outer) == 1
+    bnode = outer[0][2]
+    assert bnode.startswith("urn:skolem:")
+    inner = {t[1]: t[2] for t in ts if t[0] == bnode}
+    assert inner["http://ex/q"] == "http://ex/r"
+    assert inner["http://ex/n"] == "4"
+    # determinism: same doc -> same skolem labels
+    assert ts == parse_rdf_text(
+        "@prefix ex: <http://ex/> . ex:s ex:p [ ex:q ex:r ; ex:n 4 ] .",
+        "turtle", "", "d",
+    )
+
+
+def test_turtle_anonymous_subject_statement():
+    ts = parse_rdf_text(
+        "@prefix ex: <http://ex/> . [ ex:q ex:r ] .", "turtle", "", "d"
+    )
+    assert len(ts) == 1 and ts[0][0].startswith("urn:skolem:")
+
+
+def test_turtle_collection():
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    ts = parse_rdf_text(
+        "@prefix ex: <http://ex/> . ex:s ex:list (ex:a ex:b) .",
+        "turtle", "", "d",
+    )
+    head = [t for t in ts if t[1] == "http://ex/list"][0][2]
+    firsts = {t[0]: t[2] for t in ts if t[1] == RDF + "first"}
+    rests = {t[0]: t[2] for t in ts if t[1] == RDF + "rest"}
+    assert firsts[head] == "http://ex/a"
+    assert firsts[rests[head]] == "http://ex/b"
+    assert rests[rests[head]] == RDF + "nil"
+    # empty collection -> rdf:nil directly
+    ts2 = parse_rdf_text(
+        "@prefix ex: <http://ex/> . ex:s ex:list () .", "turtle", "", "d"
+    )
+    assert ts2 == [("http://ex/s", "http://ex/list", RDF + "nil", "uri", None, None)]
 
 
 def test_rdfxml_features():
