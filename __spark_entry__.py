@@ -1228,6 +1228,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_merges"] = _bpe_merges
 
+    # the real-scale trainer (ONE corpus pass + local heap over the
+    # collected vocabulary relation, operators/bpe.py bpe_train_local):
+    # gated against the SAME oracle as the distributed form — the two
+    # trainers must emit bit-identical merge tables
+    def _bpe_merges_local(spark, sf):
+        from breg_dcat_harvester_spark.operators import bpe as bpem
+
+        return bpem.merges_df(
+            spark, bpem.bpe_train_local(_documents(spark, sf), num_merges=8)
+        )
+
+    q["bpe_merges_local"] = _bpe_merges_local
+
     # SFT prompt/completion pairs: one per assistant turn, context = last-4
     # preceding turns as role-tagged lines (bounded ROWS frame — the
     # quadratic full-history blowup never happens); ONE conv_id shuffle
@@ -3416,6 +3429,8 @@ FROM fps GROUP BY fp HAVING count(*) > 1
     from breg_dcat_harvester_spark.operators.bpe import oracle_bpe_sql
 
     sql["bpe_merges"] = oracle_bpe_sql("documents", num_merges=8)
+    # same oracle: local trainer must be bit-identical to the distributed one
+    sql["bpe_merges_local"] = sql["bpe_merges"]
 
     sql["doc_chunks"] = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -122,9 +122,14 @@ def _cmd_export(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="export")
     edges = LocalSnapshotTable(f"{args.out}/edges").read(spark)
     # an RDF graph is a SET of triples: canonicalization can leave several
-    # provenance rows per (subj,pred,obj), but the exported document — like
-    # the reference's num_triples (harvest.py:58) — carries each once
-    graph = edges.dropDuplicates(["subj", "pred", "obj"])
+    # provenance rows per term row, but the exported document — like the
+    # reference's num_triples (harvest.py:58) — carries each once.  The set
+    # key is ALL SIX term columns: triples differing only in lang/dtype/
+    # obj_kind ("v"@en vs "v"@fr, or a literal vs a URI with the same
+    # lexical form) are distinct RDF triples and must all survive export.
+    graph = edges.dropDuplicates(
+        ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
+    )
     if getattr(args, "format", "nt") == "ttl":
         write_turtle(graph, args.dest)
     else:

@@ -940,19 +940,30 @@ def incremental_embedding_dup_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
-    cands = cross.unionByName(nn).distinct()
+    # the candidate pair set is increment-sized: materialize it eagerly so
+    # the banded-key cache can be released NOW instead of leaking cached
+    # blocks across repeated shard-arrival calls in a long-lived session
+    cands = cross.unionByName(nn).distinct().localCheckpoint(eager=True)
+    new_keys.unpersist()
 
     cand_ids = (
         cands.select(F.col("a").alias("id"))
         .unionAll(cands.select(F.col("b").alias("id")))
         .distinct()
     )
+    new_vecs = new_emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    # an id present in BOTH shard and base resolves to the SHARD's vector,
+    # deterministically (anti-join the base side on new ids) — never a
+    # dropDuplicates coin flip between the two versions
     vecs = (
-        new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .unionByName(
+        new_vecs.unionByName(
             base_emb.select(
                 F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-            ).join(cand_ids, "id", "left_semi")
+            )
+            .join(cand_ids, "id", "left_semi")
+            .join(new_vecs.select("id"), "id", "left_anti")
         )
         .dropDuplicates(["id"])
     )

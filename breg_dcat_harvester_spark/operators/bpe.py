@@ -124,10 +124,121 @@ def bpe_train(
     return merges
 
 
+MAX_VOCAB_ROWS = 2_000_000
+
+
+def bpe_train_local(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    passes: int = DEFAULT_PASSES,
+    max_vocab_rows: int = MAX_VOCAB_ROWS,
+) -> list[tuple[int, str, str, int]]:
+    """The real-scale trainer: ONE distributed corpus pass (the word-
+    frequency agg — the only part whose cost grows with the corpus), then
+    the classic heap trainer over the collected vocabulary RELATION.
+
+    ``bpe_train`` runs one Spark job per merge — correct and oracle-
+    replayable, but 30-50k production merges would mean 30-50k vocabulary-
+    wide jobs.  The vocabulary is bounded (|distinct words|, not |tokens|:
+    a few hundred thousand rows even for TB-scale English corpora), so
+    after the single corpus pass it is collected driver-side under a
+    guarded cap (the ``infer.py`` MAX_SCHEMA_EDGES pattern — loud failure,
+    never silent truncation) and trained locally with an incremental
+    pair-count heap: each round touches only the words containing the
+    winning pair.  num_merges=1000 takes seconds.
+
+    Bit-equal to ``bpe_train`` on the same input by construction: the same
+    word-frequency relation, the same (count DESC, pair ASC) argmax, and
+    the SAME ``passes``-bounded padded-replace rewrite applied per word —
+    so the distributed form stays the oracle-gated twin and a unit test
+    asserts merge-list equality.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    vdf = _word_freqs(df, text_col)
+    rows = vdf.take(max_vocab_rows + 1)
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
+            "raise the cap explicitly or pre-filter the corpus"
+        )
+    freqs = {r["w"]: int(r["freq"]) for r in rows}
+    return _train_from_freqs(freqs, num_merges, passes)
+
+
+def _word_pair_counts(seg: str):
+    from collections import Counter
+
+    syms = seg.split(" ")
+    return Counter(
+        f"{syms[i]} {syms[i + 1]}" for i in range(len(syms) - 1)
+    )
+
+
+def _train_from_freqs(
+    freqs: dict[str, int], num_merges: int, passes: int
+) -> list[tuple[int, str, str, int]]:
+    import heapq
+    from collections import defaultdict
+
+    segs = {w: " ".join(w) + " " + END for w in freqs}
+    counts: dict[str, int] = defaultdict(int)
+    index: dict[str, set] = defaultdict(set)
+    for w, f in freqs.items():
+        for p, c in _word_pair_counts(segs[w]).items():
+            counts[p] += c * f
+            index[p].add(w)
+    heap = [(-c, p) for p, c in counts.items() if c > 0]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        cur = counts.get(pair, 0)
+        if cur != -negc:  # stale entry: re-enter at its current count
+            if cur > 0:
+                heapq.heappush(heap, (-cur, pair))
+            continue
+        if cur < 1:
+            break
+        merged = pair.replace(" ", "")
+        merges.append((len(merges), pair, merged, cur))
+        pat, rep = f" {pair} ", f" {merged} "
+        touched: dict[str, int] = defaultdict(int)
+        for w in list(index.get(pair, ())):
+            seg = segs[w]
+            old = _word_pair_counts(seg)
+            s = f" {seg} "
+            for _ in range(passes):
+                s = s.replace(pat, rep)
+            new_seg = s.strip()
+            if new_seg == seg:
+                continue
+            segs[w] = new_seg
+            new = _word_pair_counts(new_seg)
+            f = freqs[w]
+            for p in set(old) | set(new):
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    counts[p] += d * f
+                    touched[p] = 1
+                if new.get(p, 0) == 0:
+                    index[p].discard(w)
+                elif old.get(p, 0) == 0:
+                    index[p].add(w)
+        for p in touched:
+            if counts[p] > 0:
+                heapq.heappush(heap, (-counts[p], p))
+    return merges
+
+
 def merges_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, cnt long"
     )
+
+
+MAX_CODEGEN_MERGES = 24
 
 
 def bpe_segment(
@@ -136,28 +247,86 @@ def bpe_segment(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     passes: int = DEFAULT_PASSES,
+    max_codegen_merges: int = MAX_CODEGEN_MERGES,
 ) -> DataFrame:
     """Tokenize ``text_col`` under a trained merge list — map-only.
 
     Adds ``out_col``: array of BPE symbols for the whole text (words
     char-split + ``</w>``-terminated, merges applied in rank order).
     Zero shuffle at any corpus size; the merge list is a plan constant.
+
+    Short merge lists compile to pure codegen'd Column rewrites; beyond
+    ``max_codegen_merges`` the nested-replace expression tree would blow
+    the JVM analyzer stack (a 1000-merge production vocabulary is 12k
+    nested calls), so large lists switch to an Arrow-batched pandas UDF
+    applying the SAME passes-bounded padded replace per DISTINCT word
+    (memoized per batch — the rewrite cost is vocabulary-shaped, not
+    corpus-shaped).  Both paths are value-identical; a unit test pins it.
     """
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda x: x != ""
-    )
+    if len(merges) <= max_codegen_merges:
+        words = F.filter(
+            F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda x: x != ""
+        )
 
-    def seg_word(w):
-        seg = _initial_seg(w)
-        for _rank, pair, _merged, _cnt in merges:
-            seg = _merge_seg(seg, pair, passes)
-        return seg
+        def seg_word(w):
+            seg = _initial_seg(w)
+            for _rank, pair, _merged, _cnt in merges:
+                seg = _merge_seg(seg, pair, passes)
+            return seg
 
-    joined = F.array_join(F.transform(words, seg_word), " ")
-    return df.withColumn(
-        out_col,
-        F.filter(F.split(joined, " "), lambda x: x != ""),
-    )
+        joined = F.array_join(F.transform(words, seg_word), " ")
+        return df.withColumn(
+            out_col,
+            F.filter(F.split(joined, " "), lambda x: x != ""),
+        )
+    return _bpe_segment_arrow(df, merges, text_col, out_col, passes)
+
+
+def _bpe_segment_arrow(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str,
+    out_col: str,
+    passes: int,
+) -> DataFrame:
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(f" {p} ", f" {m} ") for _r, p, m, _c in merges]
+    word_re = re.compile(WORD_SPLIT)
+
+    def _seg(col):
+        cache: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            t = cache.get(w)
+            if t is None:
+                s = " " + " ".join(w) + " " + END + " "
+                for pat, rep in merge_list:
+                    for _ in range(passes):
+                        if pat not in s:
+                            break
+                        s = s.replace(pat, rep)
+                t = s.split()
+                cache[w] = t
+            return t
+
+        def run(text: str) -> list[str]:
+            out: list[str] = []
+            for w in word_re.split(text.lower()):
+                if w:
+                    out.extend(seg_word(w))
+            return out
+
+        return col.map(lambda t: None if t is None else run(t))
+
+    # module uses postponed annotation evaluation, so the Series hints the
+    # pandas_udf inspector needs are attached explicitly
+    _seg.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    seg = pandas_udf(_seg, "array<string>")
+    return df.withColumn(out_col, seg(F.col(text_col)))
 
 
 def oracle_bpe_sql(

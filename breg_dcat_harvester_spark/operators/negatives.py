@@ -57,19 +57,32 @@ def kg_negative_samples(
         .select("subj", "pred", "obj")
         .distinct()
     )
-    w = Window.partitionBy("pred").orderBy("hk", "obj")
+    # two-stage top-pool_size (the exact_dup_groups / stratified_fixed_k
+    # recipe): a high-cardinality predicate must not funnel its whole
+    # distinct-object population through ONE window task, so stage 1 ranks
+    # inside (pred, xxhash64(obj) % fanout) splits — any member of the
+    # predicate's global top-pool_size by (hk, obj) is also in its split's
+    # local top-pool_size — and stage 2 is a bounded per-pred agg over the
+    # <= fanout * pool_size survivors (array_sort on (hk, obj) structs
+    # reproduces the global order exactly).
+    fanout = 64
+    w_local = Window.partitionBy("pred", "_split").orderBy("hk", "obj")
     pools = (
         pos.select("pred", "obj")
         .distinct()
         .withColumn(
             "hk", F.sha2(F.concat_ws("|", F.lit(salt), F.col("pred"), F.col("obj")), 256)
         )
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("_split", F.pmod(F.xxhash64("obj"), F.lit(fanout)))
+        .withColumn("rn", F.row_number().over(w_local))
         .filter(F.col("rn") <= pool_size)
         .groupBy("pred")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "obj"))),
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("hk", "obj"))),
+                    1, pool_size,
+                ),
                 lambda s: s["obj"],
             ).alias("pool")
         )

@@ -61,11 +61,17 @@ def bm25_topk(
     """
     if not queries:
         raise ValueError("queries must be non-empty")
+    # query text tokenizes with the SAME split the documents use: a term
+    # like "hash-join" must become ("hash", "join"), not a punctuation-
+    # carrying token that can never match any document token
+    import re
+
+    _tok = re.compile(TOKEN_SPLIT)
     pairs = sorted(
         {
             (qid, term)
             for qid, text in queries
-            for term in text.lower().split()
+            for term in _tok.split(text.lower())
             if term
         }
     )
@@ -155,13 +161,16 @@ def oracle_bm25_sql(
 ) -> str:
     """DuckDB replay — same tokenization, same scaled-integer formulas
     (``//`` = Spark's ``div`` on positive int64), same tie-break."""
+    import re
+
+    _tok = re.compile(TOKEN_SPLIT)
     qvals = ",\n        ".join(
         f"('{qid}', '{term}')"
         for qid, term in sorted(
             {
                 (qid, t)
                 for qid, text in queries
-                for t in text.lower().split()
+                for t in _tok.split(text.lower())
                 if t
             }
         )

@@ -202,14 +202,25 @@ class _UpdateParser(_Parser):
         self.next()
         self._kw("SILENT")
         if self._kw("GRAPH"):
+            # this store holds exactly ONE graph with no name: executing a
+            # CLEAR GRAPH <iri> against it would wipe that graph no matter
+            # which IRI was named — a destructive mis-execution of a
+            # request that targets some OTHER named graph.  Refuse instead
+            # (the module contract: anything wider than the subset is
+            # refused, never mis-executed); only CLEAR / CLEAR DEFAULT /
+            # CLEAR ALL address the stored graph.
             tok = self.next()
-            if not (tok.startswith("<") or ":" in tok):
-                raise SparqlError(f"CLEAR GRAPH expects an IRI, got {tok!r}")
-        else:
-            # DEFAULT / NAMED / ALL — one graph here, all equivalent
-            nxt = self.peek()
-            if nxt is not None and nxt.upper() in ("DEFAULT", "NAMED", "ALL"):
-                self.next()
+            raise SparqlUnsupported(
+                f"CLEAR GRAPH {tok!r}: named graphs are not supported "
+                "(single unnamed graph store); use CLEAR DEFAULT"
+            )
+        nxt = self.peek()
+        if nxt is not None and nxt.upper() in ("DEFAULT", "NAMED", "ALL"):
+            self.next()
+            if nxt.upper() == "NAMED":
+                # zero named graphs exist: clearing them is a no-op, NOT a
+                # wipe of the default graph
+                return UpdateOp("noop")
         return UpdateOp("clear")
 
 
@@ -283,7 +294,9 @@ def apply_update(edges: DataFrame, request: "str | list[UpdateOp]") -> DataFrame
     spark = edges.sparkSession
     graph = edges.select(*TERM_COLS)
     for op in ops:
-        if op.kind == "clear":
+        if op.kind == "noop":
+            continue
+        elif op.kind == "clear":
             graph = spark.createDataFrame([], graph.schema)
         elif op.kind == "insert_data":
             graph = _set_insert(graph, _ground_df(spark, op.data))

@@ -72,3 +72,54 @@ def test_empty_and_short_inputs(spark):
     # only pair available is 'x </w>'; later rounds run dry and stop
     assert m[0][1] == "x </w>"
     assert len(m) == 1
+
+
+def test_local_trainer_equals_distributed(corpus, small_transcripts):
+    from breg_dcat_harvester_spark.operators.bpe import bpe_train_local
+
+    assert bpe_train_local(corpus, num_merges=6) == bpe_train(corpus, num_merges=6)
+    # and on a real synthetic corpus slice (vocab-scale input)
+    docs = small_transcripts.limit(200).selectExpr("conv_id", "text")
+    assert (
+        bpe_train_local(docs, num_merges=12)
+        == bpe_train(docs, num_merges=12)
+    )
+
+
+def test_local_trainer_scales_to_thousands_of_merges(small_transcripts):
+    import time
+
+    from breg_dcat_harvester_spark.operators.bpe import bpe_train_local
+
+    docs = small_transcripts.selectExpr("conv_id", "text")
+    t0 = time.monotonic()
+    m = bpe_train_local(docs, num_merges=1000)
+    elapsed = time.monotonic() - t0
+    # trainer either completes 1000 merges or exhausts the vocabulary;
+    # the local phase itself is seconds, not one Spark job per merge
+    assert len(m) == 1000 or all(c >= 1 for *_x, c in m)
+    assert elapsed < 120
+    assert [r for r, *_ in m] == list(range(len(m)))
+    # applying a 1000-merge list stays a map-only plan constant
+    out = bpe_segment(docs.limit(5), m[:200]).collect()
+    assert all(r.bpe_tokens for r in out if r.text.strip())
+
+
+def test_local_trainer_vocab_cap(spark):
+    from breg_dcat_harvester_spark.operators.bpe import bpe_train_local
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train_local(df, num_merges=2, max_vocab_rows=10)
+
+
+def test_segment_arrow_path_equals_codegen(corpus):
+    from breg_dcat_harvester_spark.operators.bpe import bpe_train_local
+
+    m = bpe_train_local(corpus, num_merges=6)
+    a = bpe_segment(corpus, m).orderBy("doc_id").collect()
+    b = bpe_segment(corpus, m, max_codegen_merges=0).orderBy("doc_id").collect()
+    assert [r.bpe_tokens for r in a] == [r.bpe_tokens for r in b]

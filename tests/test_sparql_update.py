@@ -33,7 +33,7 @@ def test_parse_sequence_and_prefix():
         PREFIX ex: <urn:ex:>
         INSERT DATA { ex:s ex:p ex:o } ;
         DELETE DATA { ex:s ex:p "lit"@en } ;
-        CLEAR GRAPH <urn:g>
+        CLEAR DEFAULT
         """
     )
     assert [o.kind for o in ops] == ["insert_data", "delete_data", "clear"]
@@ -220,3 +220,19 @@ def test_fuzz_ground_update_sequences_vs_set_model(spark):
         assert got == want, (
             f"trial {trial}: {' ; '.join(texts)}\n got={sorted(got)}\n want={sorted(want)}"
         )
+
+
+def test_clear_graph_named_is_refused_clear_named_noop(spark):
+    # CLEAR GRAPH <iri> would wipe the single unnamed graph no matter which
+    # IRI was named — the subset contract refuses it instead
+    with pytest.raises(su.SparqlUnsupported, match="CLEAR GRAPH"):
+        su.parse_update("CLEAR GRAPH <urn:other>")
+    # CLEAR NAMED clears the (empty) set of named graphs: a true no-op
+    g = spark.createDataFrame(
+        [("urn:s", "urn:p", "urn:o", "uri", None, None)],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string",
+    )
+    out = su.apply_update(g, "CLEAR NAMED")
+    assert out.count() == 1
+    assert su.apply_update(g, "CLEAR DEFAULT").count() == 0

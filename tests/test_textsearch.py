@@ -54,3 +54,15 @@ def test_query_terms_broadcast(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_query_tokenization_matches_document_split(spark):
+    # a punctuated query term must match its split parts in documents
+    docs = spark.createDataFrame(
+        [(1, "the hash join strategy"), (2, "nested loop only")],
+        "doc_id long, text string",
+    )
+    from breg_dcat_harvester_spark.operators.textsearch import bm25_topk
+
+    out = bm25_topk(docs, [("q", "hash-join")], k=5).collect()
+    assert {r.doc_id for r in out} == {1}
