@@ -1655,6 +1655,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = _frames
 
+    # REAL image metadata (no codecs needed): plant structurally-valid
+    # PNG/JPEG/GIF payloads (dims derived from doc_id, document text as
+    # filler), round-trip the bytes through Arrow, and parse the headers
+    # back with operators/multimodal.parse_image_header.  The oracle
+    # replays format/dims/length by formula — the engine must actually
+    # parse the binary structure to match it.
+    def _image_assets(spark, sf):
+        import pandas as pd
+
+        d = _documents(spark, sf).select("doc_id", "text")
+
+        def build(batches):
+            for pdf in batches:
+                payloads = []
+                for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                    w, h = int(did % 640) + 1, int(did % 480) + 1
+                    filler = txt.encode("utf-8")
+                    if did % 3 == 0:
+                        p = mm.make_png(w, h, filler)
+                    elif did % 3 == 1:
+                        p = mm.make_jpeg(w, h, filler)
+                    else:
+                        p = mm.make_gif(w, h, filler)
+                    payloads.append(p)
+                yield pd.DataFrame({
+                    "asset_id": "asset-" + pdf["doc_id"].astype(str),
+                    "kind": "image",
+                    "payload": payloads,
+                })
+
+        return d.mapInPandas(
+            build, "asset_id string, kind string, payload binary"
+        )
+
+    def _image_meta(spark, sf):
+        return mm.image_metadata(_image_assets(spark, sf)).select(
+            "asset_id", "fmt", "width", "height", "n_bytes"
+        )
+
+    q["multimodal_image_meta"] = _image_meta
+
     # --- bounded-state sketches (operators/sketches.py) ---------------------
     # audit-gated like the ANN recall queries: Spark computes approx + exact
     # and the designed error-bound flag; the oracle replays the exact side
@@ -4182,6 +4223,22 @@ SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
          + ('0x'||substr(h,7,2))::BIGINT * 16777216
        )::DOUBLE / 4294967296 AS REAL) AS f0
 FROM x
+"""
+
+    # planted real-format payloads: fmt/dims by the planting formula,
+    # n_bytes = filler + fixed container overhead (png 33 / jpeg 23 =
+    # SOI+SOF0 marker+len+15-byte frame header+EOI / gif 10) — matching
+    # requires the engine to parse the actual binary headers
+    sql["multimodal_image_meta"] = """
+SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            ELSE 'gif' END AS fmt,
+       CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(text))
+            + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 23 ELSE 10 END
+            AS BIGINT) AS n_bytes
+FROM documents
 """
 
     # frame sampling: bit-exact replay of the fake frame kernel

@@ -68,6 +68,135 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF markers carrying frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes) -> tuple[str | None, int | None, int | None]:
+    """REAL (codec-free) image metadata: (format, width, height).
+
+    Pure-Python header parsing of the three container formats whose
+    dimensions live in fixed header structures — PNG (IHDR), JPEG (first
+    SOF segment), GIF (logical screen descriptor).  This is the first
+    stage a real multimodal pipeline runs (filter/bucket by dimensions
+    BEFORE paying pixel decode); the pixel decoder itself stays pluggable
+    (``real_decode``).  Unrecognized or truncated payloads return
+    ``(None, None, None)`` — never a guess.
+    """
+    b = payload or b""
+    if len(b) >= 24 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2:i + 4], "big")
+            if seglen < 2:
+                break
+            if marker in _JPEG_SOF:
+                if i + 9 <= len(b):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"),
+                    )
+                break
+            i += 2 + seglen
+        return ("jpeg", None, None)  # JPEG signature but no parseable SOF
+    return (None, None, None)
+
+
+def make_png(width: int, height: int, filler: bytes = b"") -> bytes:
+    """Minimal structurally-valid PNG (signature + correct-CRC IHDR);
+    deterministic — used by tests and the planted-payload contract query."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        + filler
+    )
+
+
+def make_jpeg(width: int, height: int, filler: bytes = b"") -> bytes:
+    """Minimal JPEG: SOI + SOF0 frame header + payload filler + EOI."""
+    import struct
+
+    # precision 8, height, width, 3 components + component specs
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">H", len(sof) + 2)
+        + sof
+        + filler
+        + b"\xff\xd9"
+    )
+
+
+def make_gif(width: int, height: int, filler: bytes = b"") -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + filler
+
+
+def image_metadata(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header metadata per asset: (asset_id, kind,
+    n_bytes, fmt, width, height) — map-only, payload projected away."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("fmt", StringType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda x: len(x) if x is not None else 0
+                    ),
+                    "fmt": pd.array([m[0] for m in meta], dtype="string"),
+                    "width": pd.array([m[1] for m in meta], dtype="Int32"),
+                    "height": pd.array([m[2] for m in meta], dtype="Int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=out_schema)
+
+
 def fake_decode(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in: sha256-seeded pseudo-features of the bytes."""
     digest = hashlib.sha256(payload or b"").digest()

@@ -553,3 +553,42 @@ def test_incremental_embedding_new_x_new_pairs(spark):
         ).collect()
     }
     assert got == {(100, 101)}
+
+
+def test_image_header_parsing_roundtrip():
+    assert mm.parse_image_header(mm.make_png(640, 480)) == ("png", 640, 480)
+    assert mm.parse_image_header(mm.make_jpeg(123, 77, b"x" * 50)) == (
+        "jpeg", 123, 77)
+    assert mm.parse_image_header(mm.make_gif(31, 15)) == ("gif", 31, 15)
+    # APP0 (JFIF) segment before SOF is skipped, not mistaken for a frame
+    j = mm.make_jpeg(99, 44)
+    j2 = (b"\xff\xd8"
+          + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+          + j[2:])
+    assert mm.parse_image_header(j2) == ("jpeg", 99, 44)
+    # honest refusals: unknown/truncated payloads are (None, None, None)
+    assert mm.parse_image_header(b"not an image") == (None, None, None)
+    assert mm.parse_image_header(b"") == (None, None, None)
+    assert mm.parse_image_header(mm.make_png(1, 1)[:20]) == (None, None, None)
+    # JPEG signature with no parseable SOF: format known, dims unknown
+    assert mm.parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+
+
+def test_image_metadata_operator(spark):
+    rows = [
+        ("a1", "image", bytearray(mm.make_png(10, 20, b"pad"))),
+        ("a2", "image", bytearray(mm.make_jpeg(30, 40))),
+        ("a3", "image", bytearray(mm.make_gif(5, 6))),
+        ("a4", "image", bytearray(b"garbage")),
+        ("a5", "image", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id string, kind string, payload binary"
+    )
+    got = {r.asset_id: r for r in mm.image_metadata(df).collect()}
+    assert (got["a1"].fmt, got["a1"].width, got["a1"].height) == ("png", 10, 20)
+    assert (got["a2"].fmt, got["a2"].width, got["a2"].height) == ("jpeg", 30, 40)
+    assert (got["a3"].fmt, got["a3"].width, got["a3"].height) == ("gif", 5, 6)
+    assert got["a4"].fmt is None and got["a4"].width is None
+    assert got["a5"].fmt is None and got["a5"].n_bytes == 0
+    assert got["a1"].n_bytes == 33 + 3
