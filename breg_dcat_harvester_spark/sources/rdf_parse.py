@@ -442,23 +442,99 @@ def parse_rdfxml_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
 
 
 # --------------------------------------------------------------------------
-# JSON-LD (minimal profile)
+# JSON-LD (declared profile)
 # --------------------------------------------------------------------------
+#
+# Supported: @context as an object OR an array of objects (merged in
+# order), term definitions as strings or {"@id", "@type" ("@id" or a
+# datatype), "@language", "@container" ("@list"/"@set")}, @vocab, @base,
+# prefixed names, @graph, nested node objects, @value/@type/@language
+# literals, @list arrays (rdf:first/rest/nil chains), labeled and
+# anonymous blank nodes.  Outside the profile — remote (string URL)
+# contexts, @reverse, @nest, @index containers, scoped contexts — the
+# parser refuses loudly rather than mis-parse.
 
 
-def _jld_expand(term: str, ctx: dict[str, str], base: str, *, vocab: bool) -> str:
-    if term.startswith("@"):
-        raise ParseRdfError(f"json-ld: unsupported keyword {term!r}")
-    p, sep, local = term.partition(":")
-    if sep and p in ctx:
-        return ctx[p] + local
-    if sep and not term.startswith("//"):  # already an absolute IRI
-        return term
-    if term in ctx:
-        return ctx[term]
-    if vocab:
-        raise ParseRdfError(f"json-ld: term {term!r} not in @context")
-    return _resolve(base, term)
+class _JldCtx:
+    __slots__ = ("terms", "vocab", "base")
+
+    def __init__(self, base: str):
+        self.terms: dict[str, dict] = {}
+        self.vocab: str | None = None
+        self.base = base
+
+    def load(self, raw) -> None:
+        parts = raw if isinstance(raw, list) else [raw]
+        for part in parts:
+            if part is None:
+                self.terms, self.vocab = {}, None
+                continue
+            if not isinstance(part, dict):
+                raise ParseRdfError(
+                    "json-ld profile: remote/string @context not supported"
+                )
+            for k, v in part.items():
+                if k == "@vocab":
+                    if not isinstance(v, str):
+                        raise ParseRdfError("json-ld: @vocab must be a string")
+                    self.vocab = v
+                elif k == "@base":
+                    if not isinstance(v, str):
+                        raise ParseRdfError("json-ld: @base must be a string")
+                    self.base = v
+                elif k.startswith("@"):
+                    raise ParseRdfError(
+                        f"json-ld profile: unsupported context keyword {k!r}"
+                    )
+                elif isinstance(v, str):
+                    self.terms[k] = {"id": v}
+                elif isinstance(v, dict):
+                    bad = set(v) - {"@id", "@type", "@language", "@container"}
+                    if bad:
+                        raise ParseRdfError(
+                            f"json-ld profile: unsupported term keys {sorted(bad)}"
+                        )
+                    cont = v.get("@container")
+                    if cont not in (None, "@list", "@set"):
+                        raise ParseRdfError(
+                            f"json-ld profile: unsupported @container {cont!r}"
+                        )
+                    self.terms[k] = {
+                        "id": v.get("@id", k),
+                        "type": v.get("@type"),
+                        "language": v.get("@language"),
+                        "container": cont,
+                    }
+                else:
+                    raise ParseRdfError(
+                        f"json-ld: invalid term definition for {k!r}"
+                    )
+
+    def expand(self, term: str, *, vocab: bool) -> str:
+        """IRI expansion: term definition > prefixed name > @vocab (for
+        predicates/types) > @base resolution (for node ids)."""
+        if term.startswith("@"):
+            raise ParseRdfError(f"json-ld: unsupported keyword {term!r}")
+        t = self.terms.get(term)
+        if t is not None and t["id"] != term:  # self-referential defs fall through
+            iri = t["id"]
+            # a term mapping to another term/prefixed name expands again
+            return iri if _ABS_IRI.match(iri) else self.expand(iri, vocab=vocab)
+        p, sep, local = term.partition(":")
+        if sep:
+            pt = self.terms.get(p)
+            if pt is not None:
+                return pt["id"] + local
+            if not term.startswith("//"):
+                return term  # already an absolute IRI
+        if vocab:
+            if self.vocab:
+                return self.vocab + term
+            raise ParseRdfError(f"json-ld: term {term!r} not in @context")
+        return _resolve(self.base, term)
+
+
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://|^urn:|^mailto:")
 
 
 def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
@@ -466,14 +542,10 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         doc = json.loads(text)
     except json.JSONDecodeError as ex:
         raise ParseRdfError(f"json-ld: {ex}") from ex
-    ctx_raw = doc.get("@context", {}) if isinstance(doc, dict) else {}
-    if not isinstance(ctx_raw, dict):
-        raise ParseRdfError("json-ld minimal profile: @context must be an object")
-    ctx = {}
-    for k, v in ctx_raw.items():
-        if not isinstance(v, str):
-            raise ParseRdfError("json-ld minimal profile: only prefix->IRI context")
-        ctx[k] = v
+    ctx = _JldCtx(base)
+    if isinstance(doc, dict) and "@context" in doc:
+        ctx.load(doc["@context"])
+        doc = {k: v for k, v in doc.items() if k != "@context"}
     if isinstance(doc, list):
         nodes = doc
     elif "@graph" in doc:
@@ -482,53 +554,99 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         nodes = [doc]
     counter = {"b": 0}
 
+    def fresh_bnode() -> str:
+        counter["b"] += 1
+        return _skolem(doc_id, f"anon{counter['b']}")
+
     def subject_of(node: dict) -> str:
+        if "@context" in node:
+            raise ParseRdfError(
+                "json-ld profile: scoped (nested) @context not supported"
+            )
         nid = node.get("@id")
         if nid is None:
-            counter["b"] += 1
-            return _skolem(doc_id, f"anon{counter['b']}")
+            return fresh_bnode()
         if nid.startswith("_:"):
             return _skolem(doc_id, nid[2:])
-        return _jld_expand(nid, ctx, base, vocab=False)
+        return ctx.expand(nid, vocab=False)
+
+    def value_triple(subj, pred, v, tdef) -> Iterator[Triple]:
+        """One non-list value -> triples (recursing into node objects)."""
+        if isinstance(v, dict):
+            if "@list" in v:
+                yield from list_triples(subj, pred, v["@list"], tdef)
+                return
+            if "@value" in v:
+                dt = v.get("@type")
+                dt = ctx.expand(dt, vocab=True) if dt else None
+                _, _, o, k, lg, dtt = _literal(
+                    _scalar_lex(v["@value"]), v.get("@language"), dt
+                )
+                yield (subj, pred, o, k, lg, dtt)
+                return
+            yield (subj, pred, subject_of(v), "uri", None, None)
+            if len(v) > (1 if "@id" in v else 0):
+                yield from walk(v)
+            return
+        if isinstance(v, str) and tdef and tdef.get("type") == "@id":
+            yield (subj, pred, ctx.expand(v, vocab=False), "uri", None, None)
+            return
+        if isinstance(v, bool):
+            yield (subj, pred, "true" if v else "false", "literal",
+                   None, XSD + "boolean")
+        elif isinstance(v, int):
+            yield (subj, pred, str(v), "literal", None, XSD + "integer")
+        elif isinstance(v, float):
+            yield (subj, pred, repr(v), "literal", None, XSD + "double")
+        else:
+            dt = tdef.get("type") if tdef else None
+            dt = ctx.expand(dt, vocab=True) if dt and dt != "@id" else None
+            lang = (tdef.get("language") if tdef else None)
+            _, _, o, k, lg, dtt = _literal(str(v), lang, dt)
+            yield (subj, pred, o, k, lg, dtt)
+
+    def list_triples(subj, pred, items, tdef) -> Iterator[Triple]:
+        if not isinstance(items, list):
+            items = [items]
+        if not items:
+            yield (subj, pred, RDF_NS + "nil", "uri", None, None)
+            return
+        heads = [fresh_bnode() for _ in items]
+        yield (subj, pred, heads[0], "uri", None, None)
+        for i, item in enumerate(items):
+            yield from value_triple(heads[i], RDF_NS + "first", item, tdef)
+            nxt = heads[i + 1] if i + 1 < len(items) else RDF_NS + "nil"
+            yield (heads[i], RDF_NS + "rest", nxt, "uri", None, None)
 
     def walk(node: dict) -> Iterator[Triple]:
         subj = subject_of(node)
         types = node.get("@type", [])
         for t in types if isinstance(types, list) else [types]:
-            yield (subj, RDF_NS + "type", _jld_expand(t, ctx, base, vocab=True),
+            yield (subj, RDF_NS + "type", ctx.expand(t, vocab=True),
                    "uri", None, None)
         for key, val in node.items():
             if key.startswith("@"):
-                if key not in ("@id", "@type", "@context"):
+                if key not in ("@id", "@type"):
                     raise ParseRdfError(f"json-ld: unsupported keyword {key!r}")
                 continue
-            pred = _jld_expand(key, ctx, base, vocab=True)
+            tdef = ctx.terms.get(key)
+            pred = ctx.expand(key, vocab=True)
+            if tdef and tdef.get("container") == "@list":
+                yield from list_triples(subj, pred, val, tdef)
+                continue
             for v in val if isinstance(val, list) else [val]:
-                if isinstance(v, dict):
-                    if "@value" in v:
-                        dt = v.get("@type")
-                        dt = _jld_expand(dt, ctx, base, vocab=True) if dt else None
-                        _, _, o, k, lg, dtt = _literal(
-                            str(v["@value"]), v.get("@language"), dt
-                        )
-                        yield (subj, pred, o, k, lg, dtt)
-                    else:
-                        yield (subj, pred, subject_of(v), "uri", None, None)
-                        if len(v) > (1 if "@id" in v else 0):
-                            yield from walk(v)
-                elif isinstance(v, bool):
-                    yield (subj, pred, "true" if v else "false", "literal",
-                           None, XSD + "boolean")
-                elif isinstance(v, int):
-                    yield (subj, pred, str(v), "literal", None, XSD + "integer")
-                elif isinstance(v, float):
-                    yield (subj, pred, repr(v), "literal", None, XSD + "double")
-                else:
-                    _, _, o, k, lg, dt = _literal(str(v), None, None)
-                    yield (subj, pred, o, k, lg, dt)
+                yield from value_triple(subj, pred, v, tdef)
 
     for node in nodes:
         yield from walk(node)
+
+
+def _scalar_lex(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
 
 
 # --------------------------------------------------------------------------

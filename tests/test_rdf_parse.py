@@ -316,3 +316,77 @@ def test_ntriples_roundtrip_through_writer(spark, small_transcripts):
         for r in edges.select("subj", "pred", "obj", "obj_kind", "lang", "dtype").collect()
     }
     assert set(ts) == want
+
+
+def test_jsonld_array_context_term_defs_vocab():
+    doc = """
+{"@context": [
+   {"dct": "http://purl.org/dc/terms/"},
+   {"@vocab": "http://ex/v#", "@base": "http://ex/base/",
+    "homepage": {"@id": "http://xmlns.com/foaf/0.1/homepage", "@type": "@id"},
+    "issued": {"@id": "dct:issued",
+               "@type": "http://www.w3.org/2001/XMLSchema#date"},
+    "label": {"@id": "dct:title", "@language": "en"}}],
+ "@id": "thing1",
+ "@type": "Widget",
+ "homepage": "http://ex.org/home",
+ "issued": "2020-01-02",
+ "label": "hello",
+ "plain": 4}
+"""
+    ts = set(parse_rdf_text(doc, "json-ld", "", "d"))
+    s = "http://ex/base/thing1"
+    assert (s, RDF_TYPE, "http://ex/v#Widget", "uri", None, None) in ts
+    assert (s, "http://xmlns.com/foaf/0.1/homepage", "http://ex.org/home",
+            "uri", None, None) in ts
+    assert (s, "http://purl.org/dc/terms/issued", "2020-01-02", "literal",
+            None, "http://www.w3.org/2001/XMLSchema#date") in ts
+    assert (s, "http://purl.org/dc/terms/title", "hello", "literal",
+            "en", XSD_STRING) in ts
+    assert (s, "http://ex/v#plain", "4", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#integer") in ts
+
+
+def test_jsonld_list_container():
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = """
+{"@context": {"authors": {"@id": "http://ex/authors", "@container": "@list"}},
+ "@id": "http://ex/doc", "authors": ["a", "b"]}
+"""
+    ts = parse_rdf_text(doc, "json-ld", "", "d")
+    head = [t for t in ts if t[1] == "http://ex/authors"][0][2]
+    firsts = {t[0]: t[2] for t in ts if t[1] == RDF + "first"}
+    rests = {t[0]: t[2] for t in ts if t[1] == RDF + "rest"}
+    assert firsts[head] == "a"
+    assert firsts[rests[head]] == "b"
+    assert rests[rests[head]] == RDF + "nil"
+    # explicit @list value object, empty -> rdf:nil
+    doc2 = '{"@id": "http://ex/doc", "p": {"@list": []},\
+ "@context": {"p": "http://ex/p"}}'
+    ts2 = parse_rdf_text(doc2, "json-ld", "", "d")
+    assert ts2 == [("http://ex/doc", "http://ex/p", RDF + "nil",
+                    "uri", None, None)]
+
+
+def test_jsonld_nested_nodes_and_refusals():
+    doc = """
+{"@context": {"ex": "http://ex/"},
+ "@id": "ex:a", "ex:knows": {"@id": "ex:b", "ex:name": "B"}}
+"""
+    ts = set(parse_rdf_text(doc, "json-ld", "", "d"))
+    assert ("http://ex/a", "http://ex/knows", "http://ex/b",
+            "uri", None, None) in ts
+    assert ("http://ex/b", "http://ex/name", "B", "literal",
+            None, XSD_STRING) in ts
+    with pytest.raises(ParseRdfError, match="remote"):
+        parse_rdf_text('{"@context": "http://remote"}', "json-ld", "", "d")
+    with pytest.raises(ParseRdfError, match="@reverse"):
+        parse_rdf_text(
+            '{"@context": {"t": {"@reverse": "http://x"}}}', "json-ld", "", "d"
+        )
+    with pytest.raises(ParseRdfError, match="scoped"):
+        parse_rdf_text(
+            '{"@context": {"ex": "http://ex/"}, "@id": "ex:a",'
+            ' "ex:p": {"@id": "ex:b", "@context": {"y": "http://y/"}}}',
+            "json-ld", "", "d",
+        )
