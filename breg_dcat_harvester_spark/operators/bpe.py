@@ -298,6 +298,11 @@ def _bpe_segment_arrow(
     word_re = re.compile(WORD_SPLIT)
 
     def _seg(col):
+        from breg_dcat_harvester_spark.functions.workerenv import (
+            pin_native_threads,
+        )
+
+        pin_native_threads()
         cache: dict[str, list[str]] = {}
 
         def seg_word(w: str) -> list[str]:
