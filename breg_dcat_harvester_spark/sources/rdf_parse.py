@@ -29,11 +29,14 @@ files):
   parse_ntriples note); explicit ^^datatype wins.
 
 Documented subset limits (raise ParseRdfError, never silently misparse):
-Turtle collections ``( )`` and anonymous bnodes ``[ ]``; RDF/XML
-parseType="Collection"/"Literal"; JSON-LD @reverse/@nest/term definitions
-beyond prefix->IRI strings.  Blank node labels skolemize to
-``urn:skolem:sha2(doc_id|bnode|label)`` — content-deterministic like the
-transcript path (functions/terms.skolem_uri).
+RDF/XML parseType="Collection"/"Literal"; JSON-LD remote/string @context,
+@reverse, @nest, scoped contexts, non-@list/@set containers.  Turtle is
+full recursive descent (anonymous ``[ ]`` property lists and ``( )``
+collections included, with a nesting-depth cap).  Blank node labels
+skolemize to ``urn:skolem:sha2(doc_id|bnode|label)`` —
+content-deterministic like the transcript path (functions/terms.skolem_uri);
+anonymous nodes get deterministic per-document ``genid<n>``/``anon<n>``
+labels in parse order.
 """
 
 from __future__ import annotations
@@ -227,10 +230,18 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
     i = 0
     n = len(toks)
     out: list[Triple] = []
+    depth = 0
+    _MAX_DEPTH = 200  # adversarial [[[[... must fail as a parse error,
+    # never a Python RecursionError escaping the operator boundary
+
+    def tk(j):
+        if j >= n:
+            raise ParseRdfError("turtle: unexpected end of input")
+        return toks[j]
 
     def lit_at(j: int):
         """Consume a literal (with optional @lang / ^^dtype) at j."""
-        tok = toks[j][1]
+        tok = tk(j)[1]
         if tok.startswith('"""'):
             lex = _unescape(tok[3:-3])
         else:
@@ -241,9 +252,9 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             lang = toks[j][1][1:]
             j += 1
         elif j < n and toks[j][0] == "dtype_sep":
-            if toks[j + 1][0] not in ("iri", "pname"):
+            if tk(j + 1)[0] not in ("iri", "pname"):
                 raise ParseRdfError("turtle: datatype must be an IRI")
-            dtype = term(*toks[j + 1])[0]
+            dtype = term(*tk(j + 1))[0]
             j += 2
         _, _, o, k, lg, dt = _literal(lex, lang, dtype)
         return (o, k, lg, dt), j
@@ -251,8 +262,20 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
     def parse_object():
         """Consume one object at ``i``; emits nested triples for anonymous
         bnodes / collections.  Returns (value, obj_kind, lang, dtype)."""
+        nonlocal i, depth
+        depth += 1
+        if depth > _MAX_DEPTH:
+            raise ParseRdfError(
+                f"turtle: nesting deeper than {_MAX_DEPTH} levels"
+            )
+        try:
+            return _parse_object_inner()
+        finally:
+            depth -= 1
+
+    def _parse_object_inner():
         nonlocal i
-        ok_, otok = toks[i]
+        ok_, otok = tk(i)
         if ok_ == "literal":
             (o, k2, lg, dt), j = lit_at(i)
             i = j
@@ -260,16 +283,16 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         if ok_ == "punct" and otok == "[":
             i += 1
             node = fresh_bnode()
-            if toks[i] != ("punct", "]"):
+            if tk(i) != ("punct", "]"):
                 parse_pred_obj_list(node)
-            if toks[i] != ("punct", "]"):
+            if tk(i) != ("punct", "]"):
                 raise ParseRdfError("turtle: expected ']'")
             i += 1
             return (node, "uri", None, None)
         if ok_ == "punct" and otok == "(":
             i += 1
             items = []
-            while toks[i] != ("punct", ")"):
+            while tk(i) != ("punct", ")"):
                 items.append(parse_object())
             i += 1
             if not items:
@@ -289,7 +312,7 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
     def parse_pred_obj_list(subj: str):
         nonlocal i
         while True:  # predicate-object list
-            pred = term(*toks[i])[0]
+            pred = term(*tk(i))[0]
             i += 1
             while True:  # object list
                 o, k2, lg, dt = parse_object()
@@ -301,7 +324,7 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             if i < n and toks[i] == ("punct", ";"):
                 i += 1
                 # tolerate trailing ';' before '.' / ']'
-                if toks[i] in (("punct", "."), ("punct", "]")):
+                if tk(i) in (("punct", "."), ("punct", "]")):
                     break
                 continue
             break
@@ -312,8 +335,8 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         if kind == "prefix_directive":
             d = tok.lower().lstrip("@")
             if d == "prefix":
-                pk, ptok = toks[i + 1]
-                ik, itok = toks[i + 2]
+                pk, ptok = tk(i + 1)
+                ik, itok = tk(i + 2)
                 if pk != "pname" or ik != "iri":
                     raise ParseRdfError("turtle: malformed @prefix")
                 prefixes[ptok[:-1] if ptok.endswith(":") else ptok.split(":")[0]] = _resolve(
@@ -321,7 +344,7 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
                 )
                 i += 3
             else:  # base
-                ik, itok = toks[i + 1]
+                ik, itok = tk(i + 1)
                 if ik != "iri":
                     raise ParseRdfError("turtle: malformed @base")
                 cur_base = _resolve(cur_base, itok[1:-1])
@@ -338,13 +361,13 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         if kind == "punct" and tok == "[":
             i += 1
             subj = fresh_bnode()
-            if toks[i] != ("punct", "]"):
+            if tk(i) != ("punct", "]"):
                 parse_pred_obj_list(subj)
-            if toks[i] != ("punct", "]"):
+            if tk(i) != ("punct", "]"):
                 raise ParseRdfError("turtle: expected ']'")
             i += 1
             # '[ ...props ] .' with no outer predicates is a valid statement
-            if toks[i] == ("punct", "."):
+            if i < n and toks[i] == ("punct", "."):
                 i += 1
                 yield from out
                 out.clear()

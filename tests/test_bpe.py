@@ -123,3 +123,57 @@ def test_segment_arrow_path_equals_codegen(corpus):
     a = bpe_segment(corpus, m).orderBy("doc_id").collect()
     b = bpe_segment(corpus, m, max_codegen_merges=0).orderBy("doc_id").collect()
     assert [r.bpe_tokens for r in a] == [r.bpe_tokens for r in b]
+
+
+# --- property fuzz: incremental heap trainer == naive per-round recount ---
+
+
+def _naive_train(freqs, num_merges, passes):
+    """Reference semantics: full recount + argmax + passes-replace per
+    round (what bpe_train computes distributed)."""
+    from collections import Counter
+
+    from breg_dcat_harvester_spark.operators.bpe import END
+
+    segs = {w: " ".join(w) + " " + END for w in freqs}
+    merges = []
+    for r in range(num_merges):
+        counts = Counter()
+        for w, f in freqs.items():
+            syms = segs[w].split(" ")
+            for i in range(len(syms) - 1):
+                counts[f"{syms[i]} {syms[i + 1]}"] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, cnt = best
+        if cnt < 1:
+            break
+        merged = pair.replace(" ", "")
+        merges.append((r, pair, merged, cnt))
+        pat, rep = f" {pair} ", f" {merged} "
+        for w in segs:
+            s = f" {segs[w]} "
+            for _ in range(passes):
+                s = s.replace(pat, rep)
+            segs[w] = s.strip()
+    return merges
+
+
+def test_heap_trainer_fuzz_equals_naive():
+    import random
+
+    from breg_dcat_harvester_spark.operators.bpe import _train_from_freqs
+
+    rng = random.Random(99)
+    for trial in range(60):
+        n_words = rng.randrange(1, 12)
+        freqs = {}
+        for _ in range(n_words):
+            w = "".join(rng.choice("abc") for _ in range(rng.randrange(1, 7)))
+            freqs[w] = freqs.get(w, 0) + rng.randrange(1, 6)
+        num_merges = rng.randrange(1, 12)
+        passes = rng.choice([3, 12])
+        got = _train_from_freqs(dict(freqs), num_merges, passes)
+        want = _naive_train(dict(freqs), num_merges, passes)
+        assert got == want, (trial, freqs, num_merges, passes, got, want)

@@ -161,3 +161,84 @@ def test_turtle_write_headers_every_part(spark, tmp_path):
     whole = "".join(open(p).read() for p in parts)
     assert whole.count("@prefix rdf:") >= 1
     assert turtle_header().splitlines()[0] in whole
+
+
+# --- full serialize -> parse round trips (export.py vs rdf_parse.py) -----
+
+
+def _graph_rows():
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("http://ex/s1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://ex/T", "uri", None, None),
+        ("http://ex/s1", "http://ex/p", "http://ex/o", "uri", None, None),
+        ("http://ex/s1", "http://ex/n", "42", "literal", None, XSD_INT),
+        ("urn:skolem:abc123", "http://ex/p", "http://ex/s1", "uri", None, None),
+    ]
+    for i, lit in enumerate(NASTY):
+        rows.append(
+            ("http://ex/s2", f"http://ex/lit{i}", lit, "literal",
+             "en" if i % 2 else None, XSD_STR)
+        )
+    return rows
+
+
+def test_turtle_serialize_parse_roundtrip(spark):
+    """serialize_turtle output parses back through OUR recursive-descent
+    Turtle parser into the exact same triple set — export and ingest stay
+    mutually consistent even for adversarial literals."""
+    from breg_dcat_harvester_spark.operators.export import (
+        serialize_turtle,
+        turtle_header,
+    )
+    from breg_dcat_harvester_spark.sources.rdf_parse import parse_turtle_doc
+
+    graph = spark.createDataFrame(
+        _graph_rows(),
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string",
+    )
+    doc = turtle_header() + "\n" + "\n".join(
+        r.block for r in serialize_turtle(graph).collect()
+    )
+    got = set(parse_turtle_doc(doc, "", "rt"))
+    assert got == {tuple(r) for r in graph.collect()}
+
+
+def test_ntriples_serialize_parse_roundtrip(spark):
+    from breg_dcat_harvester_spark.sources.rdf_parse import parse_ntriples_doc
+
+    graph = spark.createDataFrame(
+        _graph_rows(),
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, dtype string",
+    )
+    text = "\n".join(r.line for r in serialize_ntriples(graph).collect())
+    got = set(parse_ntriples_doc(text, "", "rt"))
+    assert got == {tuple(r) for r in graph.collect()}
+
+
+def test_corpus_graph_roundtrips_both_formats(spark, small_transcripts):
+    """The real extracted graph (1000-turn synthetic corpus) survives both
+    export->parse round trips with zero symmetric difference."""
+    from breg_dcat_harvester_spark.operators.export import (
+        serialize_turtle,
+        turtle_header,
+    )
+    from breg_dcat_harvester_spark.operators.extract import extract_edges
+    from breg_dcat_harvester_spark.operators.merge import merge_triples
+    from breg_dcat_harvester_spark.sources.rdf_parse import (
+        parse_ntriples_doc,
+        parse_turtle_doc,
+    )
+
+    graph = merge_triples(extract_edges(small_transcripts)).select(
+        "subj", "pred", "obj", "obj_kind", "lang", "dtype"
+    ).cache()
+    want = {tuple(r) for r in graph.collect()}
+    doc = turtle_header() + "\n" + "\n".join(
+        r.block for r in serialize_turtle(graph).collect()
+    )
+    assert set(parse_turtle_doc(doc, "", "rt")) == want
+    text = "\n".join(r.line for r in serialize_ntriples(graph).collect())
+    assert set(parse_ntriples_doc(text, "", "rt")) == want

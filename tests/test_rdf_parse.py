@@ -390,3 +390,42 @@ def test_jsonld_nested_nodes_and_refusals():
             ' "ex:p": {"@id": "ex:b", "@context": {"y": "http://y/"}}}',
             "json-ld", "", "d",
         )
+
+
+def test_turtle_malformed_inputs_fail_as_parse_errors():
+    """Adversarial/truncated documents must raise ParseRdfError — never an
+    IndexError / RecursionError escaping the operator boundary."""
+    cases = [
+        "@prefix ex: <http://ex/> . ex:s ex:p [",          # EOF in bnode
+        "@prefix ex: <http://ex/> . ex:s ex:p (",          # EOF in collection
+        "@prefix ex: <http://ex/> . ex:s ex:p",            # EOF before object
+        "@prefix ex: <http://ex/> . ex:s",                 # EOF before pred
+        "@prefix ex: <http://ex/> . ex:s ex:p ex:o ; ex:q",  # EOF after ;
+        '@prefix ex: <http://ex/> . ex:s ex:p "x"^^',      # EOF after ^^
+        "@prefix ex: <http://ex/> . ex:s ex:p ex:o ,",     # EOF after ,
+        "@prefix ex: <http://ex/> . ] ex:p ex:o .",        # stray ]
+        "@prefix ex: <http://ex/> . ex:s ex:p "
+        + "[ ex:q " * 300 + "ex:r" + " ]" * 300 + " .",    # 300-deep nesting
+    ]
+    for doc in cases:
+        with pytest.raises(ParseRdfError):
+            parse_rdf_text(doc, "turtle", "", "d")
+
+
+def test_turtle_fuzz_random_token_soup_never_crashes():
+    import random
+
+    rng = random.Random(7)
+    atoms = [
+        "<http://ex/a>", "ex:b", "_:c", '"lit"', '"l"@en',
+        '"4"^^<http://x>', "4", "3.1", "true", "a",
+        "[", "]", "(", ")", ";", ",", ".", "@prefix", "@base",
+    ]
+    for _ in range(300):
+        doc = "@prefix ex: <http://ex/> . " + " ".join(
+            rng.choice(atoms) for _ in range(rng.randrange(1, 25))
+        )
+        try:
+            parse_rdf_text(doc, "turtle", "", "d")
+        except ParseRdfError:
+            pass  # refusal is the contract; any other exception fails
