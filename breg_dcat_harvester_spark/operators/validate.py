@@ -187,7 +187,7 @@ _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
 def value_violations(
-    edges: DataFrame, shapes: list[ValueShape]
+    edges: DataFrame, shapes: list[ValueShape], typed: DataFrame | None = None
 ) -> DataFrame:
     """Value-level violations: one row per (entity, path, value, failed
     check) — columns subj, entity_type, path, value, constraint,
@@ -212,11 +212,12 @@ def value_violations(
         "datatype string, pattern string, severity string, "
         "datatype_any array<string>",
     )
-    typed = (
-        edges.filter(F.col("pred") == RDF_TYPE)
-        .select("subj", F.col("obj").alias("entity_type"))
-        .distinct()
-    )
+    if typed is None:
+        typed = (
+            edges.filter(F.col("pred") == RDF_TYPE)
+            .select("subj", F.col("obj").alias("entity_type"))
+            .distinct()
+        )
     paths = sorted({s.path for s in shapes})
     vals = edges.filter(F.col("pred").isin(paths)).select(
         "subj", F.col("pred").alias("path"), "obj", "obj_kind", "lang", "dtype"
@@ -460,7 +461,9 @@ def load_reference_shapes(
         return load_shacl_shapes(f.read())
 
 
-def class_violations(edges: DataFrame, shapes: list[ClassShape]) -> DataFrame:
+def class_violations(
+    edges: DataFrame, shapes: list[ClassShape], typed: DataFrame | None = None
+) -> DataFrame:
     """sh:class violations: subj, entity_type, path, value, check_kind,
     severity — one row per (entity, path, value) whose value is a literal
     or lacks the required rdf:type.
@@ -474,9 +477,10 @@ def class_violations(edges: DataFrame, shapes: list[ClassShape]) -> DataFrame:
         [(s.target_class, s.path, list(s.classes), s.severity) for s in shapes],
         "target_class string, path string, classes array<string>, severity string",
     )
-    typed = edges.filter(F.col("pred") == RDF_TYPE).select(
-        "subj", F.col("obj").alias("entity_type")
-    ).distinct()
+    if typed is None:
+        typed = edges.filter(F.col("pred") == RDF_TYPE).select(
+            "subj", F.col("obj").alias("entity_type")
+        ).distinct()
     paths = sorted({s.path for s in shapes})
     vals = edges.filter(F.col("pred").isin(paths)).select(
         "subj", F.col("pred").alias("path"), "obj", "obj_kind"
@@ -514,7 +518,9 @@ def class_violations(edges: DataFrame, shapes: list[ClassShape]) -> DataFrame:
 
 
 def has_value_violations(
-    edges: DataFrame, shapes: list[HasValueShape]
+    edges: DataFrame,
+    shapes: list[HasValueShape],
+    typed: DataFrame | None = None,
 ) -> DataFrame:
     """sh:hasValue violations: target-class entities missing the required
     (path, value) edge entirely — an anti-join of the typed sliver against
@@ -524,9 +530,10 @@ def has_value_violations(
         [(s.target_class, s.path, s.value, s.severity) for s in shapes],
         "target_class string, path string, req_value string, severity string",
     )
-    typed = edges.filter(F.col("pred") == RDF_TYPE).select(
-        "subj", F.col("obj").alias("entity_type")
-    ).distinct()
+    if typed is None:
+        typed = edges.filter(F.col("pred") == RDF_TYPE).select(
+            "subj", F.col("obj").alias("entity_type")
+        ).distinct()
     cand = typed.join(
         F.broadcast(shapes_df),
         F.col("entity_type") == F.col("target_class"),
@@ -555,7 +562,19 @@ def full_shapes_report(
     violations table: subj, entity_type, path, value, check_kind, severity.
 
     check_kind in {minCount, maxCount, nodeKind, datatype, pattern, class,
-    hasValue}; cardinality rows carry a NULL value."""
+    hasValue}; cardinality rows carry a NULL value.
+
+    The typed-entity sliver is computed ONCE and shared by the value /
+    class / hasValue families (the cardinality family fuses its own
+    type-collection into its single per-subject agg) — without this, each
+    family re-derived the same distinct type sliver independently.
+    """
+    typed = (
+        edges.filter(F.col("pred") == RDF_TYPE)
+        .select("subj", F.col("obj").alias("entity_type"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     parts = []
     if compiled.cardinality:
         card = validation_report(edges, list(compiled.cardinality))
@@ -567,11 +586,13 @@ def full_shapes_report(
             "severity",
         ))
     if compiled.value:
-        parts.append(value_violations(edges, list(compiled.value)))
+        parts.append(value_violations(edges, list(compiled.value), typed=typed))
     if compiled.klass:
-        parts.append(class_violations(edges, list(compiled.klass)))
+        parts.append(class_violations(edges, list(compiled.klass), typed=typed))
     if compiled.has_value:
-        parts.append(has_value_violations(edges, list(compiled.has_value)))
+        parts.append(
+            has_value_violations(edges, list(compiled.has_value), typed=typed)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
