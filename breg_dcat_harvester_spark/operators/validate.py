@@ -353,8 +353,11 @@ def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledSh
     _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
     def _rdf_list(head: str) -> list[str] | None:
-        items = []
+        items, visited = [], set()
         while head != _RDF + "nil":
+            if head in visited:  # cyclic rdf:rest chain: refuse, don't hang
+                return None
+            visited.add(head)
             node = by_subj.get(head, {})
             firsts, rests = node.get(_RDF + "first"), node.get(_RDF + "rest")
             if not firsts or not rests:
@@ -395,6 +398,23 @@ def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledSh
             path = paths[0]
             sev = (pp.get(_SH + "severity") or [_SH + "Violation"])[0]
             sev = sev.rsplit("#", 1)[-1]
+            # any VALIDATING constraint kind outside the compiled subset is
+            # recorded, never silently dropped ("honest refusal") —
+            # annotation-only predicates are the known non-validating set
+            _handled = {
+                "path", "severity", "minCount", "maxCount", "nodeKind",
+                "datatype", "pattern", "class", "hasValue", "node", "shape",
+                # annotations (SHACL non-validating characteristics)
+                "name", "message", "description", "order", "group",
+                "deactivated",
+            }
+            for ppred in pp:
+                if ppred.startswith(_SH) and ppred[len(_SH):] not in _handled:
+                    for target in targets:
+                        skipped.append(
+                            (target, path,
+                             f"unsupported constraint {ppred[len(_SH):]}")
+                        )
             for target in targets:
                 mn = pp.get(_SH + "minCount")
                 mx = pp.get(_SH + "maxCount")

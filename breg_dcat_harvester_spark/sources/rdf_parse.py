@@ -533,21 +533,37 @@ class _JldCtx:
                         f"json-ld: invalid term definition for {k!r}"
                     )
 
-    def expand(self, term: str, *, vocab: bool) -> str:
+    def expand(self, term: str, *, vocab: bool, _seen: frozenset = frozenset()) -> str:
         """IRI expansion: term definition > prefixed name > @vocab (for
-        predicates/types) > @base resolution (for node ids)."""
+        predicates/types) > @base resolution (for node ids).  Cyclic term
+        definitions raise ParseRdfError, never RecursionError."""
         if term.startswith("@"):
             raise ParseRdfError(f"json-ld: unsupported keyword {term!r}")
+        if term in _seen:
+            raise ParseRdfError(
+                f"json-ld: cyclic @context term definition at {term!r}"
+            )
+        seen = _seen | {term}
         t = self.terms.get(term)
         if t is not None and t["id"] != term:  # self-referential defs fall through
             iri = t["id"]
             # a term mapping to another term/prefixed name expands again
-            return iri if _ABS_IRI.match(iri) else self.expand(iri, vocab=vocab)
+            return iri if _ABS_IRI.match(iri) else self.expand(
+                iri, vocab=vocab, _seen=seen
+            )
         p, sep, local = term.partition(":")
         if sep:
             pt = self.terms.get(p)
             if pt is not None:
-                return pt["id"] + local
+                base_iri = pt["id"]
+                # a prefix whose own definition is a compact IRI expands too
+                if not _ABS_IRI.match(base_iri):
+                    if p in seen:
+                        raise ParseRdfError(
+                            f"json-ld: cyclic @context prefix definition at {p!r}"
+                        )
+                    base_iri = self.expand(base_iri, vocab=False, _seen=seen | {p})
+                return base_iri + local
             if not term.startswith("//"):
                 return term  # already an absolute IRI
         if vocab:
@@ -560,19 +576,26 @@ class _JldCtx:
 _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://|^urn:|^mailto:")
 
 
+_JLD_MAX_DEPTH = 200
+
+
 def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
     try:
         doc = json.loads(text)
     except json.JSONDecodeError as ex:
         raise ParseRdfError(f"json-ld: {ex}") from ex
+    except RecursionError:
+        raise ParseRdfError("json-ld: document nesting too deep") from None
     ctx = _JldCtx(base)
     if isinstance(doc, dict) and "@context" in doc:
         ctx.load(doc["@context"])
         doc = {k: v for k, v in doc.items() if k != "@context"}
     if isinstance(doc, list):
         nodes = doc
-    elif "@graph" in doc:
+    elif isinstance(doc, dict) and "@graph" in doc:
         nodes = doc["@graph"]
+        if not isinstance(nodes, list):
+            nodes = [nodes]
     else:
         nodes = [doc]
     counter = {"b": 0}
@@ -589,17 +612,27 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         nid = node.get("@id")
         if nid is None:
             return fresh_bnode()
+        if not isinstance(nid, str):
+            raise ParseRdfError(f"json-ld: @id must be a string, got {nid!r}")
         if nid.startswith("_:"):
             return _skolem(doc_id, nid[2:])
         return ctx.expand(nid, vocab=False)
 
-    def value_triple(subj, pred, v, tdef) -> Iterator[Triple]:
-        """One non-list value -> triples (recursing into node objects)."""
+    def value_triple(subj, pred, v, tdef, depth) -> Iterator[Triple]:
+        """One non-list value -> triples (recursing into node objects).
+        JSON nulls are DROPPED per JSON-LD semantics (never a 'None'
+        literal)."""
+        if v is None:
+            return
+        if depth > _JLD_MAX_DEPTH:
+            raise ParseRdfError("json-ld: node nesting too deep")
         if isinstance(v, dict):
             if "@list" in v:
-                yield from list_triples(subj, pred, v["@list"], tdef)
+                yield from list_triples(subj, pred, v["@list"], tdef, depth)
                 return
             if "@value" in v:
+                if v["@value"] is None:
+                    return
                 dt = v.get("@type")
                 dt = ctx.expand(dt, vocab=True) if dt else None
                 _, _, o, k, lg, dtt = _literal(
@@ -607,9 +640,14 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
                 )
                 yield (subj, pred, o, k, lg, dtt)
                 return
-            yield (subj, pred, subject_of(v), "uri", None, None)
+            # nested node object: ONE subject for both the edge and the
+            # node's own properties (a second subject_of call here used to
+            # mint a different fresh bnode, emitting the nested properties
+            # disconnected from the edge)
+            nested = subject_of(v)
+            yield (subj, pred, nested, "uri", None, None)
             if len(v) > (1 if "@id" in v else 0):
-                yield from walk(v)
+                yield from walk(v, subj=nested, depth=depth + 1)
             return
         if isinstance(v, str) and tdef and tdef.get("type") == "@id":
             yield (subj, pred, ctx.expand(v, vocab=False), "uri", None, None)
@@ -621,30 +659,46 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             yield (subj, pred, str(v), "literal", None, XSD + "integer")
         elif isinstance(v, float):
             yield (subj, pred, repr(v), "literal", None, XSD + "double")
-        else:
+        elif isinstance(v, str):
             dt = tdef.get("type") if tdef else None
             dt = ctx.expand(dt, vocab=True) if dt and dt != "@id" else None
             lang = (tdef.get("language") if tdef else None)
-            _, _, o, k, lg, dtt = _literal(str(v), lang, dt)
+            _, _, o, k, lg, dtt = _literal(v, lang, dt)
             yield (subj, pred, o, k, lg, dtt)
+        else:
+            raise ParseRdfError(
+                f"json-ld: unsupported value type {type(v).__name__}"
+            )
 
-    def list_triples(subj, pred, items, tdef) -> Iterator[Triple]:
+    def list_triples(subj, pred, items, tdef, depth) -> Iterator[Triple]:
         if not isinstance(items, list):
             items = [items]
+        items = [x for x in items if x is not None]
         if not items:
             yield (subj, pred, RDF_NS + "nil", "uri", None, None)
             return
         heads = [fresh_bnode() for _ in items]
         yield (subj, pred, heads[0], "uri", None, None)
         for i, item in enumerate(items):
-            yield from value_triple(heads[i], RDF_NS + "first", item, tdef)
+            yield from value_triple(
+                heads[i], RDF_NS + "first", item, tdef, depth + 1
+            )
             nxt = heads[i + 1] if i + 1 < len(items) else RDF_NS + "nil"
             yield (heads[i], RDF_NS + "rest", nxt, "uri", None, None)
 
-    def walk(node: dict) -> Iterator[Triple]:
-        subj = subject_of(node)
+    def walk(node, subj=None, depth=0) -> Iterator[Triple]:
+        if not isinstance(node, dict):
+            raise ParseRdfError(
+                f"json-ld: node must be an object, got {type(node).__name__}"
+            )
+        if depth > _JLD_MAX_DEPTH:
+            raise ParseRdfError("json-ld: node nesting too deep")
+        if subj is None:
+            subj = subject_of(node)
         types = node.get("@type", [])
         for t in types if isinstance(types, list) else [types]:
+            if not isinstance(t, str):
+                raise ParseRdfError(f"json-ld: @type must be a string, got {t!r}")
             yield (subj, RDF_NS + "type", ctx.expand(t, vocab=True),
                    "uri", None, None)
         for key, val in node.items():
@@ -655,10 +709,10 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             tdef = ctx.terms.get(key)
             pred = ctx.expand(key, vocab=True)
             if tdef and tdef.get("container") == "@list":
-                yield from list_triples(subj, pred, val, tdef)
+                yield from list_triples(subj, pred, val, tdef, depth)
                 continue
             for v in val if isinstance(val, list) else [val]:
-                yield from value_triple(subj, pred, v, tdef)
+                yield from value_triple(subj, pred, v, tdef, depth)
 
     for node in nodes:
         yield from walk(node)

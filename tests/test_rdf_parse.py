@@ -429,3 +429,48 @@ def test_turtle_fuzz_random_token_soup_never_crashes():
             parse_rdf_text(doc, "turtle", "", "d")
         except ParseRdfError:
             pass  # refusal is the contract; any other exception fails
+
+
+def test_jsonld_nested_anon_node_is_connected():
+    """Regression: the edge triple and the nested anonymous node's own
+    properties must share ONE bnode (two subject_of calls used to mint two
+    different labels, emitting the nested properties disconnected)."""
+    ts = parse_rdf_text(
+        '{"@context":{"ex":"http://ex/"},"@id":"ex:a",'
+        '"ex:knows":{"ex:name":"B"}}',
+        "json-ld", "", "d",
+    )
+    edge = [t for t in ts if t[1] == "http://ex/knows"][0]
+    inner = [t for t in ts if t[1] == "http://ex/name"][0]
+    assert edge[2] == inner[0]
+
+
+def test_jsonld_malformed_inputs_fail_as_parse_errors():
+    """Adversarial JSON-LD raises ParseRdfError — never RecursionError /
+    AttributeError escaping the operator's on_error boundary."""
+    cases = [
+        '{"@context":{"a":"b","b":"a"},"@id":"http://ex/s","a":"x"}',
+        '{"@context":{"a":"b:x","b":"a:y"},"@id":"http://ex/s","a:z":"1"}',
+        '{"@graph": ["x"]}',
+        '["foo"]',
+        '{"@id": 5, "http://p": 1}',
+        '{"@id": "http://s", "@type": [7]}',
+        '{"@id":"http://s","http://p":' * 250 + '"x"' + "}" * 250,
+        "[" * 40000 + "]" * 40000,
+    ]
+    for doc in cases:
+        with pytest.raises(ParseRdfError):
+            parse_rdf_text(doc, "json-ld", "", "d")
+
+
+def test_jsonld_prefix_of_prefix_and_null_drop():
+    ts = parse_rdf_text(
+        '{"@context":{"b":"http://b/","ex":"b:ns-"},"@id":"http://s",'
+        '"ex:x":"1"}', "json-ld", "", "d",
+    )
+    assert ts[0][1] == "http://b/ns-x"
+    # JSON nulls are dropped per JSON-LD semantics, never a "None" literal
+    assert parse_rdf_text(
+        '{"@id":"http://s","http://p":{"@value":null},"http://q":null}',
+        "json-ld", "", "d",
+    ) == []

@@ -222,3 +222,29 @@ def test_reference_file_report_on_corpus(spark, small_transcripts):
     assert "class" in kinds
     assert "minCount" in kinds
     assert len(rows) == len(set(map(tuple, rows)))
+
+
+def test_cyclic_rdf_list_and_unknown_constraints_refused():
+    """Malformed sh:or lists terminate as a skipped entry (never a hang);
+    validating constraint kinds outside the subset land in skipped
+    (never silent under-validation)."""
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex: <http://ex/> .
+ex:L rdf:first ex:a ; rdf:rest ex:L .
+ex:N sh:or ex:L .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:p ; sh:node ex:N ; sh:severity sh:Violation ],
+              [ sh:path ex:q ; sh:in (ex:a ex:b) ; sh:severity sh:Violation ],
+              [ sh:path ex:r ; sh:minLength 4 ; sh:severity sh:Violation ] .
+"""
+    c = load_shacl_shapes(ttl)
+    reasons = [s[2] for s in c.skipped]
+    assert any("sub-shape" in r for r in reasons)
+    assert any("unsupported constraint in" in r for r in reasons)
+    assert any("unsupported constraint minLength" in r for r in reasons)
+    # annotation-only predicates (sh:name/sh:message/...) do NOT skip:
+    # the reference file still compiles with exactly its 2 known skips
+    ref = load_reference_shapes()
+    assert len(ref.skipped) == 2
