@@ -244,6 +244,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_pagerank"] = lambda spark, sf: pagerank_integer(_merged(spark, sf))
     q["kg_triangles"] = lambda spark, sf: node_triangles(_merged(spark, sf))
 
+    # HyperANF neighborhood function (graph.py::neighborhood_function):
+    # per-node out-ball size estimates |B(v, r)| for r=0..3 from m=64
+    # integer HLL registers merged by elementwise max in the exploded
+    # (node, idx, val) relation — the scale answer to reachability
+    # profiling (exact pair materialization is quadratic output).  All
+    # integer math, so the oracle replays every register round and the
+    # scaled-integer estimator bit-exactly (FULL hash gate, not an audit).
+    def _kg_neighborhood(spark, sf):
+        from breg_dcat_harvester_spark.operators.graph import (
+            neighborhood_function,
+        )
+
+        return neighborhood_function(_merged(spark, sf), radius=3)
+
+    q["kg_neighborhood"] = _kg_neighborhood
+
     # dense-core extraction (4-core of the URI-link graph): 8 peel rounds —
     # fixpoint at sf0.01 is round <= 6, peeling is monotone so the margin
     # rounds are exact no-ops (oracle unrolls the same 8 stages)
@@ -2525,6 +2541,14 @@ l{i + 1} AS MATERIALIZED (
     # wedges from the minimal corner only, closing edge matched in either
     # stored orientation — each triangle counted once, then fanned to its
     # three corners
+    from breg_dcat_harvester_spark.operators.graph import (
+        oracle_neighborhood_sql,
+    )
+
+    sql["kg_neighborhood"] = oracle_neighborhood_sql(
+        osql.triples_sql(glob), radius=3
+    )
+
     sql["kg_triangles"] = f"""
 WITH t AS (SELECT subj, obj, obj_kind FROM {osql.triples_sql(glob)} AS _t),
 l AS (

@@ -314,3 +314,174 @@ def label_propagation(
         if (i + 1) % checkpoint_interval == 0 and i + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+# ---------------------------------------------------------------------------
+# HyperANF-style neighborhood function (Boldi, Rosa & Vigna 2011)
+# ---------------------------------------------------------------------------
+
+ANF_M = 64        # HLL buckets per node
+ANF_MAX_RHO = 40  # register ceiling (40-bit hash tail)
+# alpha_64 * m^2 * 2^40 / 1000, exact integer (same plan constant in the
+# DuckDB oracle); raw estimate = _ANF_A // sum_j 2^(40 - M_j)
+_ANF_A = (709 * ANF_M * ANF_M * (1 << ANF_MAX_RHO)) // 1000
+# linear-counting branch (est < 2.5m with empty buckets): round(m*ln(m/V))
+# for V = 1..64, precomputed so BOTH engines use the identical integer table
+_ANF_LC = [round(ANF_M * __import__("math").log(ANF_M / v)) for v in range(1, ANF_M + 1)]
+
+
+def _anf_hash_cols(node_col):
+    """(bucket, rho) from sha256(node): bucket = first byte mod m, rho =
+    1 + leading zeros of the next 40 hash bits (capped) — pure integer
+    Column math, identical in the oracle's generated CASE chain."""
+    h = F.sha2(node_col, 256)
+    bucket = F.pmod(F.conv(F.substring(h, 1, 2), 16, 10).cast("long"), ANF_M)
+    w = F.conv(F.substring(h, 3, 10), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(ANF_MAX_RHO)).otherwise(
+        F.least(F.lit(41) - F.length(F.bin(w)), F.lit(ANF_MAX_RHO))
+    )
+    return bucket.cast("int"), rho.cast("int")
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int = 3,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """(node, radius, reach_est): estimated out-ball sizes |B(v, r)| for
+    r = 0..``radius`` — the HyperANF neighborhood function, the
+    100 TB-scale answer to "how far does this entity reach" (exact
+    reachability is quadratic output; ``paths.reachable_pairs`` at depth 8
+    materializes every pair).
+
+    Each node carries m=64 integer HLL registers; one round is
+    ``regs(v) <- elementwise-max(regs(v), regs(u) for v->u)``, kept in the
+    EXPLODED (node, idx, val) relation so the merge is a plain
+    (node, idx) hash-agg — a hub's fan-in spreads over 64 keys instead of
+    hammering one, and map-side partial max absorbs the rest.  Per round:
+    ONE join (links.dst -> regs) + ONE agg shuffle.
+
+    Registers are integers derived from sha256, merged by max — fully
+    order/parallelism-independent, so the DuckDB oracle replays every
+    round and every estimate BIT-EXACTLY (scaled-integer HLL estimator
+    with an integer linear-counting table; no float anywhere).
+    """
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    links = _uri_links(edges).localCheckpoint(eager=True)
+    nodes = (
+        links.select(F.col("src").alias("node"))
+        .unionAll(links.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    bucket, rho = _anf_hash_cols(F.col("node"))
+    regs = (
+        nodes.select("node", bucket.alias("_b"), rho.alias("_r"))
+        .select(
+            "node", "_b", "_r",
+            F.explode(F.sequence(F.lit(0), F.lit(ANF_M - 1))).alias("idx"),
+        )
+        .withColumn(
+            "val",
+            F.when(F.col("idx") == F.col("_b"), F.col("_r")).otherwise(0),
+        )
+        .select("node", "idx", "val")
+        .localCheckpoint(eager=True)
+    )
+
+    def estimate(r_regs: DataFrame, r: int) -> DataFrame:
+        per = r_regs.groupBy("node").agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {ANF_MAX_RHO} - val)")
+            ).alias("_sn"),
+            F.sum(F.when(F.col("val") == 0, 1).otherwise(0)).alias("_v"),
+        )
+        # exact int64 division — float '/' loses precision above 2^53
+        raw = F.expr(f"div(CAST({_ANF_A} AS BIGINT), _sn)")
+        lc = F.element_at(
+            F.array(*[F.lit(x) for x in _ANF_LC]), F.col("_v").cast("int")
+        )
+        est = F.when(
+            (F.col("_v") > 0) & (raw < int(2.5 * ANF_M)), lc.cast("long")
+        ).otherwise(raw)
+        return per.select(
+            "node", F.lit(r).alias("radius"), est.alias("reach_est")
+        )
+
+    out = estimate(regs, 0)
+    for r in range(1, radius + 1):
+        pulled = (
+            links.join(
+                regs.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "idx", "val")
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("node", "idx")
+            .agg(F.max("val").alias("val"))
+        )
+        if r % checkpoint_interval == 0 and r < radius:
+            regs = regs.localCheckpoint(eager=True)
+        out = out.unionByName(estimate(regs, r))
+    return out
+
+
+def oracle_neighborhood_sql(triples_rel: str, radius: int = 3) -> str:
+    """DuckDB replay of the full register algebra: the same sha-derived
+    (bucket, rho), the same per-round elementwise max in the exploded
+    relation, the same scaled-integer estimator + LC table."""
+    rho_chain = " ".join(
+        f"WHEN w >= {1 << (40 - k)} THEN {k}" for k in range(1, 41)
+    )
+    lc_list = ", ".join(str(x) for x in _ANF_LC)
+    head = f"""
+WITH l AS (
+    SELECT subj AS src, obj AS dst FROM {triples_rel} AS _t
+    WHERE obj_kind = 'uri' AND subj <> obj GROUP BY subj, obj
+),
+n AS (SELECT src AS node FROM l UNION SELECT dst FROM l),
+h0 AS (
+    SELECT node,
+           CAST(('0x' || substr(sha256(node), 1, 2))::BIGINT % {ANF_M} AS INTEGER) AS b,
+           ('0x' || substr(sha256(node), 3, 10))::BIGINT AS w
+    FROM n
+),
+h AS (
+    SELECT node, b,
+           CAST(CASE {rho_chain} ELSE {ANF_MAX_RHO} END AS INTEGER) AS r
+    FROM h0
+),
+r0 AS (
+    SELECT h.node, g.i AS idx,
+           CASE WHEN g.i = h.b THEN h.r ELSE 0 END AS val
+    FROM h, LATERAL (SELECT unnest(generate_series(0, {ANF_M - 1})) AS i) g
+)"""
+    rounds = "".join(
+        f""",
+r{k} AS (
+    SELECT node, idx, MAX(val) AS val FROM (
+        SELECT node, idx, val FROM r{k - 1}
+        UNION ALL
+        SELECT l.src AS node, p.idx, p.val
+        FROM l JOIN r{k - 1} p ON p.node = l.dst
+    ) GROUP BY node, idx
+)"""
+        for k in range(1, radius + 1)
+    )
+    est = f"""
+SELECT node, CAST(rr AS INTEGER) AS radius, reach_est FROM (
+    {" UNION ALL ".join(
+        f'''SELECT node, {k} AS rr,
+        CASE WHEN v > 0 AND ({_ANF_A} // sn) < {int(2.5 * ANF_M)}
+             THEN CAST(([{lc_list}])[v] AS BIGINT)
+             ELSE CAST({_ANF_A} // sn AS BIGINT) END AS reach_est
+        FROM (
+            SELECT node,
+                   SUM(CAST(1 AS BIGINT) << ({ANF_MAX_RHO} - val)) AS sn,
+                   CAST(SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v
+            FROM r{k} GROUP BY node
+        )'''
+        for k in range(0, radius + 1)
+    )}
+)"""
+    return head + rounds + est

@@ -206,3 +206,89 @@ def test_kg_negative_samples_semantics(spark):
     c = kg_negative_samples(df, k=3, pool_size=8, salt="epoch2").collect()
     assert sorted((r.subj, r.pred, r.obj, r.neg_idx) for r in c) != [] 
     assert a != sorted(map(tuple, c))
+
+
+# --- HyperANF neighborhood function ---------------------------------------
+
+
+def _exact_balls(links, radius):
+    """Exact out-ball sizes via python BFS on the collected edge list."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    for s, d in links:
+        adj[s].add(d)
+        nodes.update((s, d))
+    out = {}
+    for v in nodes:
+        ball = {v}
+        frontier = {v}
+        for r in range(radius + 1):
+            out[(v, r)] = len(ball)
+            nxt = set()
+            for u in frontier:
+                nxt |= adj[u]
+            frontier = nxt - ball
+            ball |= nxt
+    return out
+
+
+def test_neighborhood_function_accuracy_and_determinism(spark, small_transcripts):
+    from breg_dcat_harvester_spark.operators.extract import extract_edges
+    from breg_dcat_harvester_spark.operators.graph import (
+        _uri_links,
+        neighborhood_function,
+    )
+    from breg_dcat_harvester_spark.operators.merge import merge_triples
+
+    g = merge_triples(extract_edges(small_transcripts)).cache()
+    links = [(r.src, r.dst) for r in _uri_links(g).collect()]
+    exact = _exact_balls(links, 3)
+
+    est = {
+        (r.node, r.radius): r.reach_est
+        for r in neighborhood_function(g, radius=3).collect()
+    }
+    assert set(est) == set(exact)
+    # HLL m=64: rsd ~13%; gate each estimate inside generous 3-sigma-ish
+    # bounds for balls >= 8, and the mean relative error tighter
+    errs = []
+    for k, ex in exact.items():
+        e = est[k]
+        errs.append(abs(e - ex) / ex)
+        if ex >= 8:
+            assert 0.5 * ex <= e <= 1.8 * ex, (k, ex, e)
+    assert sum(errs) / len(errs) < 0.25, sum(errs) / len(errs)
+    # radius-0 balls are singletons: linear counting nails them exactly
+    assert all(est[(n, r)] == 1 for (n, r) in est if r == 0)
+    # bit-deterministic at any parallelism
+    a = sorted(map(tuple, neighborhood_function(
+        g.repartition(1), radius=2).collect()))
+    b = sorted(map(tuple, neighborhood_function(
+        g.repartition(13), radius=2).collect()))
+    assert a == b
+
+
+def test_neighborhood_monotone_in_radius(spark):
+    # chain a->b->c->d: balls grow with radius and estimates are monotone
+    from breg_dcat_harvester_spark.operators.graph import neighborhood_function
+
+    rows = [
+        (f"urn:n{i}", "urn:p", f"urn:n{i+1}", "uri", None, None)
+        for i in range(6)
+    ]
+    g = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "lang string, dtype string")
+    est = {
+        (r.node, r.radius): r.reach_est
+        for r in neighborhood_function(g, radius=3).collect()
+    }
+    for (n, r), v in est.items():
+        if (n, r + 1) in est:
+            assert est[(n, r + 1)] >= v
+    # exact small balls via linear counting: chain head reaches r+1 nodes
+    assert est[("urn:n0", 0)] == 1
+    assert est[("urn:n0", 1)] == 2
+    assert est[("urn:n0", 3)] == 4
