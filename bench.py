@@ -848,6 +848,10 @@ HEADLINE = [
     "kg_export_turtle",
     "kg_sparql_update",
     "bpe_merges",
+    # round-4 additions
+    "kg_validation_full_shapes",
+    "kg_neighborhood",
+    "multimodal_image_meta",
 ]
 
 
