@@ -420,8 +420,14 @@ def neighborhood_function(
             .groupBy("node", "idx")
             .agg(F.max("val").alias("val"))
         )
-        if r % checkpoint_interval == 0 and r < radius:
-            regs = regs.localCheckpoint(eager=True)
+        # EVERY round checkpoints (lazily): the output unions one estimate
+        # branch per radius, and each branch otherwise re-derives its
+        # round's register lineage from scratch inside the one final
+        # action; the lazy checkpoint materializes each round once and
+        # shares it across the radius branches without a blocking job.
+        # The periodic EAGER checkpoint still truncates lineage depth.
+        eager = r % checkpoint_interval == 0 and r < radius
+        regs = regs.localCheckpoint(eager=eager)
         out = out.unionByName(estimate(regs, r))
     return out
 
