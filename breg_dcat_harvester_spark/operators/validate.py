@@ -186,8 +186,22 @@ _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
+def _typed_vals(edges: DataFrame, typed: DataFrame, paths: list[str]) -> DataFrame:
+    """The shared constrained-edge sliver: every edge on a constrained path
+    joined to its subject's types — (subj, path, obj, obj_kind, lang,
+    dtype, entity_type).  full_shapes_report computes it ONCE over the
+    union of the value+class path sets and lazily checkpoints it; the
+    family functions then just filter their own paths."""
+    return edges.filter(F.col("pred").isin(paths)).select(
+        "subj", F.col("pred").alias("path"), "obj", "obj_kind", "lang", "dtype"
+    ).join(typed, "subj")
+
+
 def value_violations(
-    edges: DataFrame, shapes: list[ValueShape], typed: DataFrame | None = None
+    edges: DataFrame,
+    shapes: list[ValueShape],
+    typed: DataFrame | None = None,
+    typed_vals: DataFrame | None = None,
 ) -> DataFrame:
     """Value-level violations: one row per (entity, path, value, failed
     check) — columns subj, entity_type, path, value, constraint,
@@ -212,27 +226,27 @@ def value_violations(
         "datatype string, pattern string, severity string, "
         "datatype_any array<string>",
     )
-    if typed is None:
-        typed = (
-            edges.filter(F.col("pred") == RDF_TYPE)
-            .select("subj", F.col("obj").alias("entity_type"))
-            .distinct()
-        )
     paths = sorted({s.path for s in shapes})
-    vals = edges.filter(F.col("pred").isin(paths)).select(
-        "subj", F.col("pred").alias("path"), "obj", "obj_kind", "lang", "dtype"
-    )
+    if typed_vals is None:
+        if typed is None:
+            typed = (
+                edges.filter(F.col("pred") == RDF_TYPE)
+                .select("subj", F.col("obj").alias("entity_type"))
+                .distinct()
+            )
+        tv = _typed_vals(edges, typed, paths)
+    else:
+        tv = typed_vals.filter(F.col("path").isin(paths))
     effective_dtype = F.when(
         F.col("obj_kind") != "literal", F.lit(None).cast("string")
     ).when(F.col("lang").isNotNull(), F.lit(_RDF_LANGSTRING)).otherwise(
         F.coalesce(F.col("dtype"), F.lit(_XSD_STRING))
     )
     joined = (
-        vals.join(typed, "subj")
-        .join(
+        tv.join(
             F.broadcast(shapes_df),
             (F.col("entity_type") == F.col("target_class"))
-            & (vals["path"] == shapes_df["path"]),
+            & (tv["path"] == shapes_df["path"]),
         )
         .drop(shapes_df["path"])
         .withColumn("eff_dtype", effective_dtype)
@@ -482,7 +496,10 @@ def load_reference_shapes(
 
 
 def class_violations(
-    edges: DataFrame, shapes: list[ClassShape], typed: DataFrame | None = None
+    edges: DataFrame,
+    shapes: list[ClassShape],
+    typed: DataFrame | None = None,
+    typed_vals: DataFrame | None = None,
 ) -> DataFrame:
     """sh:class violations: subj, entity_type, path, value, check_kind,
     severity — one row per (entity, path, value) whose value is a literal
@@ -497,20 +514,20 @@ def class_violations(
         [(s.target_class, s.path, list(s.classes), s.severity) for s in shapes],
         "target_class string, path string, classes array<string>, severity string",
     )
-    if typed is None:
-        typed = edges.filter(F.col("pred") == RDF_TYPE).select(
-            "subj", F.col("obj").alias("entity_type")
-        ).distinct()
     paths = sorted({s.path for s in shapes})
-    vals = edges.filter(F.col("pred").isin(paths)).select(
-        "subj", F.col("pred").alias("path"), "obj", "obj_kind"
-    )
+    if typed_vals is None:
+        if typed is None:
+            typed = edges.filter(F.col("pred") == RDF_TYPE).select(
+                "subj", F.col("obj").alias("entity_type")
+            ).distinct()
+        tv = _typed_vals(edges, typed, paths)
+    else:
+        tv = typed_vals.filter(F.col("path").isin(paths))
     cand = (
-        vals.join(typed, "subj")
-        .join(
+        tv.join(
             F.broadcast(shapes_df),
             (F.col("entity_type") == F.col("target_class"))
-            & (vals["path"] == shapes_df["path"]),
+            & (tv["path"] == shapes_df["path"]),
         )
         .drop(shapes_df["path"])
     )
@@ -595,6 +612,15 @@ def full_shapes_report(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # the value and class families both need "constrained edges with their
+    # subject's types" — computed ONCE over the union of their path sets
+    all_paths = sorted(
+        {s.path for s in compiled.value} | {s.path for s in compiled.klass}
+    )
+    shared_tv = (
+        _typed_vals(edges, typed, all_paths).localCheckpoint(eager=False)
+        if all_paths else None
+    )
     parts = []
     if compiled.cardinality:
         card = validation_report(edges, list(compiled.cardinality))
@@ -606,9 +632,13 @@ def full_shapes_report(
             "severity",
         ))
     if compiled.value:
-        parts.append(value_violations(edges, list(compiled.value), typed=typed))
+        parts.append(value_violations(
+            edges, list(compiled.value), typed=typed, typed_vals=shared_tv
+        ))
     if compiled.klass:
-        parts.append(class_violations(edges, list(compiled.klass), typed=typed))
+        parts.append(class_violations(
+            edges, list(compiled.klass), typed=typed, typed_vals=shared_tv
+        ))
     if compiled.has_value:
         parts.append(
             has_value_violations(edges, list(compiled.has_value), typed=typed)
