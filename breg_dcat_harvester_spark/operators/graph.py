@@ -420,14 +420,17 @@ def neighborhood_function(
             .groupBy("node", "idx")
             .agg(F.max("val").alias("val"))
         )
-        # EVERY round checkpoints (lazily): the output unions one estimate
-        # branch per radius, and each branch otherwise re-derives its
-        # round's register lineage from scratch inside the one final
-        # action; the lazy checkpoint materializes each round once and
-        # shares it across the radius branches without a blocking job.
-        # The periodic EAGER checkpoint still truncates lineage depth.
-        eager = r % checkpoint_interval == 0 and r < radius
-        regs = regs.localCheckpoint(eager=eager)
+        # EVERY round is shared: the output unions one estimate branch per
+        # radius, and each branch otherwise re-derives its round's register
+        # lineage from scratch inside the one final action.  Non-interval
+        # rounds use persist() — evictable and RECOMPUTABLE on executor
+        # loss — while the periodic localCheckpoint still truncates lineage
+        # depth (an un-recomputable pinned block per interval, not per
+        # round).
+        if r % checkpoint_interval == 0 and r < radius:
+            regs = regs.localCheckpoint(eager=True)
+        else:
+            regs = regs.persist()
         out = out.unionByName(estimate(regs, r))
     return out
 

@@ -197,6 +197,21 @@ def _typed_vals(edges: DataFrame, typed: DataFrame, paths: list[str]) -> DataFra
     ).join(typed, "subj")
 
 
+def _resolve_tv(edges, typed, typed_vals, paths):
+    """Shared fallback resolution for the constraint families: use the
+    caller-provided sliver filtered to this family's paths, else derive it
+    (deriving typed first if needed)."""
+    if typed_vals is not None:
+        return typed_vals.filter(F.col("path").isin(paths))
+    if typed is None:
+        typed = (
+            edges.filter(F.col("pred") == RDF_TYPE)
+            .select("subj", F.col("obj").alias("entity_type"))
+            .distinct()
+        )
+    return _typed_vals(edges, typed, paths)
+
+
 def value_violations(
     edges: DataFrame,
     shapes: list[ValueShape],
@@ -207,11 +222,12 @@ def value_violations(
     check) — columns subj, entity_type, path, value, constraint,
     severity.
 
-    Plan shape: the typed-entity slice joins the constrained-path slice
-    once (both filters push to the scan); the shape table broadcasts; all
-    three checks are codegen'd Column predicates evaluated per edge — no
-    per-entity aggregation is needed for value constraints, so the only
-    exchange is the subj equi-join of the two slices.
+    Plan shape: the constrained-path slice joins the typed-entity slice
+    once (standalone path: both filters push to the scan and the subj
+    equi-join is the only exchange).  Under full_shapes_report the caller
+    provides ``typed_vals`` — the SHARED lazily-checkpointed sliver — so
+    this function adds no join of its own, only the broadcast shape join
+    and per-edge codegen'd check predicates.
     """
     if not shapes:
         raise ValueError("value_violations expects at least one shape")
@@ -227,16 +243,7 @@ def value_violations(
         "datatype_any array<string>",
     )
     paths = sorted({s.path for s in shapes})
-    if typed_vals is None:
-        if typed is None:
-            typed = (
-                edges.filter(F.col("pred") == RDF_TYPE)
-                .select("subj", F.col("obj").alias("entity_type"))
-                .distinct()
-            )
-        tv = _typed_vals(edges, typed, paths)
-    else:
-        tv = typed_vals.filter(F.col("path").isin(paths))
+    tv = _resolve_tv(edges, typed, typed_vals, paths)
     effective_dtype = F.when(
         F.col("obj_kind") != "literal", F.lit(None).cast("string")
     ).when(F.col("lang").isNotNull(), F.lit(_RDF_LANGSTRING)).otherwise(
@@ -515,14 +522,7 @@ def class_violations(
         "target_class string, path string, classes array<string>, severity string",
     )
     paths = sorted({s.path for s in shapes})
-    if typed_vals is None:
-        if typed is None:
-            typed = edges.filter(F.col("pred") == RDF_TYPE).select(
-                "subj", F.col("obj").alias("entity_type")
-            ).distinct()
-        tv = _typed_vals(edges, typed, paths)
-    else:
-        tv = typed_vals.filter(F.col("path").isin(paths))
+    tv = _resolve_tv(edges, typed, typed_vals, paths)
     cand = (
         tv.join(
             F.broadcast(shapes_df),
