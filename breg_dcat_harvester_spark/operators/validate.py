@@ -450,7 +450,22 @@ def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledSh
                 dt = pp.get(_SH + "datatype")
                 pat = pp.get(_SH + "pattern")
                 if nk and nk[0] not in _NODEKIND_MAP:
-                    skipped.append((target, path, f"unsupported nodeKind {nk[0]}"))
+                    # the source file's two malformed sh:nodeKind rows
+                    # (lines 540 / 825) carry recoverable INTENT: a value
+                    # that is itself a node shape of sh:or-of-class (the
+                    # file's own :DcatResource_Shape) compiles as that
+                    # class tuple; any other non-SHACL URI (eli:
+                    # LegalResource) is a class constraint.  Only a bogus
+                    # sh:* nodeKind remains an honest refusal.
+                    cls_alt = resolve_or(nk[0], "class")
+                    if cls_alt:
+                        klass.append(ClassShape(target, path, cls_alt, severity=sev))
+                    elif not nk[0].startswith(_SH):
+                        klass.append(ClassShape(target, path, (nk[0],), severity=sev))
+                    else:
+                        skipped.append(
+                            (target, path, f"unsupported nodeKind {nk[0]}")
+                        )
                     nk = None
                 if nk or dt or pat:
                     value.append(ValueShape(
@@ -489,15 +504,25 @@ def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledSh
     )
 
 
-def load_reference_shapes(
-    path: str = "/root/reference/api/breg_harvester/ontology/"
-    "BRegDCAT-AP_shacl_shapes_2.00.ttl",
-) -> CompiledShapes:
+_REFERENCE_SHAPES_REL = (
+    "api/breg_harvester/ontology/BRegDCAT-AP_shacl_shapes_2.00.ttl"
+)
+
+
+def load_reference_shapes(path: str | None = None) -> CompiledShapes:
     """The reference's complete BRegDCAT-AP 2.0 shapes file, compiled.
 
     Read at runtime from the reference checkout (the same way the harvest
     parity queries read its sample RDF documents) — the shape table is
-    derived data, never transcribed by hand."""
+    derived data, never transcribed by hand.  The checkout root resolves
+    from ``$REFERENCE_ROOT`` (default ``/root/reference``) so the package
+    is not coupled to one machine layout; pass ``path`` to override
+    entirely."""
+    if path is None:
+        import os
+
+        root = os.environ.get("REFERENCE_ROOT", "/root/reference")
+        path = os.path.join(root, _REFERENCE_SHAPES_REL)
     with open(path, encoding="utf-8") as f:
         return load_shacl_shapes(f.read())
 
@@ -642,6 +667,11 @@ def full_shapes_report(
     if compiled.has_value:
         parts.append(
             has_value_violations(edges, list(compiled.has_value), typed=typed)
+        )
+    if not parts:
+        raise ValueError(
+            "no supported constraints in compiled shapes (empty or "
+            "fully-skipped shapes document)"
         )
     out = parts[0]
     for p in parts[1:]:

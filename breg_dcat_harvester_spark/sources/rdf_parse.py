@@ -35,8 +35,10 @@ full recursive descent (anonymous ``[ ]`` property lists and ``( )``
 collections included, with a nesting-depth cap).  Blank node labels
 skolemize to ``urn:skolem:sha2(doc_id|bnode|label)`` —
 content-deterministic like the transcript path (functions/terms.skolem_uri);
-anonymous nodes get deterministic per-document ``genid<n>``/``anon<n>``
-labels in parse order.
+anonymous nodes get deterministic per-document labels in parse order, in a
+RESERVED ``|genid|<n>`` sub-namespace that user-written labels cannot
+produce (``|`` is refused in labels), so ``_:genid1`` and an anonymous
+``[ ]`` in the same document never conflate.
 """
 
 from __future__ import annotations
@@ -72,7 +74,28 @@ def _resolve(base: str, iri: str) -> str:
 
 
 def _skolem(doc_id: str, label: str) -> str:
+    """Skolemize a USER-WRITTEN blank-node label.
+
+    ``|`` is the hash-input delimiter, so a user label containing it could
+    collide with the reserved anonymous-node namespace (``_skolem_anon``);
+    no RDF surface syntax permits ``|`` in a blank-node label (Turtle/
+    N-Triples PN_CHARS, RDF/XML rdf:nodeID NCName, JSON-LD ``_:`` ids by
+    convention), so such a label is refused loudly, never conflated."""
+    if "|" in label:
+        raise ParseRdfError(f"blank node label may not contain '|': {label!r}")
     digest = hashlib.sha256(f"{doc_id}|bnode|{label}".encode()).hexdigest()
+    return SKOLEM_NS + digest
+
+
+def _skolem_anon(doc_id: str, n: int) -> str:
+    """Skolemize the ``n``-th ANONYMOUS node of a document (parse order).
+
+    Lives in a reserved sub-namespace (``|genid|<n>``) that ``_skolem``
+    refuses to accept from user labels, so a document containing both
+    ``_:genid1`` and an anonymous ``[ ]`` keeps the two nodes distinct —
+    matching rdflib, which never conflates a fresh BNode with a labeled
+    one."""
+    digest = hashlib.sha256(f"{doc_id}|bnode||genid|{n}".encode()).hexdigest()
     return SKOLEM_NS + digest
 
 
@@ -193,8 +216,9 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
     the full surface used by the reference's SHACL shapes file
     (``ontology/BRegDCAT-AP_shacl_shapes_2.00.ttl``, e.g. the ``sh:or``
     list-of-bnodes at lines 899-921).  Anonymous nodes get deterministic
-    per-document skolem labels (``genid<n>`` in parse order), so two parses
-    of the same document are byte-identical."""
+    per-document skolem labels (reserved ``|genid|<n>`` namespace, parse
+    order), so two parses of the same document are byte-identical and a
+    labeled ``_:genid1`` never collides with an anonymous node."""
     prefixes: dict[str, str] = {}
     cur_base = base
     genid = 0
@@ -224,7 +248,7 @@ def parse_turtle_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
     def fresh_bnode() -> str:
         nonlocal genid
         genid += 1
-        return _skolem(doc_id, f"genid{genid}")
+        return _skolem_anon(doc_id, genid)
 
     toks = list(_ttl_tokens(text))
     i = 0
@@ -420,7 +444,7 @@ def parse_rdfxml_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             subj = _skolem(doc_id, node_id)
         else:
             counter["b"] += 1
-            subj = _skolem(doc_id, f"anon{counter['b']}")
+            subj = _skolem_anon(doc_id, counter["b"])
         tag = _split_tag(el.tag)
         if tag != RDF_NS + "Description":
             out.append((subj, RDF_NS + "type", tag, "uri", None, None))
@@ -602,7 +626,7 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
 
     def fresh_bnode() -> str:
         counter["b"] += 1
-        return _skolem(doc_id, f"anon{counter['b']}")
+        return _skolem_anon(doc_id, counter["b"])
 
     def subject_of(node: dict) -> str:
         if "@context" in node:

@@ -163,6 +163,23 @@ def test_turtle_anonymous_bnode():
     )
 
 
+def test_bnode_label_namespaces_never_conflate():
+    # a user-written _:genid1 plus an anonymous [ ] in the same document
+    # must stay TWO distinct nodes (rdflib keeps them distinct; the old
+    # shared label namespace silently merged them)
+    ts = parse_rdf_text(
+        "@prefix ex: <http://ex/> . _:genid1 ex:p ex:a . ex:s ex:q [ ex:r ex:b ] .",
+        "turtle", "", "d",
+    )
+    labeled = {t[0] for t in ts if t[1] == "http://ex/p"}
+    anon = {t[2] for t in ts if t[0] == "http://ex/s"}
+    assert len(labeled) == 1 and len(anon) == 1
+    assert labeled.isdisjoint(anon)
+    # the reserved namespace is unreachable from user labels: '|' refused
+    with pytest.raises(ParseRdfError, match=r"\|"):
+        parse_rdf_text("_:a|b <http://ex/p> <http://ex/o> .", "nt", "", "d")
+
+
 def test_turtle_anonymous_subject_statement():
     ts = parse_rdf_text(
         "@prefix ex: <http://ex/> . [ ex:q ex:r ] .", "turtle", "", "d"

@@ -52,12 +52,13 @@ def test_constraint_family_counts(compiled):
     # compiler shift these counts
     assert len(compiled.cardinality) == 80
     assert len(compiled.value) == 58
-    assert len(compiled.klass) == 96
+    # 96 direct sh:class rows + the 2 recovered malformed-sh:nodeKind rows
+    # (file lines 540 / 825): eli:LegalResource compiles as a class
+    # constraint, :DcatResource_Shape resolves through its own sh:or-of-class
+    assert len(compiled.klass) == 98
     assert len(compiled.has_value) == 1
-    # exactly 2 honest refusals: the file's two malformed sh:nodeKind values
-    # (eli:LegalResource and a node-shape IRI are not SHACL node kinds)
-    assert len(compiled.skipped) == 2
-    assert all("nodeKind" in s[2] for s in compiled.skipped)
+    # the COMPLETE file: zero skipped constraints remain
+    assert len(compiled.skipped) == 0
 
 
 def test_default_shapes_are_a_subset(compiled):
@@ -86,12 +87,33 @@ def test_date_or_datetime_disjunction_resolved(compiled):
 
 
 def test_dcat_resource_class_or_resolved(compiled):
+    # 2 via sh:node/sh:shape references + 1 recovered from the malformed
+    # `sh:nodeKind :DcatResource_Shape` row (file line 825)
     multi = [k for k in compiled.klass if len(k.classes) > 1]
-    assert len(multi) == 2
+    assert len(multi) == 3
     assert any(
         set(k.classes)
         == {DCAT + "Catalog", DCAT + "Dataset", DCAT + "DataService"}
         for k in multi
+    )
+
+
+def test_malformed_nodekind_rows_recovered(compiled):
+    """File line 540 (`sh:nodeKind eli:LegalResource`) and line 825
+    (`sh:nodeKind :DcatResource_Shape`) compile to class constraints —
+    a bogus sh:* node kind would still refuse (see
+    test_cyclic_rdf_list_and_unknown_constraints_refused)."""
+    ELI = "http://data.europa.eu/eli/ontology#LegalResource"
+    DCT_REL = "http://purl.org/dc/terms/relation"
+    assert any(
+        k.target_class == ELI and k.path == DCT_REL and k.classes == (ELI,)
+        for k in compiled.klass
+    )
+    assert any(
+        k.target_class == DCAT + "Relationship" and k.path == DCT_REL
+        and set(k.classes)
+        == {DCAT + "Catalog", DCAT + "Dataset", DCAT + "DataService"}
+        for k in compiled.klass
     )
 
 
@@ -244,7 +266,17 @@ ex:S a sh:NodeShape ; sh:targetClass ex:T ;
     assert any("sub-shape" in r for r in reasons)
     assert any("unsupported constraint in" in r for r in reasons)
     assert any("unsupported constraint minLength" in r for r in reasons)
+    # a bogus nodeKind IN the SHACL namespace still refuses (no recovery)
+    bogus = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://ex/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:p ; sh:nodeKind sh:Nonsense ;
+                sh:severity sh:Violation ] .
+"""
+    cb = load_shacl_shapes(bogus)
+    assert len(cb.skipped) == 1 and "nodeKind" in cb.skipped[0][2]
     # annotation-only predicates (sh:name/sh:message/...) do NOT skip:
-    # the reference file still compiles with exactly its 2 known skips
+    # the COMPLETE reference file compiles with zero skips
     ref = load_reference_shapes()
-    assert len(ref.skipped) == 2
+    assert len(ref.skipped) == 0
