@@ -343,12 +343,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The COMPLETE BRegDCAT-AP 2.0 shapes file, compiled from the
     # reference's own ontology/BRegDCAT-AP_shacl_shapes_2.00.ttl at runtime
-    # (18 sh:targetClass node shapes / 158 property shapes -> 235 constraint
-    # rows: 80 cardinality + 58 value + 96 class + 1 hasValue; 2 malformed
-    # sh:nodeKind rows in the source file are skipped loudly).  The shape
-    # tables are parsed DATA, not code — see operators/validate.py
-    # load_shacl_shapes.  Oracle: the same compiled rows rendered as DuckDB
-    # VALUES lists by _full_shapes_sql below.
+    # (18 sh:targetClass node shapes / 158 property shapes -> 237 constraint
+    # rows: 80 cardinality + 58 value + 98 class + 1 hasValue; the source
+    # file's 2 malformed sh:nodeKind rows compile to their class-constraint
+    # intent, so ZERO constraints are skipped).  The shape tables are
+    # parsed DATA, not code — see operators/validate.py load_shacl_shapes.
+    # Oracle: the same compiled rows rendered as DuckDB VALUES lists by
+    # _full_shapes_sql below.
     def _kg_full_shapes(spark, sf):
         from breg_dcat_harvester_spark.operators.validate import (
             full_shapes_report,
@@ -358,6 +359,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return full_shapes_report(_merged(spark, sf), load_reference_shapes())
 
     q["kg_validation_full_shapes"] = _kg_full_shapes
+
+    # The per-shard DEPLOYMENT shape of the same validation — the
+    # reference's actual semantics (validation gates each arriving
+    # harvest, harvest.py:41-47): only entities touched by the arriving
+    # conversation shard are validated, the base is probed by a broadcast
+    # semi-join and never re-validated, so per-ingest cost is proportional
+    # to the shard.  Oracle: the from-scratch full-graph report restricted
+    # to the shard's subjects — incremental ≡ batch is the contract.
+    def _kg_full_shapes_inc(spark, sf):
+        from breg_dcat_harvester_spark.operators.validate import (
+            full_shapes_report_incremental,
+            load_reference_shapes,
+        )
+
+        st = _inc_state(spark, sf, provenance=True)
+        return full_shapes_report_incremental(
+            st["base"], st["new"], load_reference_shapes()
+        )
+
+    q["kg_validation_full_shapes_incremental"] = _kg_full_shapes_inc
 
     # S6 export analog (store.py:19-25 node.n3() INSERT DATA): the merged
     # graph serialized as canonical escaped N-Triples lines — map-only, so
@@ -2020,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_validation_violations",
         "kg_validation_value_violations",
         "kg_validation_full_shapes",
+        "kg_validation_full_shapes_incremental",
         "kg_facets_all",
         "kg_facet_publisher_enriched",
         "kg_facet_publisher_doc_labels",
@@ -2110,11 +2132,18 @@ def _sqlq(s: str | None) -> str:
     return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
 
 
-def _full_shapes_sql(glob: str) -> str:
+def _full_shapes_sql(glob: str, incremental: bool = False) -> str:
     """DuckDB replay of full_shapes_report: the SAME compiled constraint
     rows (parsed from the reference's shapes file) rendered as VALUES
     lists — the oracle shares the shape DATA but re-implements every check
-    independently in SQL."""
+    independently in SQL.
+
+    ``incremental=True`` gates full_shapes_report_incremental: the SAME
+    from-scratch full-graph report, restricted to subjects extracted from
+    the arriving conversation shard (sha256(conv_id) last hex digit
+    0/4/8/c — the engine's exact split).  Checks over full-graph state
+    (cardinality counts, sh:class object types) stay full-graph, so the
+    oracle asserts incremental ≡ batch-restricted-to-touched."""
     from breg_dcat_harvester_spark.operators.validate import (
         load_reference_shapes,
     )
@@ -2148,13 +2177,26 @@ def _full_shapes_sql(glob: str) -> str:
     )
     _ls = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
     _xs = "http://www.w3.org/2001/XMLSchema#string"
+    touched_cte = ""
+    typed_guard = ""
+    if incremental:
+        touched_cte = """
+touched AS (
+    SELECT DISTINCT subj FROM eraw
+    WHERE substr(sha256(conv_id), 64, 1) IN ('0', '4', '8', 'c')
+),"""
+        typed_guard = " AND subj IN (SELECT subj FROM touched)"
     return f"""
-WITH t AS (
-    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype
+WITH eraw AS (
+    SELECT subj, pred, obj, obj_kind, lang, dtype, conv_id
     FROM {osql.edges_sql(glob)} AS _e
 ),
+t AS (
+    SELECT DISTINCT subj, pred, obj, obj_kind, lang, dtype FROM eraw
+),{touched_cte}
 typed AS (
-    SELECT DISTINCT subj, obj AS entity_type FROM t WHERE pred = '{RDF_TYPE}'
+    SELECT DISTINCT subj, obj AS entity_type FROM t
+    WHERE pred = '{RDF_TYPE}'{typed_guard}
 ),
 card_shapes(target_class, path, min_count, max_count, severity) AS (VALUES
     {card_rows}),
@@ -2489,6 +2531,9 @@ SELECT DISTINCT subj, entity_type, path, value, check_kind, severity FROM (
 """
 
     sql["kg_validation_full_shapes"] = _full_shapes_sql(glob)
+    sql["kg_validation_full_shapes_incremental"] = _full_shapes_sql(
+        glob, incremental=True
+    )
 
     from breg_dcat_harvester_spark.operators.negatives import (
         oracle_negative_samples_sql,

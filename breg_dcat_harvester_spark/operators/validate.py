@@ -532,6 +532,7 @@ def class_violations(
     shapes: list[ClassShape],
     typed: DataFrame | None = None,
     typed_vals: DataFrame | None = None,
+    type_edges: DataFrame | None = None,
 ) -> DataFrame:
     """sh:class violations: subj, entity_type, path, value, check_kind,
     severity — one row per (entity, path, value) whose value is a literal
@@ -540,7 +541,12 @@ def class_violations(
     Plan shape: the constrained-path sliver joins the typed sliver twice
     (once for the subject's type, once — LEFT — for the value's required
     type); the shape table broadcasts.  Both slivers push their pred
-    filters to the scan; no aggregation is needed."""
+    filters to the scan; no aggregation is needed.
+
+    ``type_edges`` (incremental deployment): the value-side rdf:type
+    lookup reads THIS frame instead of ``edges`` — a shard slice can then
+    validate against the whole graph's types (a constrained value may
+    reference an untouched base entity)."""
     spark = edges.sparkSession
     shapes_df = spark.createDataFrame(
         [(s.target_class, s.path, list(s.classes), s.severity) for s in shapes],
@@ -556,9 +562,12 @@ def class_violations(
         )
         .drop(shapes_df["path"])
     )
-    obj_types = edges.filter(F.col("pred") == RDF_TYPE).select(
-        F.col("subj").alias("_osubj"), F.col("obj").alias("_otype")
-    ).distinct()
+    obj_types = (
+        (type_edges if type_edges is not None else edges)
+        .filter(F.col("pred") == RDF_TYPE)
+        .select(F.col("subj").alias("_osubj"), F.col("obj").alias("_otype"))
+        .distinct()
+    )
     # equi on the value URI; the class-alternative membership rides as a
     # residual join filter
     checked = cand.join(
@@ -618,7 +627,9 @@ def has_value_violations(
 
 
 def full_shapes_report(
-    edges: DataFrame, compiled: CompiledShapes
+    edges: DataFrame,
+    compiled: CompiledShapes,
+    type_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Every supported constraint of the full shapes file, one unified
     violations table: subj, entity_type, path, value, check_kind, severity.
@@ -662,7 +673,8 @@ def full_shapes_report(
         ))
     if compiled.klass:
         parts.append(class_violations(
-            edges, list(compiled.klass), typed=typed, typed_vals=shared_tv
+            edges, list(compiled.klass), typed=typed, typed_vals=shared_tv,
+            type_edges=type_edges,
         ))
     if compiled.has_value:
         parts.append(
@@ -677,3 +689,39 @@ def full_shapes_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def full_shapes_report_incremental(
+    base: DataFrame, shard: DataFrame, compiled: CompiledShapes
+) -> DataFrame:
+    """Per-shard DEPLOYMENT shape of full-shapes validation.
+
+    The reference validates each ARRIVING harvest, not the accumulated
+    graph (``harvest.py:41-47`` gates the job on the new source's
+    conformance).  This twin of ``full_shapes_report`` does the same:
+    validate ONLY the entities the arriving shard touches, never
+    re-validating the base.
+
+    Scale shape: ``touched`` (the shard's subjects) is shard-sized, so
+    the base slice is a broadcast semi-join — one map-only probe of the
+    (subj-bucketed) base table, no base-sized shuffle — and every
+    constraint family then runs on the shard-sized slice.  The single
+    graph-wide input is the rdf:type sliver the sh:class object lookups
+    need (pred-pruned at the scan; a shard value may reference an
+    untouched base entity, so this lookup cannot be sliced).
+
+    Contract (what the oracle checks): the result EQUALS
+    ``full_shapes_report`` over the full graph restricted to touched
+    subjects — an entity's slice carries all of its edges, so every
+    count/check matches the from-scratch run exactly.
+    """
+    cols = ["subj", "pred", "obj", "obj_kind", "lang", "dtype"]
+    touched = shard.select("subj").distinct()
+    sl = (
+        base.select(cols)
+        .join(touched, "subj", "left_semi")
+        .unionByName(shard.select(cols))
+        .dropDuplicates(cols)
+    )
+    type_edges = base.select(cols).unionByName(shard.select(cols))
+    return full_shapes_report(sl, compiled, type_edges=type_edges)

@@ -246,6 +246,66 @@ def test_reference_file_report_on_corpus(spark, small_transcripts):
     assert len(rows) == len(set(map(tuple, rows)))
 
 
+def test_incremental_equals_batch_restricted(spark):
+    """full_shapes_report_incremental(base, shard) must equal the
+    from-scratch full-graph report restricted to the shard's subjects —
+    including a class check whose value references an UNTOUCHED base
+    entity (the graph-wide type sliver)."""
+    from breg_dcat_harvester_spark.operators.validate import (
+        full_shapes_report_incremental,
+    )
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix dct: <http://purl.org/dc/terms/> .
+@prefix ex: <http://ex/> .
+ex:S a sh:NodeShape ;
+    sh:property [
+        sh:path dct:title ; sh:minCount 1 ; sh:maxCount 1 ;
+        sh:severity sh:Violation
+    ], [
+        sh:path dct:publisher ; sh:class ex:Agent ; sh:severity sh:Violation
+    ] ;
+    sh:targetClass ex:Thing .
+"""
+    c = load_shacl_shapes(ttl)
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    base = _edges(spark, [
+        # b1: base-resident, VALID; must never re-surface
+        ("b1", RDF_TYPE, "http://ex/Thing", "uri", None, None),
+        ("b1", DCT + "title", "ok", "literal", None, XSD + "string"),
+        # a1 is a typed base agent an arriving entity will point at
+        ("a1", RDF_TYPE, "http://ex/Agent", "uri", None, None),
+        # t3 has one base title; the shard adds a second -> maxCount needs
+        # base+shard edges of the touched subject
+        ("t3", RDF_TYPE, "http://ex/Thing", "uri", None, None),
+        ("t3", DCT + "title", "one", "literal", None, XSD + "string"),
+    ])
+    shard = _edges(spark, [
+        # t2 arrives: publisher a1 is typed in BASE only (ok), but missing
+        # title (minCount fires)
+        ("t2", RDF_TYPE, "http://ex/Thing", "uri", None, None),
+        ("t2", DCT + "publisher", "a1", "uri", None, None),
+        # t4 arrives with an untyped publisher (class fires)
+        ("t4", RDF_TYPE, "http://ex/Thing", "uri", None, None),
+        ("t4", DCT + "title", "t", "literal", None, XSD + "string"),
+        ("t4", DCT + "publisher", "nobody", "uri", None, None),
+        # second title for the base-resident t3 (maxCount fires)
+        ("t3", DCT + "title", "two", "literal", None, XSD + "string"),
+    ])
+    inc = full_shapes_report_incremental(base, shard, c)
+    got = {(r["subj"], r["check_kind"]) for r in inc.collect()}
+    assert got == {("t2", "minCount"), ("t4", "class"), ("t3", "maxCount")}
+    # ≡ batch restricted to touched subjects
+    full = full_shapes_report(base.unionByName(shard).dropDuplicates(), c)
+    touched = {r["subj"] for r in shard.select("subj").distinct().collect()}
+    want = {
+        (r["subj"], r["check_kind"])
+        for r in full.collect() if r["subj"] in touched
+    }
+    assert got == want
+
+
 def test_cyclic_rdf_list_and_unknown_constraints_refused():
     """Malformed sh:or lists terminate as a skipped entry (never a hang);
     validating constraint kinds outside the subset land in skipped
