@@ -1776,23 +1776,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus-adaptive quality scoring (CCNet shape, integer-exact): model
     # trained on the TRUSTED slice (the original documents), scored over
     # originals + planted sha256-hex garbage twins (deterministic in both
-    # engines) — originals keep, garbage scores low and drops
+    # engines) — originals keep, garbage scores low and drops.
+    #
+    # The GATED form is the deployment (persist-then-score) shape: the
+    # charset²-bounded model is trained once and collected as a plan
+    # constant, then scoring is ONE map-only Arrow scan — no explode, no
+    # join, no shuffle; the garbage twins ride the same scan via an
+    # exploded struct pair, so the scored plan reads documents exactly
+    # once.  lm_quality_audit keeps the single-plan re-derivation twin on
+    # the SAME oracle.
+    def _lm_aug(spark, sf):
+        d = _documents(spark, sf).select("doc_id", "text")
+        return d, d.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("text")),
+                    F.struct(
+                        (F.col("doc_id") + 100000).alias("doc_id"),
+                        F.sha2(F.col("doc_id").cast("string"), 256).alias(
+                            "text"
+                        ),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.doc_id", "r.text")
+
     def _lm_quality(spark, sf):
         from breg_dcat_harvester_spark.operators import lmquality as lmq
 
-        d = _documents(spark, sf).select("doc_id", "text")
-        garbage = d.select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.sha2(F.col("doc_id").cast("string"), 256).alias("text"),
-        )
-        return lmq.lm_quality_report(
-            d.unionByName(garbage),
-            min_count=3,
-            keep_per_mille=900,
-            train_on=d,
+        d, aug = _lm_aug(spark, sf)
+        return lmq.lm_quality_report_materialized(
+            aug, min_count=3, keep_per_mille=900, train_on=d
         )
 
     q["lm_quality"] = _lm_quality
+
+    def _lm_quality_audit(spark, sf):
+        from breg_dcat_harvester_spark.operators import lmquality as lmq
+
+        d, aug = _lm_aug(spark, sf)
+        return lmq.lm_quality_report(
+            aug, min_count=3, keep_per_mille=900, train_on=d
+        )
+
+    q["lm_quality_audit"] = _lm_quality_audit
 
     # --- generic relational operators on the TPC-H-ish tables --------------
 
@@ -4536,6 +4563,9 @@ SELECT a.doc_id,
                 AND floor(1000 * s.common / s.n_grams) >= 900, FALSE) AS keep
 FROM aug a LEFT JOIN scored s USING (doc_id)
 """
+    # the audit twin (single-plan model re-derivation) must reproduce the
+    # deployment (persist-then-score) form value-for-value
+    sql["lm_quality_audit"] = sql["lm_quality"]
 
     # exact-equivalence gate: the Bloom-prefiltered semi-join must equal the
     # plain semi-join row-for-row

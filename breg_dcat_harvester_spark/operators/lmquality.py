@@ -25,8 +25,17 @@ oracle replays scores bit-exactly — no epsilon gate needed.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def _bigrams(text_col: str):
@@ -104,6 +113,83 @@ def lm_quality_score(
         )
     )
     return scored.unionByName(empties)
+
+
+def lm_quality_report_materialized(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    keep_per_mille: int = 900,
+    train_on: DataFrame | None = None,
+    max_model_rows: int = 1_000_000,
+) -> DataFrame:
+    """The DEPLOYMENT shape of CCNet-style scoring: persist-then-score.
+
+    Two separated stages, exactly like a production pipeline:
+
+    1. Train ONCE — ``train_char_bigram_model`` makes its single
+       aggregation pass over the trusted slice and the model (bounded by
+       charset² regardless of corpus size) is collected to the driver as a
+       PLAN CONSTANT.  The collect is guarded by ``max_model_rows``: a
+       pathological corpus whose "charset" is unbounded (binary soup)
+       fails loudly instead of OOMing the driver.
+    2. Score in ONE corpus scan — an Arrow-batched ``mapInPandas`` kernel
+       carries the model as a task broadcast and emits the per-document
+       row directly: NO explode, NO join, NO shuffle.  At 100 TB this is
+       a map-only stage over the documents table; the audit twin
+       (``lm_quality_report``) re-derives the model inside one plan and
+       pays an exploded-grams shuffle per document instead.
+
+    Integer arithmetic is identical to the audit twin (count + per-mille
+    floor division), so both forms gate on the same DuckDB oracle.
+    """
+    model_df = train_char_bigram_model(
+        train_on if train_on is not None else docs, text_col,
+        min_count=min_count,
+    )
+    rows = model_df.select("gram").limit(max_model_rows + 1).collect()
+    if len(rows) > max_model_rows:
+        raise ValueError(
+            f"bigram model exceeds max_model_rows={max_model_rows}; "
+            "the corpus character set is not bounded enough to broadcast"
+        )
+    model = frozenset(r["gram"] for r in rows)
+    bc = docs.sparkSession.sparkContext.broadcast(model)
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType([
+        StructField("doc_id", id_field.dataType, id_field.nullable),
+        StructField("n_grams", LongType(), False),
+        StructField("common_per_mille", LongType(), False),
+        StructField("keep", BooleanType(), False),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for pdf in batches:
+            n_grams, per_mille, keep = [], [], []
+            for t in pdf[text_col]:
+                t = (t or "").lower()
+                k = len(t) - 1
+                if k <= 0:
+                    n_grams.append(0)
+                    per_mille.append(0)
+                    keep.append(False)
+                    continue
+                c = sum(1 for i in range(k) if t[i:i + 2] in m)
+                n_grams.append(k)
+                pm = 1000 * c // k
+                per_mille.append(pm)
+                keep.append(pm >= keep_per_mille)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "n_grams": pd.array(n_grams, dtype="int64"),
+                "common_per_mille": pd.array(per_mille, dtype="int64"),
+                "keep": pd.array(keep, dtype="boolean"),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(score, schema=out_schema)
 
 
 def lm_quality_report(

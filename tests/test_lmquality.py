@@ -63,6 +63,42 @@ def test_separable_model_reuse(corpus, spark):
     assert got[200].common_per_mille > got[201].common_per_mille
 
 
+def test_materialized_equals_audit_form(corpus):
+    """Deployment (persist-then-score) form reproduces the single-plan
+    audit twin value-for-value, including degenerate docs."""
+    want = {
+        tuple(r)
+        for r in lmq.lm_quality_report(
+            corpus, min_count=3, keep_per_mille=700
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in lmq.lm_quality_report_materialized(
+            corpus, min_count=3, keep_per_mille=700
+        ).collect()
+    }
+    assert got == want
+
+
+def test_materialized_model_cap_guards_collect(corpus):
+    with pytest.raises(ValueError, match="max_model_rows"):
+        lmq.lm_quality_report_materialized(
+            corpus, min_count=1, max_model_rows=3
+        ).collect()
+
+
+def test_materialized_plan_is_map_only(corpus):
+    plan = (
+        lmq.lm_quality_report_materialized(corpus, min_count=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_score_plan_is_broadcast_and_partial(corpus):
     model = lmq.train_char_bigram_model(corpus, min_count=3)
     plan = (

@@ -62,7 +62,8 @@ EXCHANGE_BUDGET = {
     "conv_sft_pairs": 1,  # one conv_id window partitioning
     "conv_dup_groups": 2,  # conv fingerprint agg + fp group agg
     "sketch_quantile_doclen": 1,  # approx+exact percentiles in ONE groupBy
-    "lm_quality": 4,  # model agg + score agg + empties anti-join + union
+    "lm_quality": 0,  # persist-then-score: ONE map-only Arrow scan, no shuffle
+    "lm_quality_audit": 4,  # single-plan twin: model agg + score agg + empties anti-join + union
     "ann_hard_negatives": 1,  # score cross-join map-side + one rank window
     "conv_sft_pack_masks": 9,  # pairs window + packing prefix sum + join
     "doc_search_bm25": 6,  # ONE cached corpus scan; totals + tf_doc + dfreq aggs + score agg + rank window, all sliver-sized; query terms are literal structures (no joins before tf)
