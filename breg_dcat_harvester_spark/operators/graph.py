@@ -409,6 +409,7 @@ def neighborhood_function(
         )
 
     out = estimate(regs, 0)
+    persisted: list[DataFrame] = []
     for r in range(1, radius + 1):
         pulled = (
             links.join(
@@ -431,7 +432,17 @@ def neighborhood_function(
             regs = regs.localCheckpoint(eager=True)
         else:
             regs = regs.persist()
+            persisted.append(regs)
         out = out.unionByName(estimate(regs, r))
+    # Materialize the (output-sized) result ONCE, then release every cached
+    # register round deterministically — without this, radius × 64 ×
+    # |nodes| register blocks stay pinned for the session lifetime (they
+    # are only reclaimed when the lineage is GC'd).  The caller gets a
+    # checkpoint-backed frame that no longer references the register
+    # lineage at all.
+    out = out.localCheckpoint(eager=True)
+    for df in persisted:
+        df.unpersist()
     return out
 
 
