@@ -1733,6 +1733,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_image_meta"] = _image_meta
 
+    # REAL pixel decode (round 5): plant real zlib-compressed, filtered
+    # PNGs whose pixel bytes follow a formula — byte i = (seed + 7i) % 256,
+    # per-row filter type r % 5, so every scanline filter (None/Sub/Up/
+    # Average/Paeth) is exercised — then fully DECODE them (multimodal.
+    # decode_png: chunk walk + CRC verify + inflate + filter
+    # reconstruction) and emit shape + positionally-weighted pixel
+    # checksums.  The oracle replays the FORMULA, so matching requires the
+    # engine to reconstruct every byte of every scanline exactly.
+    def _pixel_assets(spark, sf):
+        import numpy as np
+        import pandas as pd
+
+        d = _documents(spark, sf).select("doc_id")
+
+        def build(batches):
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    w, h = 4 + did % 13, 3 + did % 7
+                    c = (1, 3, 2, 4)[did % 4]
+                    seed = did % 251
+                    n = w * h * c
+                    px = ((seed + 7 * np.arange(n, dtype=np.int64)) % 256)
+                    payloads.append(
+                        mm.encode_png(px.astype(np.uint8).reshape(h, w, c))
+                    )
+                yield pd.DataFrame({
+                    "asset_id": "asset-" + pdf["doc_id"].astype(str),
+                    "payload": payloads,
+                })
+
+        return d.mapInPandas(build, "asset_id string, payload binary")
+
+    def _pixels_real(spark, sf):
+        return mm.image_pixel_stats(_pixel_assets(spark, sf))
+
+    q["multimodal_pixels_real"] = _pixels_real
+
     # --- bounded-state sketches (operators/sketches.py) ---------------------
     # audit-gated like the ANN recall queries: Spark computes approx + exact
     # and the designed error-bound flag; the oracle replays the exact side
@@ -2112,7 +2151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_asof",
         "rel_events_sessions",
         "conv_sft_pairs",
-        "multimodal_features",
+        # real PNG pixel decode (round 5) — the strongest multimodal
+        # signal; the fake-kernel plumbing twins (multimodal_features /
+        # _frames / _image_meta) stay green in the full gate
+        "multimodal_pixels_real",
     ]
     ordered = {k: q[k] for k in window if k in q}
     for k, v in q.items():
@@ -4335,6 +4377,32 @@ SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
             + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 23 ELSE 10 END
             AS BIGINT) AS n_bytes
 FROM documents
+"""
+
+    # REAL pixel decode: the oracle replays the planted pixel FORMULA
+    # (byte i = (seed + 7i) % 256 over w*h*c bytes); the engine must
+    # inflate + unfilter the actual PNG scanlines to reproduce px_sum and
+    # the positionally-weighted px_wsum byte-for-byte
+    sql["multimodal_pixels_real"] = """
+WITH d AS (
+    SELECT doc_id,
+           4 + doc_id % 13 AS w,
+           3 + doc_id % 7 AS h,
+           CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2
+                ELSE 4 END AS c,
+           doc_id % 251 AS seed
+    FROM documents
+)
+SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(c AS INTEGER) AS channels,
+       CAST(sum((seed + 7 * g.i) % 256) AS BIGINT) AS px_sum,
+       CAST(sum((g.i + 1) * ((seed + 7 * g.i) % 256)) AS BIGINT) AS px_wsum
+FROM d, LATERAL (
+    SELECT unnest(generate_series(0, CAST(w * h * c - 1 AS BIGINT))) AS i
+) g
+GROUP BY doc_id, w, h, c
 """
 
     # frame sampling: bit-exact replay of the fake frame kernel

@@ -574,6 +574,75 @@ def test_image_header_parsing_roundtrip():
     assert mm.parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
 
 
+def test_png_pixel_codec_roundtrip():
+    """encode_png -> decode_png is identity for every supported colour
+    type and every scanline filter, including mixed per-row filters."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for (h, w, c) in [(1, 1, 1), (3, 4, 1), (5, 7, 3), (4, 4, 2), (6, 3, 4)]:
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        for filters in (None, [0] * h, [1] * h, [2] * h, [3] * h, [4] * h):
+            b = mm.encode_png(px, filters)
+            back = mm.decode_png(b)
+            assert back.shape == (h, w, c)
+            assert (back == px).all(), (h, w, c, filters)
+        # header parser agrees with the decoder's shape
+        assert mm.parse_image_header(mm.encode_png(px)) == ("png", w, h)
+
+
+def test_png_decode_refusals():
+    """Malformed structure raises ValueError; out-of-subset profiles and
+    entropy-coded formats raise NotImplementedError — never a guessed
+    pixel."""
+    import re
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as pt
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = mm.encode_png(px)
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF
+    with pt.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad_crc))
+    with pt.raises(ValueError, match="signature"):
+        mm.decode_png(b"not a png")
+    with pt.raises(ValueError, match="truncated"):
+        mm.decode_png(good[:-20])  # cuts into the IDAT chunk itself
+    # palette PNG (colour type 3) is outside the codec-free subset
+    ihdr = struct.pack(">II5B", 2, 2, 8, 3, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    pal = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+           + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+    with pt.raises(NotImplementedError, match="colour=3"):
+        mm.decode_png(pal)
+    # real_decode: PNG works, JPEG refuses with the codec reason
+    f = mm.real_decode(good, "image")
+    assert (f.reshape(4, 4, 3) == px).all()
+    with pt.raises(NotImplementedError, match=re.escape("entropy-coded")):
+        mm.real_decode(mm.make_jpeg(3, 3), "image")
+
+
+def test_image_pixel_stats_operator(spark):
+    import numpy as np
+
+    px1 = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    px2 = np.full((3, 2, 1), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a1", bytearray(mm.encode_png(px1))),
+         ("a2", bytearray(mm.encode_png(px2)))],
+        "asset_id string, payload binary",
+    )
+    got = {r.asset_id: r for r in mm.image_pixel_stats(df).collect()}
+    assert (got["a1"].height, got["a1"].width, got["a1"].channels) == (2, 4, 3)
+    assert got["a1"].px_sum == sum(range(24))
+    assert got["a1"].px_wsum == sum((i + 1) * i for i in range(24))
+    assert (got["a2"].px_sum, got["a2"].px_wsum) == (6 * 7, 7 * sum(range(1, 7)))
+
+
 def test_image_metadata_operator(spark):
     rows = [
         ("a1", "image", bytearray(mm.make_png(10, 20, b"pad"))),
