@@ -494,21 +494,34 @@ def parse_rdfxml_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
 #
 # Supported: @context as an object OR an array of objects (merged in
 # order), term definitions as strings or {"@id", "@type" ("@id" or a
-# datatype), "@language", "@container" ("@list"/"@set")}, @vocab, @base,
-# prefixed names, @graph, nested node objects, @value/@type/@language
-# literals, @list arrays (rdf:first/rest/nil chains), labeled and
-# anonymous blank nodes.  Outside the profile — remote (string URL)
-# contexts, @reverse, @nest, @index containers, scoped contexts — the
+# datatype), "@language", "@container" ("@list"/"@set"), "@reverse",
+# "@context" (property-SCOPED context)}, @vocab, @base, prefixed names,
+# @graph, nested node objects (including node-embedded @context),
+# node-level @reverse maps, @value/@type/@language literals, @list arrays
+# (rdf:first/rest/nil chains), labeled and anonymous blank nodes.  Remote
+# (string URL) contexts stay refused — no network I/O in a parser — but
+# an injectable ``context_map`` lets callers/tests pre-resolve them.
+# Outside the profile — @nest, @index containers, @protected — the
 # parser refuses loudly rather than mis-parse.
 
 
 class _JldCtx:
-    __slots__ = ("terms", "vocab", "base")
+    __slots__ = ("terms", "vocab", "base", "context_map")
 
-    def __init__(self, base: str):
+    def __init__(self, base: str, context_map: dict | None = None):
         self.terms: dict[str, dict] = {}
         self.vocab: str | None = None
         self.base = base
+        self.context_map = context_map or {}
+
+    def child(self, raw) -> "_JldCtx":
+        """A copy with ``raw`` loaded on top — scoped/embedded contexts
+        never mutate the outer scope."""
+        c = _JldCtx(self.base, self.context_map)
+        c.terms = dict(self.terms)
+        c.vocab = self.vocab
+        c.load(raw)
+        return c
 
     def load(self, raw) -> None:
         parts = raw if isinstance(raw, list) else [raw]
@@ -516,9 +529,18 @@ class _JldCtx:
             if part is None:
                 self.terms, self.vocab = {}, None
                 continue
+            if isinstance(part, str):
+                if part in self.context_map:
+                    self.load(self.context_map[part])
+                    continue
+                raise ParseRdfError(
+                    "json-ld profile: remote @context not supported "
+                    f"(no entry for {part!r} in the injected context map)"
+                )
             if not isinstance(part, dict):
                 raise ParseRdfError(
-                    "json-ld profile: remote/string @context not supported"
+                    "json-ld profile: @context must be an object, array, "
+                    "or a mapped reference"
                 )
             for k, v in part.items():
                 if k == "@vocab":
@@ -536,7 +558,10 @@ class _JldCtx:
                 elif isinstance(v, str):
                     self.terms[k] = {"id": v}
                 elif isinstance(v, dict):
-                    bad = set(v) - {"@id", "@type", "@language", "@container"}
+                    bad = set(v) - {
+                        "@id", "@type", "@language", "@container",
+                        "@reverse", "@context",
+                    }
                     if bad:
                         raise ParseRdfError(
                             f"json-ld profile: unsupported term keys {sorted(bad)}"
@@ -546,12 +571,24 @@ class _JldCtx:
                         raise ParseRdfError(
                             f"json-ld profile: unsupported @container {cont!r}"
                         )
+                    if "@reverse" in v and "@id" in v:
+                        raise ParseRdfError(
+                            f"json-ld: term {k!r} has both @id and @reverse"
+                        )
                     self.terms[k] = {
-                        "id": v.get("@id", k),
+                        "id": v.get("@reverse", v.get("@id", k)),
                         "type": v.get("@type"),
                         "language": v.get("@language"),
                         "container": cont,
+                        "reverse": "@reverse" in v,
                     }
+                    if "@context" in v:
+                        # property-scoped context: stored RAW, loaded as a
+                        # child scope when the term's values are processed.
+                        # An explicit null is a real value (it RESETS the
+                        # subtree's terms), so presence is keyed, not
+                        # None-checked.
+                        self.terms[k]["context"] = v["@context"]
                 else:
                     raise ParseRdfError(
                         f"json-ld: invalid term definition for {k!r}"
@@ -603,16 +640,24 @@ _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://|^urn:|^mailto:")
 _JLD_MAX_DEPTH = 200
 
 
-def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
+def parse_jsonld_doc(
+    text: str,
+    base: str,
+    doc_id: str,
+    context_map: dict | None = None,
+) -> Iterator[Triple]:
+    """``context_map`` pre-resolves remote (string URL) context references
+    — {url: context-object}; anything not in the map still refuses loudly
+    (a parser must never do network I/O)."""
     try:
         doc = json.loads(text)
     except json.JSONDecodeError as ex:
         raise ParseRdfError(f"json-ld: {ex}") from ex
     except RecursionError:
         raise ParseRdfError("json-ld: document nesting too deep") from None
-    ctx = _JldCtx(base)
+    ctx0 = _JldCtx(base, context_map)
     if isinstance(doc, dict) and "@context" in doc:
-        ctx.load(doc["@context"])
+        ctx0.load(doc["@context"])
         doc = {k: v for k, v in doc.items() if k != "@context"}
     if isinstance(doc, list):
         nodes = doc
@@ -628,11 +673,7 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         counter["b"] += 1
         return _skolem_anon(doc_id, counter["b"])
 
-    def subject_of(node: dict) -> str:
-        if "@context" in node:
-            raise ParseRdfError(
-                "json-ld profile: scoped (nested) @context not supported"
-            )
+    def subject_of(node: dict, ctx: _JldCtx) -> str:
         nid = node.get("@id")
         if nid is None:
             return fresh_bnode()
@@ -642,7 +683,21 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             return _skolem(doc_id, nid[2:])
         return ctx.expand(nid, vocab=False)
 
-    def value_triple(subj, pred, v, tdef, depth) -> Iterator[Triple]:
+    def node_object(subj, pred, v, depth, ctx, reverse) -> Iterator[Triple]:
+        """A nested node object value: mint ONE subject (under the node's
+        embedded @context if present), emit the edge (reversed when the
+        term/@reverse map says so), then walk the node's own properties."""
+        nctx = ctx.child(v["@context"]) if "@context" in v else ctx
+        nested = subject_of(v, nctx)
+        if reverse:
+            yield (nested, pred, subj, "uri", None, None)
+        else:
+            yield (subj, pred, nested, "uri", None, None)
+        n_meta = sum(1 for k in ("@id", "@context") if k in v)
+        if len(v) > n_meta:
+            yield from walk(v, subj=nested, depth=depth + 1, ctx=nctx)
+
+    def value_triple(subj, pred, v, tdef, depth, ctx) -> Iterator[Triple]:
         """One non-list value -> triples (recursing into node objects).
         JSON nulls are DROPPED per JSON-LD semantics (never a 'None'
         literal)."""
@@ -652,7 +707,7 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             raise ParseRdfError("json-ld: node nesting too deep")
         if isinstance(v, dict):
             if "@list" in v:
-                yield from list_triples(subj, pred, v["@list"], tdef, depth)
+                yield from list_triples(subj, pred, v["@list"], tdef, depth, ctx)
                 return
             if "@value" in v:
                 if v["@value"] is None:
@@ -668,10 +723,7 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             # node's own properties (a second subject_of call here used to
             # mint a different fresh bnode, emitting the nested properties
             # disconnected from the edge)
-            nested = subject_of(v)
-            yield (subj, pred, nested, "uri", None, None)
-            if len(v) > (1 if "@id" in v else 0):
-                yield from walk(v, subj=nested, depth=depth + 1)
+            yield from node_object(subj, pred, v, depth, ctx, reverse=False)
             return
         if isinstance(v, str) and tdef and tdef.get("type") == "@id":
             yield (subj, pred, ctx.expand(v, vocab=False), "uri", None, None)
@@ -694,7 +746,26 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
                 f"json-ld: unsupported value type {type(v).__name__}"
             )
 
-    def list_triples(subj, pred, items, tdef, depth) -> Iterator[Triple]:
+    def reverse_triple(subj, pred, v, depth, ctx) -> Iterator[Triple]:
+        """A @reverse value: must denote a NODE (IRI string or node
+        object) — the reversed edge's subject; literals are malformed
+        JSON-LD and refuse loudly."""
+        if v is None:
+            return
+        if depth > _JLD_MAX_DEPTH:
+            raise ParseRdfError("json-ld: node nesting too deep")
+        if isinstance(v, str):
+            yield (ctx.expand(v, vocab=False) if not v.startswith("_:")
+                   else _skolem(doc_id, v[2:]), pred, subj, "uri", None, None)
+            return
+        if isinstance(v, dict) and "@value" not in v and "@list" not in v:
+            yield from node_object(subj, pred, v, depth, ctx, reverse=True)
+            return
+        raise ParseRdfError(
+            f"json-ld: @reverse value must be a node, got {v!r}"
+        )
+
+    def list_triples(subj, pred, items, tdef, depth, ctx) -> Iterator[Triple]:
         if not isinstance(items, list):
             items = [items]
         items = [x for x in items if x is not None]
@@ -705,12 +776,12 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         yield (subj, pred, heads[0], "uri", None, None)
         for i, item in enumerate(items):
             yield from value_triple(
-                heads[i], RDF_NS + "first", item, tdef, depth + 1
+                heads[i], RDF_NS + "first", item, tdef, depth + 1, ctx
             )
             nxt = heads[i + 1] if i + 1 < len(items) else RDF_NS + "nil"
             yield (heads[i], RDF_NS + "rest", nxt, "uri", None, None)
 
-    def walk(node, subj=None, depth=0) -> Iterator[Triple]:
+    def walk(node, subj=None, depth=0, ctx=ctx0) -> Iterator[Triple]:
         if not isinstance(node, dict):
             raise ParseRdfError(
                 f"json-ld: node must be an object, got {type(node).__name__}"
@@ -718,7 +789,11 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
         if depth > _JLD_MAX_DEPTH:
             raise ParseRdfError("json-ld: node nesting too deep")
         if subj is None:
-            subj = subject_of(node)
+            # top-level node-embedded @context (nested ones are handled by
+            # node_object before the subject is minted)
+            if "@context" in node:
+                ctx = ctx.child(node["@context"])
+            subj = subject_of(node, ctx)
         types = node.get("@type", [])
         for t in types if isinstance(types, list) else [types]:
             if not isinstance(t, str):
@@ -726,17 +801,37 @@ def parse_jsonld_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
             yield (subj, RDF_NS + "type", ctx.expand(t, vocab=True),
                    "uri", None, None)
         for key, val in node.items():
+            if key == "@reverse":
+                if not isinstance(val, dict):
+                    raise ParseRdfError("json-ld: @reverse must be an object")
+                for rkey, rval in val.items():
+                    if rkey.startswith("@"):
+                        raise ParseRdfError(
+                            f"json-ld: keyword {rkey!r} inside @reverse"
+                        )
+                    rpred = ctx.expand(rkey, vocab=True)
+                    for v in rval if isinstance(rval, list) else [rval]:
+                        yield from reverse_triple(subj, rpred, v, depth, ctx)
+                continue
             if key.startswith("@"):
-                if key not in ("@id", "@type"):
+                if key not in ("@id", "@type", "@context"):
                     raise ParseRdfError(f"json-ld: unsupported keyword {key!r}")
                 continue
             tdef = ctx.terms.get(key)
             pred = ctx.expand(key, vocab=True)
+            # property-scoped context: applies to this term's VALUES
+            vctx = ctx
+            if tdef and "context" in tdef:
+                vctx = ctx.child(tdef["context"])
+            if tdef and tdef.get("reverse"):
+                for v in val if isinstance(val, list) else [val]:
+                    yield from reverse_triple(subj, pred, v, depth, vctx)
+                continue
             if tdef and tdef.get("container") == "@list":
-                yield from list_triples(subj, pred, val, tdef, depth)
+                yield from list_triples(subj, pred, val, tdef, depth, vctx)
                 continue
             for v in val if isinstance(val, list) else [val]:
-                yield from value_triple(subj, pred, v, tdef, depth)
+                yield from value_triple(subj, pred, v, tdef, depth, vctx)
 
     for node in nodes:
         yield from walk(node)
@@ -763,12 +858,18 @@ _PARSERS = {
 
 
 def parse_rdf_text(
-    text: str, fmt: str, base: str = "", doc_id: str = ""
+    text: str, fmt: str, base: str = "", doc_id: str = "",
+    context_map: dict | None = None,
 ) -> list[Triple]:
     """Parse one document; fmt in {'xml','turtle','nt','json-ld'} (the
-    reference's DataTypes values, models.py:9-13)."""
+    reference's DataTypes values, models.py:9-13).  ``context_map``
+    pre-resolves remote JSON-LD context URLs (ignored by other formats)."""
     if fmt not in _PARSERS:
         raise ParseRdfError(f"unknown RDF format {fmt!r}")
+    if fmt == "json-ld":
+        return list(
+            parse_jsonld_doc(text, base, doc_id or base, context_map)
+        )
     return list(_PARSERS[fmt](text, base, doc_id or base))
 
 

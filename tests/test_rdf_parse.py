@@ -397,15 +397,103 @@ def test_jsonld_nested_nodes_and_refusals():
             None, XSD_STRING) in ts
     with pytest.raises(ParseRdfError, match="remote"):
         parse_rdf_text('{"@context": "http://remote"}', "json-ld", "", "d")
-    with pytest.raises(ParseRdfError, match="@reverse"):
+    # @nest stays outside the profile
+    with pytest.raises(ParseRdfError, match="@nest"):
         parse_rdf_text(
-            '{"@context": {"t": {"@reverse": "http://x"}}}', "json-ld", "", "d"
+            '{"@context": {"t": {"@id": "http://x", "@nest": "n"}}}',
+            "json-ld", "", "d",
         )
-    with pytest.raises(ParseRdfError, match="scoped"):
+
+
+def test_jsonld_reverse_term_and_node_map():
+    # term-level @reverse: "parentOf" emits (child, parent, me)
+    doc = """
+{"@context": {"ex": "http://ex/",
+              "parentOf": {"@reverse": "ex:parent"}},
+ "@id": "ex:me",
+ "parentOf": [{"@id": "ex:kid1", "ex:name": "K"}, "ex:kid2"]}
+"""
+    ts = set(parse_rdf_text(doc, "json-ld", "", "d"))
+    assert ("http://ex/kid1", "http://ex/parent", "http://ex/me",
+            "uri", None, None) in ts
+    assert ("http://ex/kid2", "http://ex/parent", "http://ex/me",
+            "uri", None, None) in ts
+    # the reversed node object's own properties still attach to IT
+    assert ("http://ex/kid1", "http://ex/name", "K", "literal",
+            None, XSD_STRING) in ts
+    # node-level @reverse map
+    doc2 = """
+{"@context": {"ex": "http://ex/"},
+ "@id": "ex:group",
+ "@reverse": {"ex:memberOf": [{"@id": "ex:alice"}, {"@id": "ex:bob"}]}}
+"""
+    ts2 = set(parse_rdf_text(doc2, "json-ld", "", "d"))
+    assert ("http://ex/alice", "http://ex/memberOf", "http://ex/group",
+            "uri", None, None) in ts2
+    assert ("http://ex/bob", "http://ex/memberOf", "http://ex/group",
+            "uri", None, None) in ts2
+    # a literal under @reverse is malformed -> loud refusal
+    with pytest.raises(ParseRdfError, match="@reverse value"):
         parse_rdf_text(
             '{"@context": {"ex": "http://ex/"}, "@id": "ex:a",'
-            ' "ex:p": {"@id": "ex:b", "@context": {"y": "http://y/"}}}',
+            ' "@reverse": {"ex:p": 4}}',
             "json-ld", "", "d",
+        )
+
+
+def test_jsonld_scoped_and_embedded_contexts():
+    # property-scoped context: term defs local to the value subtree
+    doc = """
+{"@context": {"ex": "http://ex/",
+              "detail": {"@id": "ex:detail",
+                         "@context": {"n": "http://local/n"}}},
+ "@id": "ex:a",
+ "detail": {"@id": "ex:b", "n": "inner"},
+ "ex:q": {"@id": "ex:c"}}
+"""
+    ts = set(parse_rdf_text(doc, "json-ld", "", "d"))
+    assert ("http://ex/b", "http://local/n", "inner", "literal",
+            None, XSD_STRING) in ts
+    # the scoped term does NOT leak to siblings
+    doc_leak = doc.replace('"ex:q": {"@id": "ex:c"}',
+                           '"ex:q": {"@id": "ex:c", "n": "oops"}')
+    with pytest.raises(ParseRdfError, match="not in @context"):
+        parse_rdf_text(doc_leak, "json-ld", "", "d")
+    # node-embedded @context on a nested node object
+    doc2 = """
+{"@context": {"ex": "http://ex/"},
+ "@id": "ex:a",
+ "ex:p": {"@context": {"m": "http://m/"}, "@id": "ex:b", "m:k": "v"}}
+"""
+    ts2 = set(parse_rdf_text(doc2, "json-ld", "", "d"))
+    assert ("http://ex/a", "http://ex/p", "http://ex/b",
+            "uri", None, None) in ts2
+    assert ("http://ex/b", "http://m/k", "v", "literal",
+            None, XSD_STRING) in ts2
+    # a null scoped context RESETS term definitions for the subtree: the
+    # outer "name" term is gone inside the raw subtree
+    doc3 = """
+{"@context": {"ex": "http://ex/", "name": "http://ex/name",
+              "raw": {"@id": "ex:raw", "@context": null}},
+ "@id": "ex:a",
+ "raw": {"@id": "http://plain/b", "name": "x"}}
+"""
+    with pytest.raises(ParseRdfError, match="not in @context"):
+        parse_rdf_text(doc3, "json-ld", "", "d")
+
+
+def test_jsonld_injectable_remote_context_map():
+    ctxmap = {"https://ctx.example/v1": {"ex": "http://ex/",
+                                         "name": "http://ex/name"}}
+    doc = '{"@context": "https://ctx.example/v1", "@id": "ex:a", "name": "N"}'
+    ts = set(parse_rdf_text(doc, "json-ld", "", "d", context_map=ctxmap))
+    assert ("http://ex/a", "http://ex/name", "N", "literal",
+            None, XSD_STRING) in ts
+    # an unmapped URL still refuses loudly
+    with pytest.raises(ParseRdfError, match="remote"):
+        parse_rdf_text(
+            '{"@context": "https://other.example/ctx"}', "json-ld", "", "d",
+            context_map=ctxmap,
         )
 
 
