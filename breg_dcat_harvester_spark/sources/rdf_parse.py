@@ -29,8 +29,10 @@ files):
   parse_ntriples note); explicit ^^datatype wins.
 
 Documented subset limits (raise ParseRdfError, never silently misparse):
-RDF/XML parseType="Collection"/"Literal"; JSON-LD remote/string @context,
-@reverse, @nest, scoped contexts, non-@list/@set containers.  Turtle is
+RDF/XML parseType="Collection"/"Literal"; JSON-LD un-mapped remote
+@context URLs (inject a context_map to pre-resolve), @protected /
+@propagate / @json.  @reverse, scoped/embedded contexts, @nest, and
+@list/@set/@index containers are all supported.  Turtle is
 full recursive descent (anonymous ``[ ]`` property lists and ``( )``
 collections included, with a nesting-depth cap).  Blank node labels
 skolemize to ``urn:skolem:sha2(doc_id|bnode|label)`` —
@@ -494,15 +496,17 @@ def parse_rdfxml_doc(text: str, base: str, doc_id: str) -> Iterator[Triple]:
 #
 # Supported: @context as an object OR an array of objects (merged in
 # order), term definitions as strings or {"@id", "@type" ("@id" or a
-# datatype), "@language", "@container" ("@list"/"@set"), "@reverse",
-# "@context" (property-SCOPED context)}, @vocab, @base, prefixed names,
-# @graph, nested node objects (including node-embedded @context),
-# node-level @reverse maps, @value/@type/@language literals, @list arrays
-# (rdf:first/rest/nil chains), labeled and anonymous blank nodes.  Remote
-# (string URL) contexts stay refused — no network I/O in a parser — but
-# an injectable ``context_map`` lets callers/tests pre-resolve them.
-# Outside the profile — @nest, @index containers, @protected — the
-# parser refuses loudly rather than mis-parse.
+# datatype), "@language", "@container" ("@list"/"@set"/"@index"),
+# "@reverse", "@context" (property-SCOPED context), "@nest" aliases},
+# @vocab, @base, prefixed names, @graph, nested node objects (including
+# node-embedded @context), node-level @reverse maps and @nest
+# transparency, @value/@type/@language literals, @list arrays
+# (rdf:first/rest/nil chains), @index containers (index keys dropped per
+# spec), labeled and anonymous blank nodes.  Remote (string URL)
+# contexts stay refused — no network I/O in a parser — but an injectable
+# ``context_map`` lets callers/tests pre-resolve them.  Outside the
+# profile — @protected, @propagate, @json — the parser refuses loudly
+# rather than mis-parse.
 
 
 class _JldCtx:
@@ -556,7 +560,10 @@ class _JldCtx:
                         f"json-ld profile: unsupported context keyword {k!r}"
                     )
                 elif isinstance(v, str):
-                    self.terms[k] = {"id": v}
+                    if v == "@nest":
+                        self.terms[k] = {"nest": True}
+                    else:
+                        self.terms[k] = {"id": v}
                 elif isinstance(v, dict):
                     bad = set(v) - {
                         "@id", "@type", "@language", "@container",
@@ -566,8 +573,13 @@ class _JldCtx:
                         raise ParseRdfError(
                             f"json-ld profile: unsupported term keys {sorted(bad)}"
                         )
+                    if v.get("@id") == "@nest":
+                        self.terms[k] = {"nest": True}
+                        if "@context" in v:
+                            self.terms[k]["context"] = v["@context"]
+                        continue
                     cont = v.get("@container")
-                    if cont not in (None, "@list", "@set"):
+                    if cont not in (None, "@list", "@set", "@index"):
                         raise ParseRdfError(
                             f"json-ld profile: unsupported @container {cont!r}"
                         )
@@ -606,6 +618,10 @@ class _JldCtx:
             )
         seen = _seen | {term}
         t = self.terms.get(term)
+        if t is not None and t.get("nest"):
+            raise ParseRdfError(
+                f"json-ld: @nest-aliased term {term!r} used as an IRI"
+            )
         if t is not None and t["id"] != term:  # self-referential defs fall through
             iri = t["id"]
             # a term mapping to another term/prefixed name expands again
@@ -813,25 +829,72 @@ def parse_jsonld_doc(
                     for v in rval if isinstance(rval, list) else [rval]:
                         yield from reverse_triple(subj, rpred, v, depth, ctx)
                 continue
+            if key == "@nest":
+                yield from process_nest(subj, val, depth, ctx)
+                continue
             if key.startswith("@"):
-                if key not in ("@id", "@type", "@context"):
+                # @index on a node object is data organization only —
+                # dropped in RDF per the JSON-LD spec
+                if key not in ("@id", "@type", "@context", "@index"):
                     raise ParseRdfError(f"json-ld: unsupported keyword {key!r}")
                 continue
-            tdef = ctx.terms.get(key)
-            pred = ctx.expand(key, vocab=True)
-            # property-scoped context: applies to this term's VALUES
-            vctx = ctx
-            if tdef and "context" in tdef:
-                vctx = ctx.child(tdef["context"])
-            if tdef and tdef.get("reverse"):
-                for v in val if isinstance(val, list) else [val]:
-                    yield from reverse_triple(subj, pred, v, depth, vctx)
-                continue
-            if tdef and tdef.get("container") == "@list":
-                yield from list_triples(subj, pred, val, tdef, depth, vctx)
-                continue
+            yield from process_entry(subj, key, val, depth, ctx)
+
+    def process_entry(subj, key, val, depth, ctx) -> Iterator[Triple]:
+        """One (term, value) node entry -> triples, honoring the term's
+        definition: @nest transparency, property-scoped context,
+        @reverse, @list and @index containers."""
+        tdef = ctx.terms.get(key)
+        if tdef and tdef.get("nest"):
+            nctx = ctx.child(tdef["context"]) if "context" in tdef else ctx
+            yield from process_nest(subj, val, depth, nctx)
+            return
+        pred = ctx.expand(key, vocab=True)
+        # property-scoped context: applies to this term's VALUES
+        vctx = ctx
+        if tdef and "context" in tdef:
+            vctx = ctx.child(tdef["context"])
+        if tdef and tdef.get("reverse"):
             for v in val if isinstance(val, list) else [val]:
-                yield from value_triple(subj, pred, v, tdef, depth, vctx)
+                yield from reverse_triple(subj, pred, v, depth, vctx)
+            return
+        if tdef and tdef.get("container") == "@list":
+            yield from list_triples(subj, pred, val, tdef, depth, vctx)
+            return
+        if tdef and tdef.get("container") == "@index":
+            # index keys organize the JSON; they carry NO RDF meaning and
+            # are dropped — the values process as the term's plain values
+            if not isinstance(val, dict):
+                raise ParseRdfError(
+                    "json-ld: @index container value must be an object"
+                )
+            for _idx, v2 in val.items():
+                for v in v2 if isinstance(v2, list) else [v2]:
+                    yield from value_triple(subj, pred, v, tdef, depth, vctx)
+            return
+        for v in val if isinstance(val, list) else [val]:
+            yield from value_triple(subj, pred, v, tdef, depth, vctx)
+
+    def process_nest(subj, val, depth, ctx) -> Iterator[Triple]:
+        """@nest values are semantically TRANSPARENT: their entries are
+        properties of the enclosing node; only plain objects are legal."""
+        if depth > _JLD_MAX_DEPTH:
+            raise ParseRdfError("json-ld: node nesting too deep")
+        for obj in val if isinstance(val, list) else [val]:
+            if not isinstance(obj, dict) or "@value" in obj or "@id" in obj:
+                raise ParseRdfError(
+                    "json-ld: @nest value must be a plain object "
+                    "(no @id/@value)"
+                )
+            for k2, v2 in obj.items():
+                if k2 == "@nest":
+                    yield from process_nest(subj, v2, depth + 1, ctx)
+                    continue
+                if k2.startswith("@"):
+                    raise ParseRdfError(
+                        f"json-ld: keyword {k2!r} inside @nest"
+                    )
+                yield from process_entry(subj, k2, v2, depth + 1, ctx)
 
     for node in nodes:
         yield from walk(node)

@@ -482,6 +482,60 @@ def test_jsonld_scoped_and_embedded_contexts():
         parse_rdf_text(doc3, "json-ld", "", "d")
 
 
+def test_jsonld_nest_transparency():
+    # node-level @nest and a nest-aliased term are both transparent:
+    # entries land on the ENCLOSING node
+    doc = """
+{"@context": {"ex": "http://ex/", "meta": "@nest"},
+ "@id": "ex:a",
+ "@nest": {"ex:p": "direct"},
+ "meta": {"ex:q": "aliased", "@nest": {"ex:r": "nested-nest"}}}
+"""
+    ts = set(parse_rdf_text(doc, "json-ld", "", "d"))
+    a = "http://ex/a"
+    assert (a, "http://ex/p", "direct", "literal", None, XSD_STRING) in ts
+    assert (a, "http://ex/q", "aliased", "literal", None, XSD_STRING) in ts
+    assert (a, "http://ex/r", "nested-nest", "literal", None, XSD_STRING) in ts
+    # @id inside a nest object is malformed
+    with pytest.raises(ParseRdfError, match="@nest value"):
+        parse_rdf_text(
+            '{"@context": {"ex": "http://ex/"}, "@id": "ex:a",'
+            ' "@nest": {"@id": "ex:b", "ex:p": "x"}}',
+            "json-ld", "", "d",
+        )
+    # a nest alias used where an IRI is needed refuses
+    with pytest.raises(ParseRdfError, match="@nest-aliased"):
+        parse_rdf_text(
+            '{"@context": {"ex": "http://ex/", "meta": "@nest"},'
+            ' "@id": "ex:a", "@type": "meta"}',
+            "json-ld", "", "d",
+        )
+
+
+def test_jsonld_index_container():
+    # index keys organize JSON; they are dropped in RDF
+    doc = """
+{"@context": {"ex": "http://ex/",
+              "byLang": {"@id": "ex:label", "@container": "@index"}},
+ "@id": "ex:a",
+ "@index": "ignored",
+ "byLang": {"en": "hello", "fr": ["bonjour", "salut"]}}
+"""
+    ts = set(parse_rdf_text(doc, "json-ld", "", "d"))
+    a = "http://ex/a"
+    labels = {t[2] for t in ts if t[1] == "http://ex/label"}
+    assert labels == {"hello", "bonjour", "salut"}
+    # the index keys themselves appear nowhere
+    assert not any("en" == t[2] or "fr" == t[2] for t in ts)
+    with pytest.raises(ParseRdfError, match="@index container"):
+        parse_rdf_text(
+            '{"@context": {"ex": "http://ex/",'
+            ' "b": {"@id": "ex:b", "@container": "@index"}},'
+            ' "@id": "ex:a", "b": ["not-an-object"]}',
+            "json-ld", "", "d",
+        )
+
+
 def test_jsonld_injectable_remote_context_map():
     ctxmap = {"https://ctx.example/v1": {"ex": "http://ex/",
                                          "name": "http://ex/name"}}
