@@ -961,8 +961,38 @@ def _compact(result: dict) -> dict:
 
 
 def emit(result: dict) -> None:
+    """The driver keeps a 2000-char tail and parses its LAST JSON line —
+    the compact line must FIT or the whole round loses its bench signal
+    (r2 postmortem).  Compact separators + staged trimming of optional
+    fields enforce the budget; BENCH.md always holds the full result."""
     write_bench_md(result)
-    line = json.dumps(_compact(result))
+    r = _compact(result)
+    line = json.dumps(r, separators=(",", ":"))
+    # trim stages, least-load-bearing first; "queries" itself is the
+    # driver contract and is never dropped
+    def _round_queries(r):
+        r["queries"] = {k: round(v, 2) for k, v in r["queries"].items()}
+
+    stages = [
+        _round_queries,
+        # duplicated-in-BENCH.md scaling context goes before drift records:
+        # the drift attestation is a first-class signal
+        lambda r: [r.pop(k, None) for k in list(r) if k.endswith("_memstream_x")],
+        lambda r: [r.pop(k, None) for k in list(r) if k.endswith("_rows_per_sec_4n")],
+        lambda r: r.pop("drift_mops", None),
+        lambda r: [r.pop(k, None) for k in list(r) if k.endswith("_attempts")],
+        lambda r: [r.pop(k, None) for k in list(r) if k.endswith("_host_capacity_x")],
+        lambda r: r.pop("harvest_e2e_sec", None),
+        lambda r: r.pop("skew_salting_speedup", None),
+        lambda r: r.update(drift=r.get("drift", [])[:5]),
+        lambda r: r.update(drift=r.get("drift", [])[:3]),
+        lambda r: r.pop("drift", None),
+    ]
+    for stage in stages:
+        if len(line) <= 1900:
+            break
+        stage(r)
+        line = json.dumps(r, separators=(",", ":"))
     print(line, flush=True)
 
 
