@@ -45,6 +45,7 @@ EXCHANGE_BUDGET = {
     "kg_harvest_triples_coded": 1,  # same dedup shuffle, coded boundary
     "multimodal_frames": 0,  # frame sampling must never shuffle
     "multimodal_features": 1,
+    "multimodal_pixels_real": 0,  # plant + decode: two Arrow stages, no shuffle
     "text_features": 0,  # pure Column exprs over the documents scan
     "text_repetition": 0,
     "sample_stratified": 0,  # Bernoulli sha-bucket filter: map-side only
