@@ -166,6 +166,11 @@ def lm_quality_report_materialized(
     ])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from breg_dcat_harvester_spark.functions.workerenv import (
+            pin_native_threads,
+        )
+
+        pin_native_threads()
         m = bc.value
         for pdf in batches:
             n_grams, per_mille, keep = [], [], []

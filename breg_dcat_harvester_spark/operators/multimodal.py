@@ -354,6 +354,11 @@ def image_pixel_stats(assets: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from breg_dcat_harvester_spark.functions.workerenv import (
+            pin_native_threads,
+        )
+
+        pin_native_threads()
         for pdf in batches:
             rows = {k: [] for k in
                     ("asset_id", "width", "height", "channels",
