@@ -660,6 +660,13 @@ _PLAN_NOISE = [
     (r"@[0-9a-fA-F]{6,}", "@"),       # object addresses
     (r"cached rdd \d+", "cached rdd"),
     (r"Statistics\([^)]*\)", ""),     # size estimates vary with cache state
+    # partition COUNTS are runtime artifacts (shuffle_partitions config,
+    # AQE coalescing, checkpoint RDD splits), not plan shape — two runs of
+    # the same physical strategy must hash equal
+    (r"(hashpartitioning|rangepartitioning|SinglePartition)\(([^)]*?),\s*\d+\)",
+     r"\1(\2)"),
+    (r"coalesced( from)? \d+", "coalesced"),
+    (r"\b\d+ partitions\b", "partitions"),
 ]
 
 
