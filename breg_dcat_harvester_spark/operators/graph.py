@@ -365,6 +365,11 @@ def neighborhood_function(
     order/parallelism-independent, so the DuckDB oracle replays every
     round and every estimate BIT-EXACTLY (scaled-integer HLL estimator
     with an integer linear-counting table; no float anywhere).
+
+    EAGER: the job runs at call time (the output is materialized once so
+    every per-round register cache can be released before returning —
+    see the cleanup note at the end); the returned frame is
+    checkpoint-backed and cheap to re-consume.
     """
     if radius < 0:
         raise ValueError("radius must be >= 0")
@@ -434,12 +439,18 @@ def neighborhood_function(
             regs = regs.persist()
             persisted.append(regs)
         out = out.unionByName(estimate(regs, r))
-    # Materialize the (output-sized) result ONCE, then release every cached
-    # register round deterministically — without this, radius × 64 ×
-    # |nodes| register blocks stay pinned for the session lifetime (they
-    # are only reclaimed when the lineage is GC'd).  The caller gets a
-    # checkpoint-backed frame that no longer references the register
-    # lineage at all.
+    # Materialize the (output-sized) result ONCE, then deterministically
+    # release every persist()-cached register round — without this,
+    # ~radius × 64 × |nodes| evictable register blocks stay pinned for the
+    # session lifetime (reclaimed only when the lineage is GC'd).  Scope
+    # honestly: the PERIODIC localCheckpoint rounds (one per
+    # checkpoint_interval, the documented lineage-truncation pins) and the
+    # output's own checkpoint remain until their frames are GC'd — both
+    # are bounded (radius/interval register rounds + an output-sized
+    # result per call), unlike the per-round caches released here.  The
+    # operator is consequently EAGER: the job runs at call time and the
+    # caller gets a checkpoint-backed frame with no reference to the
+    # released register lineage.
     out = out.localCheckpoint(eager=True)
     for df in persisted:
         df.unpersist()

@@ -123,6 +123,7 @@ def lm_quality_report_materialized(
     keep_per_mille: int = 900,
     train_on: DataFrame | None = None,
     max_model_rows: int = 1_000_000,
+    model_grams: frozenset | None = None,
 ) -> DataFrame:
     """The DEPLOYMENT shape of CCNet-style scoring: persist-then-score.
 
@@ -143,19 +144,27 @@ def lm_quality_report_materialized(
 
     Integer arithmetic is identical to the audit twin (count + per-mille
     floor division), so both forms gate on the same DuckDB oracle.
+
+    Lifecycle notes: stage 1 (train + collect) re-runs on EVERY call — a
+    deployment scoring many shards should train once and pass the
+    collected set back via ``model_grams`` (skipping stage 1 entirely);
+    the task broadcast created here lives until the session ends (it is
+    referenced by the returned plan, so it cannot be destroyed eagerly —
+    one charset²-bounded set per call).
     """
-    model_df = train_char_bigram_model(
-        train_on if train_on is not None else docs, text_col,
-        min_count=min_count,
-    )
-    rows = model_df.select("gram").limit(max_model_rows + 1).collect()
-    if len(rows) > max_model_rows:
-        raise ValueError(
-            f"bigram model exceeds max_model_rows={max_model_rows}; "
-            "the corpus character set is not bounded enough to broadcast"
+    if model_grams is None:
+        model_df = train_char_bigram_model(
+            train_on if train_on is not None else docs, text_col,
+            min_count=min_count,
         )
-    model = frozenset(r["gram"] for r in rows)
-    bc = docs.sparkSession.sparkContext.broadcast(model)
+        rows = model_df.select("gram").limit(max_model_rows + 1).collect()
+        if len(rows) > max_model_rows:
+            raise ValueError(
+                f"bigram model exceeds max_model_rows={max_model_rows}; "
+                "the corpus character set is not bounded enough to broadcast"
+            )
+        model_grams = frozenset(r["gram"] for r in rows)
+    bc = docs.sparkSession.sparkContext.broadcast(model_grams)
 
     id_field = docs.schema[id_col]
     out_schema = StructType([

@@ -237,7 +237,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     ch = _PNG_CHANNELS[ctype_n]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG has no pixel data (missing IDAT)")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise ValueError(f"PNG IDAT stream corrupt: {ex}") from ex
     if len(raw) != height * (1 + stride):
         raise ValueError(
             f"PNG pixel data length {len(raw)} != expected "

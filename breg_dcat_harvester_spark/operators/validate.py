@@ -331,14 +331,19 @@ class CompiledShapes:
 
     ``skipped`` records property shapes whose constraint kind is outside
     the engine's subset (sh:node / sh:shape sub-shape references and
-    malformed sh:nodeKind values present in the source file) —
-    honest refusal, never silent mis-validation."""
+    unrecoverable sh:nodeKind values) — honest refusal, never silent
+    mis-validation.  ``recovered`` records constraints the compiler
+    salvaged from MALFORMED rows by their evident intent (the reference
+    file's two `sh:nodeKind <non-node-kind>` rows compile as class
+    constraints) — visible provenance, so a caller auditing a foreign
+    shapes document can see every interpretation decision."""
 
     cardinality: tuple
     value: tuple
     klass: tuple
     has_value: tuple
     skipped: tuple
+    recovered: tuple = ()
 
 
 _NODEKIND_MAP = {
@@ -370,6 +375,7 @@ def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledSh
     klass: list[ClassShape] = []
     has_value: list[HasValueShape] = []
     skipped: list[tuple[str, str, str]] = []
+    recovered: list[tuple[str, str, str]] = []
 
     _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
@@ -460,8 +466,16 @@ def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledSh
                     cls_alt = resolve_or(nk[0], "class")
                     if cls_alt:
                         klass.append(ClassShape(target, path, cls_alt, severity=sev))
+                        recovered.append((
+                            target, path,
+                            f"nodeKind {nk[0]} -> sh:or-of-class sub-shape",
+                        ))
                     elif not nk[0].startswith(_SH):
                         klass.append(ClassShape(target, path, (nk[0],), severity=sev))
+                        recovered.append((
+                            target, path,
+                            f"nodeKind {nk[0]} -> class constraint",
+                        ))
                     else:
                         skipped.append(
                             (target, path, f"unsupported nodeKind {nk[0]}")
@@ -501,6 +515,7 @@ def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledSh
         klass=tuple(klass),
         has_value=tuple(has_value),
         skipped=tuple(skipped),
+        recovered=tuple(recovered),
     )
 
 

@@ -587,6 +587,14 @@ class _JldCtx:
                         raise ParseRdfError(
                             f"json-ld: term {k!r} has both @id and @reverse"
                         )
+                    if "@reverse" in v and cont in ("@list", "@index"):
+                        # the spec allows only @set/@index-free containers
+                        # on reverse terms; silently feeding an index map
+                        # into the reverse path would mis-parse
+                        raise ParseRdfError(
+                            f"json-ld: @reverse term {k!r} cannot carry "
+                            f"@container {cont}"
+                        )
                     self.terms[k] = {
                         "id": v.get("@reverse", v.get("@id", k)),
                         "type": v.get("@type"),
@@ -762,20 +770,27 @@ def parse_jsonld_doc(
                 f"json-ld: unsupported value type {type(v).__name__}"
             )
 
-    def reverse_triple(subj, pred, v, depth, ctx) -> Iterator[Triple]:
+    def reverse_triple(subj, pred, v, depth, ctx, flip=True) -> Iterator[Triple]:
         """A @reverse value: must denote a NODE (IRI string or node
-        object) — the reversed edge's subject; literals are malformed
-        JSON-LD and refuse loudly."""
+        object); literals are malformed JSON-LD and refuse loudly.
+        ``flip=True`` emits the reversed edge (node, pred, subj);
+        ``flip=False`` emits forward — the double-reversal case (a
+        @reverse-defined term used INSIDE a node-level @reverse map
+        cancels back to a forward edge, per spec)."""
         if v is None:
             return
         if depth > _JLD_MAX_DEPTH:
             raise ParseRdfError("json-ld: node nesting too deep")
         if isinstance(v, str):
-            yield (ctx.expand(v, vocab=False) if not v.startswith("_:")
-                   else _skolem(doc_id, v[2:]), pred, subj, "uri", None, None)
+            node = (_skolem(doc_id, v[2:]) if v.startswith("_:")
+                    else ctx.expand(v, vocab=False))
+            if flip:
+                yield (node, pred, subj, "uri", None, None)
+            else:
+                yield (subj, pred, node, "uri", None, None)
             return
         if isinstance(v, dict) and "@value" not in v and "@list" not in v:
-            yield from node_object(subj, pred, v, depth, ctx, reverse=True)
+            yield from node_object(subj, pred, v, depth, ctx, reverse=flip)
             return
         raise ParseRdfError(
             f"json-ld: @reverse value must be a node, got {v!r}"
@@ -825,9 +840,15 @@ def parse_jsonld_doc(
                         raise ParseRdfError(
                             f"json-ld: keyword {rkey!r} inside @reverse"
                         )
+                    rtdef = ctx.terms.get(rkey)
                     rpred = ctx.expand(rkey, vocab=True)
+                    # a @reverse-DEFINED term inside a node-level @reverse
+                    # map double-reverses: the edge is forward again
+                    flip = not (rtdef and rtdef.get("reverse"))
                     for v in rval if isinstance(rval, list) else [rval]:
-                        yield from reverse_triple(subj, rpred, v, depth, ctx)
+                        yield from reverse_triple(
+                            subj, rpred, v, depth, ctx, flip=flip
+                        )
                 continue
             if key == "@nest":
                 yield from process_nest(subj, val, depth, ctx)

@@ -88,6 +88,27 @@ def test_materialized_model_cap_guards_collect(corpus):
         ).collect()
 
 
+def test_materialized_accepts_precollected_model(corpus):
+    """Deployment path: train once, pass the collected set back — no
+    training job runs on subsequent scoring calls."""
+    model = frozenset(
+        r.gram for r in lmq.train_char_bigram_model(corpus, min_count=3).collect()
+    )
+    via_set = {
+        tuple(r)
+        for r in lmq.lm_quality_report_materialized(
+            corpus, keep_per_mille=700, model_grams=model
+        ).collect()
+    }
+    via_train = {
+        tuple(r)
+        for r in lmq.lm_quality_report_materialized(
+            corpus, min_count=3, keep_per_mille=700
+        ).collect()
+    }
+    assert via_set == via_train
+
+
 def test_materialized_plan_is_map_only(corpus):
     plan = (
         lmq.lm_quality_report_materialized(corpus, min_count=3)

@@ -439,6 +439,24 @@ def test_jsonld_reverse_term_and_node_map():
             ' "@reverse": {"ex:p": 4}}',
             "json-ld", "", "d",
         )
+    # a @reverse-defined term INSIDE a node-level @reverse map
+    # double-reverses: the edge is forward again (spec)
+    doc3 = """
+{"@context": {"ex": "http://ex/",
+              "childOf": {"@reverse": "ex:parent"}},
+ "@id": "ex:me",
+ "@reverse": {"childOf": {"@id": "ex:kid"}}}
+"""
+    ts3 = set(parse_rdf_text(doc3, "json-ld", "", "d"))
+    assert ("http://ex/me", "http://ex/parent", "http://ex/kid",
+            "uri", None, None) in ts3
+    # @reverse + @list/@index containers would silently mis-parse -> refuse
+    with pytest.raises(ParseRdfError, match="cannot carry"):
+        parse_rdf_text(
+            '{"@context": {"t": {"@reverse": "http://x/p",'
+            ' "@container": "@index"}}}',
+            "json-ld", "", "d",
+        )
 
 
 def test_jsonld_scoped_and_embedded_contexts():

@@ -57,8 +57,11 @@ def test_constraint_family_counts(compiled):
     # constraint, :DcatResource_Shape resolves through its own sh:or-of-class
     assert len(compiled.klass) == 98
     assert len(compiled.has_value) == 1
-    # the COMPLETE file: zero skipped constraints remain
+    # the COMPLETE file: zero skipped constraints remain, and the two
+    # malformed-row recoveries are VISIBLE provenance, not silent
     assert len(compiled.skipped) == 0
+    assert len(compiled.recovered) == 2
+    assert all("nodeKind" in r[2] for r in compiled.recovered)
 
 
 def test_default_shapes_are_a_subset(compiled):

@@ -612,6 +612,14 @@ def test_png_decode_refusals():
         mm.decode_png(b"not a png")
     with pt.raises(ValueError, match="truncated"):
         mm.decode_png(good[:-20])  # cuts into the IDAT chunk itself
+    # a header-only PNG (no IDAT) and a corrupt deflate stream both raise
+    # ValueError, never a raw zlib.error escaping the contract
+    with pt.raises(ValueError, match="missing IDAT"):
+        mm.decode_png(mm.make_png(4, 3))
+    idat_off = good.index(b"IDAT")
+    corrupt = good[:idat_off + 8] + b"\x00" * 8 + good[idat_off + 16:]
+    with pt.raises(ValueError, match="CRC|corrupt"):
+        mm.decode_png(corrupt)
     # palette PNG (colour type 3) is outside the codec-free subset
     ihdr = struct.pack(">II5B", 2, 2, 8, 3, 0, 0, 0)
     chunk = b"IHDR" + ihdr
