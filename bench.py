@@ -653,6 +653,11 @@ def triple_pr(spark, transcripts) -> dict:
 # the harness (plan hash + co-located capacity probe), not by the judge
 
 
+# bump when _PLAN_NOISE normalization changes: hashes from different rule
+# versions are incomparable, and a cross-version compare must read
+# "unknown", never a false "changed"
+_PLAN_HASH_VERSION = 2
+
 _PLAN_NOISE = [
     (r"#\d+[A-Za-z]*", "#"),          # expression IDs
     (r"\[plan_id=\d+\]", ""),
@@ -712,6 +717,8 @@ def drift_records(
     'same' plan + big delta = co-tenant noise, 'changed' = investigate."""
     prev_q = prev.get("queries") or {}
     prev_h = prev.get("plan_hashes") or {}
+    if prev.get("plan_hash_version") != _PLAN_HASH_VERSION:
+        prev_h = {}  # incomparable rule versions -> verdicts say "unknown"
     out = []
     for name, now in timings.items():
         was = prev_q.get(name)
@@ -1204,6 +1211,7 @@ def main() -> None:
             "triples": n_triples,
             "turns_per_sec_extract": round(n_turns / extract_sec, 1),
             "plan_hashes": plan_hashes,
+            "plan_hash_version": _PLAN_HASH_VERSION,
         }
     )
     # drift attestation vs the previous committed round: which queries
