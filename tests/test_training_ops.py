@@ -634,6 +634,59 @@ def test_png_decode_refusals():
         mm.real_decode(mm.make_jpeg(3, 3), "image")
 
 
+def test_png_codec_property_fuzz():
+    """Property-based: encode->decode is identity for arbitrary shapes,
+    pixels, and per-row filter choices; arbitrary byte soup and bit-flips
+    of valid PNGs either decode or refuse with the documented exception
+    types — nothing else ever escapes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def roundtrip(h, w, c, seed, data):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        assert (mm.decode_png(mm.encode_png(px, filters)) == px).all()
+
+    roundtrip()
+
+    @settings(max_examples=60, deadline=None)
+    @given(blob=st.binary(min_size=0, max_size=200))
+    def soup(blob):
+        try:
+            mm.decode_png(blob)
+        except (ValueError, NotImplementedError):
+            pass  # the documented refusal contract
+
+    soup()
+
+    @settings(max_examples=60, deadline=None)
+    @given(pos=st.integers(0, 10_000), bit=st.integers(0, 7), seed=st.integers(0, 99))
+    def bitflip(pos, bit, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        b = bytearray(mm.encode_png(px))
+        b[pos % len(b)] ^= 1 << bit
+        try:
+            out = mm.decode_png(bytes(b))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+
+    bitflip()
+
+
 def test_image_pixel_stats_operator(spark):
     import numpy as np
 
