@@ -446,12 +446,21 @@ def load_shacl_shapes(ttl_text: str, doc_id: str = "shacl-shapes") -> CompiledSh
                 mn = pp.get(_SH + "minCount")
                 mx = pp.get(_SH + "maxCount")
                 if mn or mx:
-                    card.append(Shape(
-                        target, path,
-                        min_count=int(mn[0]) if mn else 0,
-                        max_count=int(mx[0]) if mx else None,
-                        severity=sev,
-                    ))
+                    try:
+                        card.append(Shape(
+                            target, path,
+                            min_count=int(mn[0]) if mn else 0,
+                            max_count=int(mx[0]) if mx else None,
+                            severity=sev,
+                        ))
+                    except ValueError:
+                        # non-integer cardinality literal: refuse the row
+                        # loudly in `skipped`, never crash the compile
+                        skipped.append((
+                            target, path,
+                            f"malformed cardinality "
+                            f"{(mn or mx)[0]!r}",
+                        ))
                 nk = pp.get(_SH + "nodeKind")
                 dt = pp.get(_SH + "datatype")
                 pat = pp.get(_SH + "pattern")

@@ -249,6 +249,54 @@ def test_reference_file_report_on_corpus(spark, small_transcripts):
     assert len(rows) == len(set(map(tuple, rows)))
 
 
+def test_malformed_cardinality_refused_not_crash():
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://ex/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:p ; sh:minCount "three" ;
+                sh:severity sh:Violation ] .
+"""
+    c = load_shacl_shapes(ttl)
+    assert not c.cardinality
+    assert any("malformed cardinality" in s[2] for s in c.skipped)
+
+
+def test_shacl_compile_fuzz_never_crashes():
+    """Random small shapes documents either compile or raise ParseRdfError
+    — no other exception class ever escapes the compiler."""
+    import random
+
+    from breg_dcat_harvester_spark.sources.rdf_parse import ParseRdfError
+
+    rng = random.Random(11)
+    preds = ["sh:path ex:p", "sh:minCount 1", "sh:maxCount 2",
+             "sh:minCount \"x\"", "sh:nodeKind sh:IRI",
+             "sh:nodeKind ex:Weird", "sh:datatype ex:dt",
+             "sh:pattern \"^a\"", "sh:class ex:C", "sh:hasValue ex:v",
+             "sh:node ex:N", "sh:in (ex:a ex:b)", "sh:minLength 3",
+             "sh:severity sh:Warning", "sh:path ex:q"]
+    for _ in range(150):
+        props = []
+        for _ in range(rng.randrange(1, 4)):
+            body = " ; ".join(rng.sample(preds, rng.randrange(1, 5)))
+            props.append(f"[ {body} ]")
+        ttl = (
+            "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+            "@prefix ex: <http://ex/> .\n"
+            "ex:N sh:or ( [ sh:class ex:C1 ] [ sh:class ex:C2 ] ) .\n"
+            f"ex:S a sh:NodeShape ; sh:targetClass ex:T ;\n"
+            f"  sh:property {', '.join(props)} .\n"
+        )
+        try:
+            c = load_shacl_shapes(ttl)
+            # every property shape lands SOMEWHERE: compiled, recovered,
+            # or skipped — never silently vanishes (unless pathless)
+            assert isinstance(c.skipped, tuple)
+        except ParseRdfError:
+            pass
+
+
 def test_incremental_equals_batch_restricted(spark):
     """full_shapes_report_incremental(base, shard) must equal the
     from-scratch full-graph report restricted to the shard's subjects —
