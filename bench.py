@@ -455,12 +455,23 @@ def _persistent_pair(
     return out
 
 
+def _warm_capacity(workers: int, reps: int = 2) -> float:
+    """End-of-pair host calibration with the SAME warm-pool protocol the
+    per-round probe uses — a cold spawn here would contradict the
+    per-round normalized numbers it sits next to."""
+    p = _WarmProbe(workers)
+    try:
+        return p.measure(reps=reps)
+    finally:
+        p.close()
+
+
 def run_scaling_pair1(deadline: float) -> dict:
     """Engine-scaling pair (2 -> 8 cores): both configs fit inside the
     sandbox's *delivered* CPU capacity, so this measures ENGINE scaling."""
     within = _persistent_pair(2, 8, "sf5", deadline=deadline)
-    cap2 = machine_capacity(2)
-    cap8 = machine_capacity(8)
+    cap2 = _warm_capacity(2)
+    cap8 = _warm_capacity(8)
     host_eff_28 = cap8 / (4 * cap2)
     within["host_capacity_ratio_2_to_8"] = round(cap8 / cap2, 3)
     within["host_efficiency_n_to_4n"] = round(host_eff_28, 3)
@@ -498,8 +509,8 @@ def run_scaling_pair2(deadline: float) -> dict:
     capped = _persistent_pair(
         8, 32, SCALING_SF, deadline=deadline, max_rounds=14, warmup_rounds=2
     )
-    cap8 = machine_capacity(8)
-    cap32 = machine_capacity(32)
+    cap8 = _warm_capacity(8)
+    cap32 = _warm_capacity(32)
     host_eff = cap32 / (4 * cap8)
     capped["host_capacity_ratio_8_to_32"] = round(cap32 / cap8, 3)
     capped["host_efficiency_n_to_4n"] = round(host_eff, 3)
