@@ -1467,6 +1467,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf).select("doc_id", "lang"), k=70
     )
 
+    # per-ROW quality-weighted sampling (DCLM-style reweighting): keep
+    # probability = the document's alphabetic-character per-mille — an
+    # integer quality proxy computable exactly in both engines; map-only,
+    # sha256-decision-replayable like the other sampling forms
+    def _sample_weighted(spark, sf):
+        d = _documents(spark, sf).select("doc_id", "text")
+        w = F.floor(
+            F.lit(1000)
+            * F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+        return smp.weighted_bernoulli(d, w).select(
+            "doc_id", "keep_pm", "bucket"
+        )
+
+    q["sample_weighted"] = _sample_weighted
+
     # flagship curation composition: dedup -> quality -> sample, one plan,
     # one auditable decision row per document
     # thresholds chosen to actually discriminate on this corpus (tokens
@@ -4036,6 +4053,18 @@ FROM n WHERE n > 0
 SELECT doc_id, lang, {bucket_sql} AS bucket
 FROM documents
 WHERE {bucket_sql} < {rate_sql}
+"""
+
+    sql["sample_weighted"] = """
+WITH w AS (
+    SELECT doc_id,
+           CAST(floor(1000 * length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                      / greatest(length(text), 1)) AS BIGINT) AS keep_pm,
+           (('0x' || substr(sha256('wsmpl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000) AS bucket
+    FROM documents
+)
+SELECT doc_id, keep_pm, bucket FROM w WHERE bucket < keep_pm
 """
 
     sql["sample_fixed_k"] = f"""

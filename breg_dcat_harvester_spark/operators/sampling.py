@@ -74,6 +74,39 @@ def stratified_bernoulli(
     ).filter(F.col("bucket") < rate)
 
 
+def weighted_bernoulli(
+    df: DataFrame,
+    weight,
+    key_col: str = "doc_id",
+    salt: str = "wsmpl",
+    max_weight: int = BUCKETS,
+) -> DataFrame:
+    """Per-ROW weighted Bernoulli sampling: each row's keep probability is
+    its own integer ``weight`` in per-mille (clamped to [0, max_weight]) —
+    the quality-REWEIGHTED corpus-sampling shape (keep high-quality
+    documents with higher probability, cf. DCLM-style quality-classifier
+    reweighting), versus ``stratified_bernoulli``'s per-STRATUM constant
+    rates.
+
+    keep iff sample_bucket(key, salt) < clamp(weight, 0, max_weight)
+
+    Map-only (zero shuffle at any corpus size), deterministic and
+    idempotent under re-runs, and replayable bit-exactly in any engine
+    from sha256 alone (the shared decision-hash discipline).  The clamped
+    weight and the decision bucket stay on the output row for
+    auditability.
+    """
+    w = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(int(max_weight)).cast("long"), weight.cast("long")),
+    )
+    return (
+        df.withColumn("keep_pm", w)
+        .withColumn("bucket", sample_bucket(F.col(key_col), salt=salt))
+        .filter(F.col("bucket") < F.col("keep_pm"))
+    )
+
+
 def stratified_fixed_k(
     df: DataFrame,
     k: int,

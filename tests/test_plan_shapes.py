@@ -49,6 +49,7 @@ EXCHANGE_BUDGET = {
     "text_features": 0,  # pure Column exprs over the documents scan
     "text_repetition": 0,
     "sample_stratified": 0,  # Bernoulli sha-bucket filter: map-side only
+    "sample_weighted": 0,  # per-row weighted Bernoulli: map-side only
     "rel_events_sessionize": 1,  # one window partitioning
     "rel_events_asof": 1,  # union-window as-of join: the one hash partition
     "rel_events_in_windows": 2,  # broadcast bin equi-join + rollup agg

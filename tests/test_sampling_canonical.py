@@ -67,6 +67,34 @@ def test_stratified_bernoulli_rates_and_determinism(spark, docs):
     assert rows2 == rows
 
 
+def test_weighted_bernoulli_per_row_rates(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, w) for i, w in enumerate(
+        [0, 100, 500, 999, 1000, 1500, -50] * 40
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = smp.weighted_bernoulli(df, F.col("w"))
+    got = out.collect()
+    # the decision is exactly bucket < clamp(w, 0, 1000)
+    for r in got:
+        assert 0 <= r.keep_pm <= 1000
+        assert r.bucket < r.keep_pm
+    ids = {r.doc_id for r in got}
+    by_id = dict(rows)
+    # w<=0 rows never survive; w>=1000 rows always survive
+    assert not any(by_id[i] <= 0 for i in ids)
+    assert all(i in ids for i, w in rows if w >= 1000)
+    # deterministic at any parallelism
+    ids2 = {
+        r.doc_id
+        for r in smp.weighted_bernoulli(df.repartition(13), F.col("w")).collect()
+    }
+    assert ids2 == ids
+    # plan is map-only: no exchange at any corpus size
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_stratified_fixed_k(spark, docs):
     k = 5
     out = smp.stratified_fixed_k(docs.select("doc_id", "lang"), k=k).collect()
