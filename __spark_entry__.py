@@ -1789,6 +1789,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_pixels_real"] = _pixels_real
 
+    # REAL decode -> nearest-neighbor RESIZE (integer-exact index mapping
+    # src_i = floor(i*h/out_h)) -> checksums over the RESIZED bytes: the
+    # thumbnail-normalization stage of a multimodal pipeline.  The oracle
+    # replays the index mapping + pixel formula, so a single wrong
+    # selected pixel breaks the hash.
+    def _resize_real(spark, sf):
+        return mm.image_resize_stats(_pixel_assets(spark, sf), out_h=4, out_w=5)
+
+    q["multimodal_resize_real"] = _resize_real
+
     # --- bounded-state sketches (operators/sketches.py) ---------------------
     # audit-gated like the ANN recall queries: Spark computes approx + exact
     # and the designed error-bound flag; the oracle replays the exact side
@@ -4432,6 +4442,37 @@ FROM d, LATERAL (
     SELECT unnest(generate_series(0, CAST(w * h * c - 1 AS BIGINT))) AS i
 ) g
 GROUP BY doc_id, w, h, c
+"""
+
+    # decode -> nearest-neighbor resize: the oracle replays the integer
+    # index mapping (src_i = (i*h)//4, src_j = (j*w)//5) over the planted
+    # pixel formula — resized checksums must match byte-for-byte
+    sql["multimodal_resize_real"] = """
+WITH d AS (
+    SELECT doc_id,
+           4 + doc_id % 13 AS w,
+           3 + doc_id % 7 AS h,
+           CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2
+                ELSE 4 END AS c,
+           doc_id % 251 AS seed
+    FROM documents
+)
+SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+       CAST(5 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(c AS INTEGER) AS channels,
+       CAST(sum(v.val) AS BIGINT) AS px_sum,
+       CAST(sum((v.k + 1) * v.val) AS BIGINT) AS px_wsum
+FROM d, LATERAL (
+    SELECT g.k,
+           (seed + 7 * (
+               ((((g.k // (5 * c)) * h) // 4) * w
+                + (((g.k % (5 * c)) // c) * w) // 5) * c
+               + g.k % c
+           )) % 256 AS val
+    FROM (SELECT unnest(generate_series(0, CAST(4 * 5 * c - 1 AS BIGINT))) AS k) g
+) v
+GROUP BY doc_id, c
 """
 
     # frame sampling: bit-exact replay of the fake frame kernel

@@ -339,6 +339,67 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     )
 
 
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) uint8 array — INTEGER-exact
+    index mapping (src_i = floor(i·h/out_h)), so any engine replays the
+    selected pixels bit-for-bit; the standard pre-filter normalization
+    step of a multimodal pipeline (bucketing thumbnails before paying a
+    model forward pass)."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize dimensions must be positive")
+    h, w, _c = arr.shape
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return arr[rows][:, cols]
+
+
+def image_resize_stats(
+    assets: DataFrame, out_h: int, out_w: int
+) -> DataFrame:
+    """Arrow-batched decode -> nearest-neighbor resize -> positionally
+    weighted checksums per asset: (asset_id, width, height, channels,
+    px_sum, px_wsum) where width/height are the RESIZED dims and the
+    checksums cover the resized pixel bytes in order.  Map-only; payload
+    projected away before any wide stage."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", StringType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("channels", IntegerType(), True),
+            StructField("px_sum", LongType(), True),
+            StructField("px_wsum", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from breg_dcat_harvester_spark.functions.workerenv import (
+            pin_native_threads,
+        )
+
+        pin_native_threads()
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("asset_id", "width", "height", "channels",
+                     "px_sum", "px_wsum")}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                arr = resize_nearest(decode_png(p), out_h, out_w)
+                flat = arr.reshape(-1).astype(np.int64)
+                rows["asset_id"].append(aid)
+                rows["height"].append(arr.shape[0])
+                rows["width"].append(arr.shape[1])
+                rows["channels"].append(arr.shape[2])
+                rows["px_sum"].append(int(flat.sum()))
+                rows["px_wsum"].append(
+                    int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def image_pixel_stats(assets: DataFrame) -> DataFrame:
     """Arrow-batched REAL pixel statistics per asset: (asset_id, width,
     height, channels, px_sum, px_wsum) — map-only, payload projected away.

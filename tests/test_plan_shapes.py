@@ -46,6 +46,7 @@ EXCHANGE_BUDGET = {
     "multimodal_frames": 0,  # frame sampling must never shuffle
     "multimodal_features": 1,
     "multimodal_pixels_real": 0,  # plant + decode: two Arrow stages, no shuffle
+    "multimodal_resize_real": 0,  # plant + decode + resize: map-only
     "text_features": 0,  # pure Column exprs over the documents scan
     "text_repetition": 0,
     "sample_stratified": 0,  # Bernoulli sha-bucket filter: map-side only

@@ -687,6 +687,41 @@ def test_png_codec_property_fuzz():
     bitflip()
 
 
+def test_resize_nearest():
+    import numpy as np
+    import pytest as pt
+
+    arr = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    # identity
+    assert (mm.resize_nearest(arr, 2, 4) == arr).all()
+    # downscale picks floor-mapped source pixels
+    down = mm.resize_nearest(arr, 1, 2)
+    assert down.shape == (1, 2, 3)
+    assert (down[0, 0] == arr[0, 0]).all()
+    assert (down[0, 1] == arr[0, 2]).all()
+    # upscale repeats source pixels, channels preserved
+    up = mm.resize_nearest(arr, 4, 8, )
+    assert up.shape == (4, 8, 3)
+    assert (up[0, 0] == arr[0, 0]).all() and (up[3, 7] == arr[1, 3]).all()
+    with pt.raises(ValueError, match="positive"):
+        mm.resize_nearest(arr, 0, 3)
+
+
+def test_image_resize_stats_operator(spark):
+    import numpy as np
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    df = spark.createDataFrame(
+        [("a1", bytearray(mm.encode_png(px)))],
+        "asset_id string, payload binary",
+    )
+    got = mm.image_resize_stats(df, 1, 2).collect()[0]
+    want = mm.resize_nearest(px, 1, 2).reshape(-1).astype(int)
+    assert (got.height, got.width, got.channels) == (1, 2, 3)
+    assert got.px_sum == int(want.sum())
+    assert got.px_wsum == int((want * (np.arange(want.size) + 1)).sum())
+
+
 def test_image_pixel_stats_operator(spark):
     import numpy as np
 
